@@ -1,0 +1,39 @@
+"""Numeric ops: anchors, box decode, NMS, image warps (the reference's L2).
+
+Replaces /root/reference/src/processing + src/rcnn (host ndarray loops) with
+vectorized jnp traced into jit graphs, plus host numpy oracles for testing.
+"""
+
+from .anchors import (
+    anchor_plane,
+    full_anchor_table,
+    generate_anchors,
+    generate_anchors_fpn,
+)
+from .box_decode import (
+    bbox_overlaps,
+    bbox_pred,
+    clip_boxes,
+    clip_points,
+    landmark_pred,
+)
+from .nms import nms_mask, nms_mask_fixpoint, nms_mask_greedy, nms_numpy
+from .umeyama import umeyama_similarity, umeyama_similarity_np
+
+__all__ = [
+    "anchor_plane",
+    "full_anchor_table",
+    "generate_anchors",
+    "generate_anchors_fpn",
+    "bbox_overlaps",
+    "bbox_pred",
+    "clip_boxes",
+    "clip_points",
+    "landmark_pred",
+    "nms_mask",
+    "nms_mask_fixpoint",
+    "nms_mask_greedy",
+    "nms_numpy",
+    "umeyama_similarity",
+    "umeyama_similarity_np",
+]
