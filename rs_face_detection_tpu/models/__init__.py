@@ -1,0 +1,33 @@
+"""Model zoo: RetinaFace detector, IResNet embeddings, classifier heads.
+
+In-process flax replacements for the networks the reference reached over gRPC
+(SURVEY.md §2), plus the registry/checkpoint layer replacing Triton's model
+repository.
+"""
+
+from .arcface import IResNet, init_arcface
+from .heads import SmallCNN, init_small_cnn
+from .registry import (
+    ModelRegistry,
+    ModelSpec,
+    ModelStats,
+    default_registry,
+    load_variables,
+    save_variables,
+)
+from .retinaface import RetinaFace, init_retinaface
+
+__all__ = [
+    "IResNet",
+    "init_arcface",
+    "SmallCNN",
+    "init_small_cnn",
+    "ModelRegistry",
+    "ModelSpec",
+    "ModelStats",
+    "default_registry",
+    "load_variables",
+    "save_variables",
+    "RetinaFace",
+    "init_retinaface",
+]

@@ -1,0 +1,317 @@
+"""In-process model registry: the TPU-native replacement for Triton's model
+repository and the reference's gRPC client surface.
+
+The reference reaches every network through `TritonInferenceClient`
+(/root/reference/src/triton_client/client.rs:54-197): `model_infer`,
+`model_config`, `server_live/ready`, `model_ready`, `model_statistics`,
+`repository_model_load/unload`, `repository_index`.  Here models live
+in-process as (flax module, variables) pairs; the registry keeps the same
+lifecycle and observability verbs without a wire:
+
+  - load/unload/index      <-> repository_model_load/unload, repository_index
+  - ready/live             <-> server_live, server_ready, model_ready
+  - spec(name)             <-> model_config (shapes, dtype, I/O contract)
+  - statistics(name)       <-> model_statistics (count, cumulative duration)
+
+Checkpoints are .npz files of flat "path/to/param" -> array entries (see
+save_variables/load_variables); absent a checkpoint, models initialize with a
+seeded PRNG so every run is reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+@dataclass
+class ModelSpec:
+    """Static model metadata (the model_config analog)."""
+
+    name: str
+    input_shape: Tuple[int, ...]  # (H, W, C) of a single example
+    output_spec: str  # human-readable output contract
+    max_batch_size: int = 1
+    preprocessing: str = ""
+
+
+@dataclass
+class ModelStats:
+    """Per-model inference counters (the model_statistics analog)."""
+
+    inference_count: int = 0
+    execution_count: int = 0
+    cumulative_duration_s: float = 0.0
+    last_duration_s: float = 0.0
+
+
+@dataclass
+class _Entry:
+    spec: ModelSpec
+    module: Any
+    variables: Any
+    apply_fn: Callable[..., Any]
+    stats: ModelStats = field(default_factory=ModelStats)
+
+
+class ModelRegistry:
+    """Thread-safe named model store with lifecycle + statistics."""
+
+    def __init__(self) -> None:
+        self._models: Dict[str, _Entry] = {}
+        self._lock = threading.Lock()
+        self._builders: Dict[str, Callable[[], Tuple[ModelSpec, Any, Any]]] = {}
+
+    # -- lifecycle (repository_* analogs) --------------------------------
+
+    def register_builder(
+        self, name: str, builder: Callable[[], Tuple[ModelSpec, Any, Any]]
+    ) -> None:
+        """Register a lazy constructor returning (spec, module, variables)."""
+        with self._lock:
+            self._builders[name] = builder
+
+    def load(self, name: str) -> None:
+        """Instantiate a registered builder (repository_model_load analog)."""
+        with self._lock:
+            if name in self._models:
+                return
+            if name not in self._builders:
+                raise KeyError(f"model {name!r} has no registered builder")
+            builder = self._builders[name]
+        spec, module, variables = builder()
+        self.register(spec, module, variables)
+
+    def register(self, spec: ModelSpec, module: Any, variables: Any) -> None:
+        apply_fn = module.apply
+        with self._lock:
+            self._models[spec.name] = _Entry(spec, module, variables, apply_fn)
+
+    def unload(self, name: str) -> None:
+        with self._lock:
+            self._models.pop(name, None)
+
+    def index(self) -> List[Dict[str, str]]:
+        """List known models and their state (repository_index analog)."""
+        with self._lock:
+            loaded = set(self._models)
+            names = loaded | set(self._builders)
+            return [
+                {"name": n, "state": "READY" if n in loaded else "UNAVAILABLE"}
+                for n in sorted(names)
+            ]
+
+    # -- liveness (health analogs) ---------------------------------------
+
+    def server_live(self) -> bool:
+        return True
+
+    def server_ready(self) -> bool:
+        return True
+
+    def model_ready(self, name: str) -> bool:
+        with self._lock:
+            return name in self._models
+
+    # -- access ----------------------------------------------------------
+
+    def spec(self, name: str) -> ModelSpec:
+        return self._entry(name).spec
+
+    def get(self, name: str) -> Tuple[Any, Any]:
+        """Return (module, variables) for composing into fused jit graphs."""
+        e = self._entry(name)
+        return e.module, e.variables
+
+    def variables(self, name: str) -> Any:
+        return self._entry(name).variables
+
+    def statistics(self, name: str) -> ModelStats:
+        return dataclasses.replace(self._entry(name).stats)
+
+    def _entry(self, name: str) -> _Entry:
+        with self._lock:
+            if name not in self._models:
+                if name in self._builders:
+                    pass  # fall through to lazy load below
+                else:
+                    raise KeyError(f"model {name!r} is not loaded")
+            else:
+                return self._models[name]
+        self.load(name)
+        with self._lock:
+            return self._models[name]
+
+    def infer(self, name: str, batch: Any, **kwargs) -> Any:
+        """Standalone timed forward pass (the model_infer analog).
+
+        The fused pipeline composes module.apply directly into one jit graph;
+        this entry point exists for ad-hoc use and statistics parity.
+        """
+        e = self._entry(name)
+        start = time.perf_counter()
+        out = e.apply_fn(e.variables, batch, **kwargs)
+        out = jax.block_until_ready(out)
+        dur = time.perf_counter() - start
+        with self._lock:
+            e.stats.inference_count += int(np.shape(batch)[0]) if np.ndim(batch) else 1
+            e.stats.execution_count += 1
+            e.stats.cumulative_duration_s += dur
+            e.stats.last_duration_s = dur
+        return out
+
+
+# -- checkpoint (de)serialization ---------------------------------------
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix.rstrip("/")] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_variables(path: str, variables: Any) -> None:
+    """Write a flax variables pytree to an .npz checkpoint."""
+    np.savez(path, **_flatten(variables))
+
+
+def load_variables(path: str) -> Dict[str, Any]:
+    """Read an .npz checkpoint back into a nested variables dict."""
+    with np.load(path) as data:
+        return _unflatten({k: data[k] for k in data.files})
+
+
+_default_registry: Optional[ModelRegistry] = None
+_default_lock = threading.Lock()
+
+
+def default_registry() -> ModelRegistry:
+    """Process-wide registry with the standard pipeline builders attached."""
+    global _default_registry
+    with _default_lock:
+        if _default_registry is None:
+            _default_registry = ModelRegistry()
+            _attach_standard_builders(_default_registry)
+        return _default_registry
+
+
+def _attach_standard_builders(registry: ModelRegistry) -> None:
+    """Register lazy builders for every model the pipelines name.
+
+    Mirrors the model family served to the reference by Triton
+    (face_pipeline/config.rs model_name fields).
+    """
+    import jax.numpy as jnp
+
+    from ..configs import (
+        FaceAntiSpoofingConfig,
+        FaceDetectionConfig,
+        FaceIdentificationConfig,
+        FaceQualityAssessmentConfig,
+        FaceQualityConfig,
+    )
+
+    def detection_builder():
+        from .retinaface import init_retinaface
+
+        cfg = FaceDetectionConfig()
+        model, variables = init_retinaface(cfg.backbone, cfg.image_size)
+        w, h = cfg.image_size
+        spec = ModelSpec(
+            name=cfg.model_name,
+            input_shape=(h, w, 3),
+            output_spec="per-stride score/(A) bbox/(4A) landmark/(10A) maps",
+            max_batch_size=cfg.max_batch_size,
+            preprocessing="letterbox 640, BGR->RGB, raw 0-255",
+        )
+        return spec, model, variables
+
+    def identification_builder():
+        from .arcface import init_arcface
+
+        cfg = FaceIdentificationConfig()
+        model, variables = init_arcface(cfg.backbone, cfg.embedding_dim, cfg.image_size)
+        w, h = cfg.image_size
+        spec = ModelSpec(
+            name=cfg.model_name,
+            input_shape=(h, w, 3),
+            output_spec=f"(B, {cfg.embedding_dim}) embedding",
+            max_batch_size=cfg.batch_size,
+            preprocessing="BGR->RGB, (px-127.5)*0.0078125",
+        )
+        return spec, model, variables
+
+    def quality_builder():
+        from .heads import init_small_cnn
+
+        cfg = FaceQualityConfig()
+        model, variables = init_small_cnn(cfg.num_classes, cfg.image_size)
+        w, h = cfg.image_size
+        spec = ModelSpec(
+            name=cfg.model_name,
+            input_shape=(h, w, 3),
+            output_spec="(B, 4) class probabilities",
+            max_batch_size=cfg.batch_size,
+            preprocessing="BGR->RGB, ImageNet mean/std",
+        )
+        return spec, model, variables
+
+    def fqa_builder():
+        from .heads import init_small_cnn
+
+        cfg = FaceQualityAssessmentConfig()
+        model, variables = init_small_cnn(1, cfg.image_size, softmax=False)
+        w, h = cfg.image_size
+        spec = ModelSpec(
+            name=cfg.model_name,
+            input_shape=(h, w, 3),
+            output_spec="(B, 1) quality score (0-100 scale)",
+            max_batch_size=cfg.batch_size,
+            preprocessing="BGR->RGB, (px-127.5)*0.00784313725",
+        )
+        return spec, model, variables
+
+    registry.register_builder("face_detection_retina", detection_builder)
+    registry.register_builder("face_identification", identification_builder)
+    registry.register_builder("face_quality", quality_builder)
+    registry.register_builder(
+        FaceQualityAssessmentConfig().model_name, fqa_builder
+    )
+
+    fas_cfg = FaceAntiSpoofingConfig()
+    for model_name, size in zip(fas_cfg.model_names, fas_cfg.image_sizes):
+        def fas_builder(model_name=model_name, size=size):
+            from .heads import init_small_cnn
+
+            model, variables = init_small_cnn(3, size)
+            spec = ModelSpec(
+                name=model_name,
+                input_shape=(size[1], size[0], 3),
+                output_spec="(B, 3) probabilities, col 1 = live",
+                max_batch_size=fas_cfg.batch_size,
+                preprocessing="raw 0-255 BGR",
+            )
+            return spec, model, variables
+
+        registry.register_builder(model_name, fas_builder)

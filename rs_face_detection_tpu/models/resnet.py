@@ -1,0 +1,66 @@
+"""ResNet-50 backbone for the RetinaFace-R50 flagship configuration.
+
+Standard bottleneck ResNet in NHWC emitting (C3, C4, C5) = strides (8, 16, 32)
+with (512, 1024, 2048) channels — the heavy detector variant named in
+BASELINE.json config 2.  bf16 compute / f32 params; channel counts are
+multiples of 128 so every conv tiles cleanly onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import ConvBN
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; output is 4x this
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        out_ch = self.features * 4
+        y = ConvBN(self.features, (1, 1), act=nn.relu, dtype=self.dtype, name="c1")(
+            x, train
+        )
+        y = ConvBN(
+            self.features, (3, 3), self.strides, act=nn.relu, dtype=self.dtype, name="c2"
+        )(y, train)
+        y = ConvBN(out_ch, (1, 1), act=None, dtype=self.dtype, name="c3")(y, train)
+        if residual.shape != y.shape:
+            residual = ConvBN(
+                out_ch, (1, 1), self.strides, act=None, dtype=self.dtype, name="proj"
+            )(x, train)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 trunk emitting (C3, C4, C5)."""
+
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        dt = self.dtype
+        x = ConvBN(64, (7, 7), (2, 2), act=nn.relu, dtype=dt, name="stem")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        widths = (64, 128, 256, 512)
+        feats = []
+        for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for block in range(blocks):
+                strides = (2, 2) if block == 0 and stage > 0 else (1, 1)
+                x = Bottleneck(
+                    width, strides, dtype=dt, name=f"s{stage}b{block}"
+                )(x, train)
+            feats.append(x)
+        # feats strides: [4, 8, 16, 32] -> return C3..C5.
+        return feats[1], feats[2], feats[3]

@@ -1,0 +1,107 @@
+"""RetinaFace detector network: backbone + FPN + SSH + multi-task heads.
+
+This is the in-process replacement for the reference's remote
+`face_detection_retina` Triton model (face_detection.rs:254-284).  The output
+contract feeds the same decode chain: per FPN stride, a face probability per
+anchor plus 4 bbox deltas and 10 landmark deltas per anchor, laid out NHWC so
+the flattened (h, w, a) order matches the precomputed anchor plane
+(ops/anchors.py).  Heads emit float32 regardless of compute dtype; the 2-class
+softmax happens in-graph so downstream consumes probabilities exactly like the
+reference's sliced score tensor (face_detection.rs:322).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import FPN, SSH
+from .mobilenet import MobileNetV1_025
+from .resnet import ResNet50
+
+#: per-backbone (fpn/ssh channels, leaky-relu slope)
+_BACKBONES = {
+    "mobilenet025": (64, 0.1),
+    "resnet50": (256, 0.0),
+}
+
+
+class RetinaFace(nn.Module):
+    """Multi-level face detector.
+
+    Returns {stride: {"score": (B,H,W,A), "bbox": (B,H,W,A*4),
+    "landmark": (B,H,W,A*10)}} for strides (8, 16, 32); `raw=True` swaps the
+    softmax face probability for the raw 2-class logits (training).
+    """
+
+    backbone: str = "mobilenet025"
+    num_anchors: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, raw: bool = False
+    ) -> Dict[int, Dict[str, jnp.ndarray]]:
+        if self.backbone not in _BACKBONES:
+            raise ValueError(f"unknown backbone: {self.backbone!r}")
+        channels, slope = _BACKBONES[self.backbone]
+        dt = self.dtype
+
+        if self.backbone == "mobilenet025":
+            feats = MobileNetV1_025(dtype=dt, name="body")(x.astype(dt), train)
+        else:
+            feats = ResNet50(dtype=dt, name="body")(x.astype(dt), train)
+
+        pyramid = FPN(channels, negative_slope=slope, dtype=dt, name="fpn")(
+            feats, train
+        )
+        contexts = [
+            SSH(channels, negative_slope=slope, dtype=dt, name=f"ssh{i}")(p, train)
+            for i, p in enumerate(pyramid)
+        ]
+
+        a = self.num_anchors
+        out: Dict[int, Dict[str, jnp.ndarray]] = {}
+        for i, (stride, feat) in enumerate(zip((8, 16, 32), contexts)):
+            cls = nn.Conv(
+                a * 2, (1, 1), dtype=dt, param_dtype=jnp.float32, name=f"cls{i}"
+            )(feat).astype(jnp.float32)
+            box = nn.Conv(
+                a * 4, (1, 1), dtype=dt, param_dtype=jnp.float32, name=f"box{i}"
+            )(feat).astype(jnp.float32)
+            ldm = nn.Conv(
+                a * 10, (1, 1), dtype=dt, param_dtype=jnp.float32, name=f"ldm{i}"
+            )(feat).astype(jnp.float32)
+
+            b, h, w, _ = cls.shape
+            logits = cls.reshape(b, h, w, a, 2)
+            if raw:
+                score = logits
+            else:
+                score = jax.nn.softmax(logits, axis=-1)[..., 1]
+            out[stride] = {"score": score, "bbox": box, "landmark": ldm}
+        return out
+
+
+def init_retinaface(
+    backbone: str = "mobilenet025",
+    image_size: Sequence[int] = (640, 640),
+    dtype: Any = jnp.float32,
+    seed: int = 0,
+):
+    """Build a RetinaFace module and initialize variables for a static size.
+
+    Returns (module, variables) with variables = {"params", "batch_stats"}.
+    """
+    model = RetinaFace(backbone=backbone, dtype=dtype)
+    width, height = image_size
+    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.PRNGKey(seed), dummy
+    )
+    return model, variables

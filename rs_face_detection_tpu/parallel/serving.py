@@ -1,0 +1,177 @@
+"""Data-parallel batch serving with host-decode / device-compute overlap.
+
+Replaces the reference's per-request Triton dispatch (one gRPC ModelInfer per
+image, face_detection.rs:254-284) with sharded in-process serving:
+
+  - a jit detect over a ("data", "model") mesh with the batch sharded on
+    "data" — each chip runs the full model on its shard (BASELINE.json
+    config 5);
+  - a host-side pipeline that decodes + letterboxes incoming JPEG bytes on a
+    thread pool and double-buffers device transfers so the next batch's
+    host work overlaps the current batch's device compute (config 4);
+    JAX's async dispatch provides the device side of the overlap for free.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import FaceDetectionConfig
+from ..ops.image import letterbox_geometry
+from ..pipeline.detection import PaddedDetections, RetinaFaceDetection
+from ..utils.image_io import decode_image_bytes
+
+try:  # pragma: no cover - environment probe
+    import cv2  # type: ignore
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def letterbox_host(
+    img: np.ndarray, dst_w: int, dst_h: int
+) -> Tuple[np.ndarray, float]:
+    """Host-side letterbox (cv2 when present) for the serving path."""
+    src_h, src_w = img.shape[:2]
+    new_w, new_h, det_scale = letterbox_geometry(src_h, src_w, dst_w, dst_h)
+    if cv2 is not None:
+        resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    else:
+        from PIL import Image
+
+        resized = np.asarray(
+            Image.fromarray(img[:, :, ::-1]).resize((new_w, new_h))
+        )[:, :, ::-1]
+    out = np.zeros((dst_h, dst_w, 3), np.uint8)
+    out[:new_h, :new_w] = resized
+    return out, det_scale
+
+
+class DetectionServer:
+    """Batched, mesh-sharded detection serving."""
+
+    def __init__(
+        self,
+        detector: Optional[RetinaFaceDetection] = None,
+        mesh: Optional[Mesh] = None,
+        batch_size: int = 8,
+        decode_workers: int = 8,
+    ) -> None:
+        self.detector = detector or RetinaFaceDetection()
+        self.cfg: FaceDetectionConfig = self.detector.cfg
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self._pool = ThreadPoolExecutor(max_workers=decode_workers)
+
+        base_fn = self.detector.make_batched_fn()
+        if mesh is not None:
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data axis "
+                    f"{mesh.shape['data']}"
+                )
+            data = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self._fn = jax.jit(
+                lambda variables, imgs, scales: base_fn(variables, imgs, scales),
+                in_shardings=(repl, data, data),
+            )
+            self._in_sharding = data
+        else:
+            self._fn = base_fn
+            self._in_sharding = None
+
+    # -- host preprocessing ------------------------------------------------
+
+    def _prepare(self, payload) -> Tuple[np.ndarray, float]:
+        img = (
+            decode_image_bytes(payload)
+            if isinstance(payload, (bytes, bytearray))
+            else payload
+        )
+        width, height = self.cfg.image_size
+        return letterbox_host(img, width, height)
+
+    def _prepare_batch(self, payloads: Sequence) -> Tuple[np.ndarray, np.ndarray, int]:
+        n = len(payloads)
+        results = list(self._pool.map(self._prepare, payloads))
+        width, height = self.cfg.image_size
+        imgs = np.zeros((self.batch_size, height, width, 3), np.uint8)
+        scales = np.ones((self.batch_size,), np.float32)
+        for i, (img, scale) in enumerate(results):
+            imgs[i] = img
+            scales[i] = scale
+        return imgs, scales, n
+
+    # -- serving -----------------------------------------------------------
+
+    def detect_batch(self, payloads: Sequence) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Detect faces in up to batch_size images (bytes or BGR arrays)."""
+        if len(payloads) > self.batch_size:
+            raise ValueError(f"batch larger than configured size {self.batch_size}")
+        imgs, scales, n = self._prepare_batch(payloads)
+        out = self._run(imgs, scales)
+        return self._unpack(out, n)
+
+    def detect_stream(
+        self, payload_iter: Iterable, prefetch: int = 2
+    ) -> Iterator[List[Tuple[np.ndarray, np.ndarray]]]:
+        """Pipelined streaming: host prep of batch k+1 overlaps device compute
+        of batch k (double buffering via a bounded queue + worker thread)."""
+        batches: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        sentinel = object()
+
+        def producer():
+            chunk: List = []
+            for payload in payload_iter:
+                chunk.append(payload)
+                if len(chunk) == self.batch_size:
+                    batches.put(self._prepare_batch(chunk))
+                    chunk = []
+            if chunk:
+                batches.put(self._prepare_batch(chunk))
+            batches.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        pending: List[Tuple[PaddedDetections, int]] = []
+        while True:
+            item = batches.get()
+            if item is sentinel:
+                break
+            imgs, scales, n = item
+            # Async dispatch: _run returns device futures immediately, so the
+            # producer thread prepares the next batch while this one computes.
+            pending.append((self._run(imgs, scales), n))
+            if len(pending) > 1:
+                out, n_prev = pending.pop(0)
+                yield self._unpack(out, n_prev)
+        for out, n_prev in pending:
+            yield self._unpack(out, n_prev)
+        thread.join()
+
+    def _run(self, imgs: np.ndarray, scales: np.ndarray) -> PaddedDetections:
+        imgs_d = jnp.asarray(imgs)
+        scales_d = jnp.asarray(scales)
+        if self._in_sharding is not None:
+            imgs_d = jax.device_put(imgs_d, self._in_sharding)
+            scales_d = jax.device_put(scales_d, self._in_sharding)
+        return self._fn(self.detector.variables, imgs_d, scales_d)
+
+    def _unpack(
+        self, out: PaddedDetections, n: int
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        det = np.asarray(out.det)
+        kps = np.asarray(out.kps)
+        counts = np.asarray(out.count)
+        return [
+            (det[i, : counts[i]], kps[i, : counts[i]]) for i in range(n)
+        ]

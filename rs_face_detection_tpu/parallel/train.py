@@ -1,0 +1,300 @@
+"""RetinaFace training: multi-task loss, anchor matching, sharded train step.
+
+The reference ships no training (SURVEY.md §5 — checkpoints came from
+Triton's repository); this module supplies the TPU-native training loop the
+framework needs to own its weights: RetinaFace paper multi-task loss
+(2-class softmax CE + smooth-L1 box regression + smooth-L1 landmark
+regression over matched anchors), anchor matching in-graph with static
+shapes, and a jit train step sharded over a ("data", "model") mesh — batch
+data-parallel, parameters/optimizer FSDP-sharded (mesh.py).  XLA GSPMD
+emits the all-gather/psum collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import RPN_ANCHOR_CFG, FaceDetectionConfig
+from ..models.retinaface import RetinaFace
+from ..ops.anchors import full_anchor_table
+from ..ops.box_decode import bbox_overlaps
+from .mesh import data_sharding, pytree_shardings, replicated, shard_pytree_fsdp
+
+
+class TrainBatch(NamedTuple):
+    """One training batch with fixed-shape (padded) ground truth.
+
+    images: (B, H, W, 3) float32 normalized RGB.
+    gt_boxes: (B, M, 4) corner boxes; gt_lms: (B, M, 5, 2); gt_valid: (B, M).
+    """
+
+    images: jnp.ndarray
+    gt_boxes: jnp.ndarray
+    gt_lms: jnp.ndarray
+    gt_valid: jnp.ndarray
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    absx = jnp.abs(x)
+    return jnp.where(absx < beta, 0.5 * x * x / beta, absx - 0.5 * beta)
+
+
+def _encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ops.box_decode.bbox_pred (nonlinear_transform semantics,
+    bbox_transform.rs:67-88): corner gt -> center/size deltas vs anchors."""
+    aw = anchors[:, 2] - anchors[:, 0] + 1.0
+    ah = anchors[:, 3] - anchors[:, 1] + 1.0
+    acx = anchors[:, 0] + 0.5 * (aw - 1.0)
+    acy = anchors[:, 1] + 0.5 * (ah - 1.0)
+    gw = gt[:, 2] - gt[:, 0] + 1.0
+    gh = gt[:, 3] - gt[:, 1] + 1.0
+    gcx = gt[:, 0] + 0.5 * (gw - 1.0)
+    gcy = gt[:, 1] + 0.5 * (gh - 1.0)
+    return jnp.stack(
+        [
+            (gcx - acx) / (aw + 1e-14),
+            (gcy - acy) / (ah + 1e-14),
+            jnp.log(gw / aw),
+            jnp.log(gh / ah),
+        ],
+        axis=1,
+    )
+
+
+def match_anchors(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    pos_iou: float = 0.5,
+    neg_iou: float = 0.3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Match (N,) anchors to (M,) padded ground truth.
+
+    Returns (labels, best_gt, weights): labels in {1 pos, 0 neg, -1 ignore},
+    best_gt the matched gt row per anchor.  Every valid gt's best anchor is
+    forced positive (the paper's low-quality matching rule).
+    """
+    iou = bbox_overlaps(anchors, gt_boxes)  # (N, M)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)
+    max_iou = jnp.max(iou, axis=1)
+
+    labels = jnp.where(max_iou >= pos_iou, 1, jnp.where(max_iou < neg_iou, 0, -1))
+
+    # Force-match each gt's best anchor.
+    best_anchor = jnp.argmax(iou, axis=0)  # (M,)
+    forced = jnp.zeros(anchors.shape[0], dtype=bool).at[best_anchor].set(gt_valid)
+    labels = jnp.where(forced, 1, labels)
+    best_gt = jnp.where(
+        forced & (max_iou <= 0.0),
+        jnp.zeros_like(best_gt),
+        best_gt,
+    )
+    return labels, best_gt, max_iou
+
+
+def flatten_raw_outputs(
+    net_out: Dict[int, Dict[str, jnp.ndarray]], level_order=(32, 16, 8)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-level raw maps -> (N, 2) logits, (N, 4) deltas, (N, 5, 2) lm deltas.
+
+    Single-image slices, flattened in anchor-table order.
+    """
+    logits_l, box_l, lm_l = [], [], []
+    for stride in level_order:
+        maps = net_out[stride]
+        h, w, a, _ = maps["score"].shape
+        logits_l.append(maps["score"].reshape(h * w * a, 2))
+        box_l.append(maps["bbox"].reshape(h, w, a, 4).reshape(-1, 4))
+        lm_l.append(maps["landmark"].reshape(h, w, a, 5, 2).reshape(-1, 5, 2))
+    return (
+        jnp.concatenate(logits_l),
+        jnp.concatenate(box_l),
+        jnp.concatenate(lm_l),
+    )
+
+
+def detection_loss(
+    logits: jnp.ndarray,
+    box_deltas: jnp.ndarray,
+    lm_deltas: jnp.ndarray,
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_lms: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    box_weight: float = 2.0,
+    lm_weight: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """RetinaFace multi-task loss for one image (vmap over batch)."""
+    labels, best_gt, _ = match_anchors(anchors, gt_boxes, gt_valid)
+    pos = labels == 1
+    num_pos = jnp.maximum(jnp.sum(pos), 1)
+
+    # Classification: CE over participating anchors, normalized by positives.
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    target = jnp.clip(labels, 0, 1)
+    ce = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+    cls_loss = jnp.sum(jnp.where(labels >= 0, ce, 0.0)) / num_pos
+
+    # Box regression on positives.
+    matched_boxes = gt_boxes[best_gt]
+    box_targets = _encode_boxes(anchors, matched_boxes)
+    box_loss = (
+        jnp.sum(jnp.where(pos[:, None], _smooth_l1(box_deltas - box_targets), 0.0))
+        / num_pos
+    )
+
+    # Landmark regression on positives (encoded like landmark_pred's inverse).
+    aw = anchors[:, 2] - anchors[:, 0] + 1.0
+    ah = anchors[:, 3] - anchors[:, 1] + 1.0
+    acx = anchors[:, 0] + 0.5 * (aw - 1.0)
+    acy = anchors[:, 1] + 0.5 * (ah - 1.0)
+    matched_lms = gt_lms[best_gt]  # (N, 5, 2)
+    lm_targets = jnp.stack(
+        [
+            (matched_lms[:, :, 0] - acx[:, None]) / aw[:, None],
+            (matched_lms[:, :, 1] - acy[:, None]) / ah[:, None],
+        ],
+        axis=-1,
+    )
+    lm_loss = (
+        jnp.sum(jnp.where(pos[:, None, None], _smooth_l1(lm_deltas - lm_targets), 0.0))
+        / num_pos
+    )
+
+    total = cls_loss + box_weight * box_loss + lm_weight * lm_loss
+    return total, {
+        "cls_loss": cls_loss,
+        "box_loss": box_loss,
+        "lm_loss": lm_loss,
+        "num_pos": num_pos.astype(jnp.float32),
+    }
+
+
+class Trainer:
+    """Sharded RetinaFace trainer: dp over "data", FSDP params over "model"."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        cfg: Optional[FaceDetectionConfig] = None,
+        learning_rate: float = 1e-3,
+        dtype: Any = jnp.float32,
+    ) -> None:
+        self.mesh = mesh
+        self.cfg = cfg or FaceDetectionConfig()
+        anchors, _ = full_anchor_table(
+            self.cfg.image_size, RPN_ANCHOR_CFG, self.cfg.feat_strides
+        )
+        self.anchors = jnp.asarray(anchors)
+        self.model = RetinaFace(backbone=self.cfg.backbone, dtype=dtype)
+        self.tx = optax.adamw(learning_rate)
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        width, height = self.cfg.image_size
+        dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+        variables = jax.jit(functools.partial(self.model.init, train=False))(
+            jax.random.PRNGKey(seed), dummy
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+
+        params = shard_pytree_fsdp(params, self.mesh)
+        batch_stats = shard_pytree_fsdp(batch_stats, self.mesh)
+        opt_state = shard_pytree_fsdp(opt_state, self.mesh)
+        return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+    def make_train_step(self):
+        mesh = self.mesh
+        anchors = self.anchors
+        model = self.model
+        tx = self.tx
+
+        def loss_fn(params, batch_stats, batch: TrainBatch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            net_out, updates = model.apply(
+                variables,
+                batch.images,
+                train=True,
+                raw=True,
+                mutable=["batch_stats"],
+            )
+
+            def per_image(i):
+                single = jax.tree.map(lambda t: t[i], net_out)
+                logits, boxes, lms = flatten_raw_outputs(single)
+                return detection_loss(
+                    logits,
+                    boxes,
+                    lms,
+                    anchors,
+                    batch.gt_boxes[i],
+                    batch.gt_lms[i],
+                    batch.gt_valid[i],
+                )
+
+            losses, metrics = jax.vmap(per_image)(
+                jnp.arange(batch.images.shape[0])
+            )
+            return jnp.mean(losses), (updates["batch_stats"], metrics)
+
+        def train_step(state: TrainState, batch: TrainBatch):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (new_stats, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, batch
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+            mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+            mean_metrics["loss"] = loss
+            return new_state, mean_metrics
+
+        batch_shard = data_sharding(mesh)
+        batch_in = TrainBatch(batch_shard, batch_shard, batch_shard, batch_shard)
+        return jax.jit(
+            train_step,
+            in_shardings=(None, batch_in),
+            donate_argnums=(0,),
+        )
+
+    def make_batch(self, batch_size: int, max_faces: int = 8, seed: int = 0) -> TrainBatch:
+        """Synthetic batch for smoke tests / dryruns."""
+        rng = np.random.default_rng(seed)
+        width, height = self.cfg.image_size
+        images = rng.uniform(0, 1, (batch_size, height, width, 3)).astype(np.float32)
+        x1 = rng.uniform(0, width * 0.6, (batch_size, max_faces))
+        y1 = rng.uniform(0, height * 0.6, (batch_size, max_faces))
+        bw = rng.uniform(8, width * 0.3, (batch_size, max_faces))
+        bh = rng.uniform(8, height * 0.3, (batch_size, max_faces))
+        boxes = np.stack([x1, y1, x1 + bw, y1 + bh], axis=-1).astype(np.float32)
+        lms = np.stack(
+            [
+                x1[..., None] + bw[..., None] * rng.uniform(0.2, 0.8, (batch_size, max_faces, 5)),
+                y1[..., None] + bh[..., None] * rng.uniform(0.2, 0.8, (batch_size, max_faces, 5)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        valid = (np.arange(max_faces)[None, :] < rng.integers(1, max_faces + 1, batch_size)[:, None])
+        shard = data_sharding(self.mesh)
+        return TrainBatch(
+            jax.device_put(images, shard),
+            jax.device_put(boxes, shard),
+            jax.device_put(lms, shard),
+            jax.device_put(valid, shard),
+        )

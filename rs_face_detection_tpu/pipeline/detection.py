@@ -1,0 +1,225 @@
+"""RetinaFace detection module: one fused jit graph from pixels to boxes.
+
+TPU-native rework of the reference's RetinaFaceDetection
+(/root/reference/src/pipeline/module/face_detection.rs): where the reference
+does host OpenCV letterbox (:131-198), a gRPC round-trip to Triton (:254-284),
+then host ndarray decode + NMS (:319-431), here letterbox, normalize,
+backbone+FPN+SSH forward, per-stride anchor decode, confidence filter, top-k
+and NMS all trace into a single XLA executable with static shapes.  Dynamic
+result counts become (max_detections)-padded arrays plus a validity count; the
+host wrapper slices them back to the reference's dynamic (N, 5) / (N, 5, 2)
+contract.
+
+Decode semantics preserved exactly (see tests/test_detection.py):
+  - per-stride flatten order (h, w, a) matching the anchor plane
+    (face_detection.rs:322-371),
+  - bbox_stds / landmark_std scaling (:366-371, :398),
+  - clip to the padded 640x640 frame (:373),
+  - confidence filter `score >= threshold` (:375),
+  - stable descending score sort across strides (:421-423),
+  - greedy IoU NMS with "+1" areas, keep `ovr <= thresh` (:431),
+  - descale boxes and landmarks by det_scale (:473-493).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import RPN_ANCHOR_CFG, FaceDetectionConfig
+from ..models.registry import ModelRegistry, default_registry
+from ..ops.anchors import full_anchor_table
+from ..ops.box_decode import bbox_pred, clip_boxes, landmark_pred
+from ..ops.image import bgr_to_rgb, letterbox, normalize
+from ..ops.nms import nms_mask
+
+
+class PaddedDetections(NamedTuple):
+    """Fixed-shape detector output (device): padded rows + validity count."""
+
+    det: jnp.ndarray  # (max_det, 5) [x1, y1, x2, y2, score]
+    kps: jnp.ndarray  # (max_det, 5, 2)
+    count: jnp.ndarray  # () int32 valid rows
+
+
+def decode_level_outputs(
+    net_out: Dict[int, Dict[str, jnp.ndarray]],
+    anchors: jnp.ndarray,
+    level_info,
+    cfg: FaceDetectionConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flatten per-stride maps into (total,) scores, (total, 4) boxes, (total, 5, 2) landmarks.
+
+    Consumes a single-image slice (no batch dim) of the model outputs.
+    Iterates strides in the reference's order (face_detection.rs:319) so the
+    row order matches the precomputed anchor table.
+    """
+    width, height = cfg.image_size
+    scores_l, boxes_l, lms_l = [], [], []
+    offset = 0
+    bbox_stds = jnp.asarray(cfg.bbox_stds, dtype=jnp.float32)
+    for stride, fh, fw, a in level_info:
+        out = net_out[stride]
+        k = fh * fw * a
+        anchor_slice = jax.lax.dynamic_slice_in_dim(anchors, offset, k, axis=0)
+
+        scores = out["score"].reshape(k)
+        deltas = out["bbox"].reshape(fh, fw, a, 4).reshape(k, 4) * bbox_stds
+        boxes = clip_boxes(bbox_pred(anchor_slice, deltas), (height, width))
+
+        lm_deltas = (
+            out["landmark"].reshape(fh, fw, a, 5, 2).reshape(k, 5, 2)
+            * cfg.landmark_std
+        )
+        lms = landmark_pred(anchor_slice, lm_deltas)
+
+        scores_l.append(scores)
+        boxes_l.append(boxes)
+        lms_l.append(lms)
+        offset += k
+    return (
+        jnp.concatenate(scores_l),
+        jnp.concatenate(boxes_l, axis=0),
+        jnp.concatenate(lms_l, axis=0),
+    )
+
+
+def select_and_nms(
+    scores: jnp.ndarray,
+    boxes: jnp.ndarray,
+    lms: jnp.ndarray,
+    cfg: FaceDetectionConfig,
+    nms_mode: str,
+) -> PaddedDetections:
+    """Confidence filter -> stable top-k sort -> NMS -> compact to max_det rows."""
+    neg_inf = jnp.float32(-jnp.inf)
+    passing = scores >= cfg.confidence_threshold
+    masked = jnp.where(passing, scores, neg_inf)
+
+    k = min(cfg.max_candidates, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked, k)  # stable: ties keep order
+    valid = top_scores > neg_inf
+    top_boxes = boxes[top_idx]
+    top_lms = lms[top_idx]
+
+    keep = nms_mask(top_boxes, valid, cfg.iou_threshold, mode=nms_mode)
+
+    # Compact kept rows (score-descending) into the first `count` output rows.
+    max_det = cfg.max_detections
+    rank = jnp.cumsum(keep) - 1
+    target = jnp.where(keep & (rank < max_det), rank, max_det)
+    det_rows = jnp.concatenate([top_boxes, top_scores[:, None]], axis=1)
+    det = jnp.zeros((max_det + 1, 5), jnp.float32).at[target].set(det_rows)[:max_det]
+    kps = (
+        jnp.zeros((max_det + 1, 5, 2), jnp.float32).at[target].set(top_lms)[:max_det]
+    )
+    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), max_det)
+    return PaddedDetections(det, kps, count)
+
+
+def _descale(padded: PaddedDetections, det_scale: float) -> PaddedDetections:
+    """Undo the letterbox scale on boxes and landmarks (face_detection.rs:473-493)."""
+    inv = jnp.float32(1.0 / det_scale)
+    det = padded.det.at[:, :4].multiply(inv)
+    kps = padded.kps * inv
+    return PaddedDetections(det, kps, padded.count)
+
+
+class RetinaFaceDetection:
+    """Detector with the reference's host-facing call contract.
+
+    `__call__(image_bgr_u8) -> (det (N, 5) np, kps (N, 5, 2) np)` where N is
+    the post-NMS face count and coordinates are in original-image pixels.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[FaceDetectionConfig] = None,
+        registry: Optional[ModelRegistry] = None,
+        nms_mode: str = "fixpoint",
+        variables=None,
+        model=None,
+    ) -> None:
+        self.cfg = cfg or FaceDetectionConfig()
+        if model is None or variables is None:
+            registry = registry or default_registry()
+            model, variables = registry.get(self.cfg.model_name)
+        self.model = model
+        self.variables = variables
+        self.nms_mode = nms_mode
+        anchors, level_info = full_anchor_table(
+            self.cfg.image_size,
+            RPN_ANCHOR_CFG,
+            self.cfg.feat_strides,
+            self.cfg.dense_anchor,
+        )
+        self.anchors = jnp.asarray(anchors)
+        self.level_info = tuple(level_info)
+
+    # ---- single-image path (shape-bucketed jit cache) -------------------
+
+    @functools.lru_cache(maxsize=32)
+    def _jit_for_shape(self, src_h: int, src_w: int):
+        cfg = self.cfg
+        width, height = cfg.image_size
+
+        def run(variables, img_u8):
+            padded_img, det_scale = letterbox(img_u8, width, height)
+            x = bgr_to_rgb(padded_img)
+            x = normalize(
+                x,
+                tuple(m * cfg.pixel_scale for m in cfg.pixel_means),
+                tuple(1.0 / s for s in cfg.pixel_stds),
+            ) / cfg.pixel_scale
+            net_out = self.model.apply(variables, x[None], train=False)
+            single = jax.tree.map(lambda t: t[0], net_out)
+            scores, boxes, lms = decode_level_outputs(
+                single, self.anchors, self.level_info, cfg
+            )
+            padded = select_and_nms(scores, boxes, lms, cfg, self.nms_mode)
+            return _descale(padded, det_scale)
+
+        return jax.jit(run)
+
+    def __call__(self, image_bgr_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = image_bgr_u8.shape[:2]
+        fn = self._jit_for_shape(h, w)
+        out = fn(self.variables, jnp.asarray(image_bgr_u8))
+        n = int(out.count)
+        return np.asarray(out.det[:n]), np.asarray(out.kps[:n])
+
+    def detect_padded(self, image_bgr_u8: np.ndarray) -> PaddedDetections:
+        """Device-resident padded result (no host sync beyond the count)."""
+        h, w = image_bgr_u8.shape[:2]
+        return self._jit_for_shape(h, w)(self.variables, jnp.asarray(image_bgr_u8))
+
+    # ---- batched serving path (pre-letterboxed input) --------------------
+
+    def make_batched_fn(self):
+        """Jitted (variables, (B, 640, 640, 3) u8, (B,) det_scales) -> PaddedDetections batch.
+
+        Serving path: images are letterboxed host-side (or by the native
+        loader) to the static detector size; everything else — normalize,
+        forward, decode, NMS — runs as one vmapped XLA program.
+        """
+        cfg = self.cfg
+
+        def decode_one(single, inv_scale):
+            scores, boxes, lms = decode_level_outputs(
+                single, self.anchors, self.level_info, cfg
+            )
+            padded = select_and_nms(scores, boxes, lms, cfg, self.nms_mode)
+            det = padded.det.at[:, :4].multiply(inv_scale)
+            kps = padded.kps * inv_scale
+            return PaddedDetections(det, kps, padded.count)
+
+        def batched(variables, imgs_u8, det_scales):
+            x = bgr_to_rgb(imgs_u8.astype(jnp.float32))
+            net_out = self.model.apply(variables, x, train=False)  # batched maps
+            return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
+
+        return jax.jit(batched)

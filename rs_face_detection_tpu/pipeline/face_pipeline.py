@@ -1,0 +1,123 @@
+"""FacePipeline: the end-to-end face-ID extraction API.
+
+The public entry point, mirroring the reference's FacePipeline
+(/root/reference/src/pipeline/face_pipeline/pipeline.rs): `extract(im_bytes)`
+decodes, detects, selects one face, aligns it, classifies quality and
+extracts a 512-d embedding, returning a FaceExtractionResult with the exact
+reference result schema (:42-49).
+
+Where the reference's constructor dials Triton and fetches three model
+configs over gRPC (:81-116), this constructor resolves models from the
+in-process registry.  The three ModelInfer round-trips per extract()
+(detect, quality, embed — :198-237) become three jit dispatches with no wire.
+
+Documented deviation (SURVEY.md §7): the reference's `if let _x = ...`
+always-true binding (:215) makes it align/classify/embed a default center
+crop even when selection finds no face; by default we skip those stages and
+return an empty result when no face is selected (``process_on_no_face=True``
+restores the reference behavior).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..configs import FacePipelineConfig, FaceQualityClass
+from ..models.registry import ModelRegistry, default_registry
+from ..utils.image_io import decode_image_bytes
+from .alignment import FaceAlignment
+from .detection import RetinaFaceDetection
+from .extraction import FaceExtraction
+from .quality import FaceQuality
+from .selection import FaceSelection
+
+
+@dataclass
+class FaceExtractionResult:
+    """Mirror of the reference FaceExtractionResult (pipeline.rs:42-49)."""
+
+    face_count: int = 0
+    face_quality: Optional[FaceQualityClass] = None
+    quality_score: Optional[float] = None
+    facial_feature: Optional[np.ndarray] = None  # (512,)
+    selected_face_box: Optional[np.ndarray] = None  # (5,)
+
+
+class FacePipeline:
+    def __init__(
+        self,
+        config: Optional[FacePipelineConfig] = None,
+        registry: Optional[ModelRegistry] = None,
+        is_enroll: bool = False,
+        is_debug: bool = False,
+        process_on_no_face: bool = False,
+        nms_mode: str = "fixpoint",
+    ) -> None:
+        self.config = config or FacePipelineConfig()
+        registry = registry or default_registry()
+        self.enroll = is_enroll
+        self.debug = is_debug
+        self.process_on_no_face = process_on_no_face
+
+        self.face_detection = RetinaFaceDetection(
+            self.config.detection, registry=registry, nms_mode=nms_mode
+        )
+        self.face_selection = FaceSelection(self.config.selection)
+        self.face_alignment = FaceAlignment(self.config.alignment)
+        self.face_quality = FaceQuality(self.config.quality, registry=registry)
+        self.face_extraction = FaceExtraction(
+            self.config.identification, registry=registry
+        )
+
+    def extract(self, im_bytes: bytes) -> FaceExtractionResult:
+        """Decode bytes -> detect -> select -> align -> quality -> embed."""
+        image = decode_image_bytes(im_bytes)
+        return self.extract_image(image)
+
+    def extract_image(self, image_bgr: np.ndarray) -> FaceExtractionResult:
+        """Same as extract() for an already-decoded (H, W, 3) uint8 BGR image."""
+        result = FaceExtractionResult()
+
+        detections, key_points = self.face_detection(image_bgr)
+        result.face_count = int(detections.shape[0])
+        if self.debug:
+            print(f"face_pipeline - detections: {detections}")
+
+        selected_box, selected_points = self.face_selection(
+            image_bgr.shape[:2], detections, key_points, is_enroll=self.enroll
+        )
+
+        if selected_box is None and not self.process_on_no_face:
+            return result
+
+        aligned = self.face_alignment(image_bgr, selected_box, selected_points)
+
+        quality_scores, quality_classes = self.face_quality([aligned])
+        features = self.face_extraction([aligned])
+
+        result.facial_feature = features[0]
+        result.face_quality = FaceQualityClass(quality_classes[0])
+        result.quality_score = quality_scores[0]
+        result.selected_face_box = selected_box
+        if self.debug:
+            print(f"face_pipeline - result: {result}")
+        return result
+
+
+class EKYCPipeline:
+    """Placeholder mirroring the reference's unfinished eKYC pipeline
+    (src/pipeline/ekyc_pipeline/pipeline.rs:3-6 — an empty struct).
+
+    The intended model family (SCRFD detector, face_id, face_attribute,
+    CLIP-L14 anti-spoofing) is captured in configs.Ekyc*Config; raising here
+    keeps the surface explicit until those models land.
+    """
+
+    def __init__(self, *args, **kwargs) -> None:
+        raise NotImplementedError(
+            "EKYCPipeline is a stub in the reference (empty struct); "
+            "configs for its model family live in rs_face_detection_tpu.configs"
+        )

@@ -47,8 +47,11 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         buf = np.frombuffer(data, dtype=np.uint8)
         img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
     if img is None and _HAS_PIL:
-        pil = Image.open(io.BytesIO(data))
-        arr = np.asarray(pil)
+        try:
+            pil = Image.open(io.BytesIO(data))
+            arr = np.asarray(pil)
+        except Exception as e:
+            raise ValueError(f"could not decode image bytes: {e}") from e
         if arr.ndim == 3 and arr.shape[2] >= 3:
             # PIL decodes RGB(A); flip to BGR to match the OpenCV convention.
             img = arr[:, :, :3][:, :, ::-1].copy()

@@ -1,0 +1,116 @@
+"""End-to-end FacePipeline.extract() with fake weights.
+
+Builds a small-config pipeline (64x64 detector to keep CPU jit fast), paints
+a synthetic image, and checks the full result schema.  Detection boxes are
+arbitrary under random weights; the contract under test is the dataflow:
+decode -> detect -> select -> align -> quality -> embed and the
+FaceExtractionResult schema (reference pipeline.rs:42-49, 188-249).
+"""
+
+import numpy as np
+import pytest
+
+from rs_face_detection_tpu.configs import (
+    FaceDetectionConfig,
+    FacePipelineConfig,
+    FaceQualityClass,
+)
+from rs_face_detection_tpu.models.registry import (
+    ModelRegistry,
+    _attach_standard_builders,
+)
+from rs_face_detection_tpu.pipeline.face_pipeline import (
+    FaceExtractionResult,
+    FacePipeline,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _small_pipeline(confidence=0.3, process_on_no_face=False):
+    cfg = FacePipelineConfig(
+        detection=FaceDetectionConfig(
+            image_size=(64, 64),
+            confidence_threshold=confidence,
+            max_candidates=64,
+            max_detections=16,
+        )
+    )
+    reg = ModelRegistry()
+    _attach_standard_builders(reg)
+
+    # Rebuild the detection model at the small size.
+    def small_detection_builder():
+        from rs_face_detection_tpu.models.registry import ModelSpec
+        from rs_face_detection_tpu.models.retinaface import init_retinaface
+
+        model, variables = init_retinaface("mobilenet025", (64, 64), seed=0)
+        return (
+            ModelSpec("face_detection_retina", (64, 64, 3), "retinaface maps"),
+            model,
+            variables,
+        )
+
+    reg.register_builder("face_detection_retina", small_detection_builder)
+    return FacePipeline(cfg, registry=reg, process_on_no_face=process_on_no_face)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return _small_pipeline()
+
+
+def _jpeg_bytes(img_bgr):
+    ok, buf = cv2.imencode(".jpg", img_bgr)
+    assert ok
+    return buf.tobytes()
+
+
+def test_extract_full_schema(pipeline):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    result = pipeline.extract(_jpeg_bytes(img))
+
+    assert isinstance(result, FaceExtractionResult)
+    assert result.face_count >= 0
+    if result.face_count > 0 and result.selected_face_box is not None:
+        assert result.facial_feature is not None
+        assert result.facial_feature.shape == (512,)
+        np.testing.assert_allclose(
+            np.linalg.norm(result.facial_feature), 1.0, rtol=1e-5
+        )
+        assert isinstance(result.face_quality, FaceQualityClass)
+        assert result.quality_score is not None
+        assert result.selected_face_box.shape[0] >= 5
+
+
+def test_extract_no_face_returns_empty_result():
+    pipeline = _small_pipeline(confidence=1.1)  # nothing can pass
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    result = pipeline.extract(_jpeg_bytes(img))
+    assert result.face_count == 0
+    assert result.facial_feature is None
+    assert result.face_quality is None
+    assert result.selected_face_box is None
+
+
+def test_extract_no_face_compat_mode_processes_default_crop():
+    pipeline = _small_pipeline(confidence=1.1, process_on_no_face=True)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    result = pipeline.extract(_jpeg_bytes(img))
+    # Reference-bug compat: embeds a default center crop even with no face.
+    assert result.face_count == 0
+    assert result.facial_feature is not None
+    assert result.facial_feature.shape == (512,)
+
+
+def test_extract_image_deterministic(pipeline):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    r1 = pipeline.extract_image(img)
+    r2 = pipeline.extract_image(img)
+    assert r1.face_count == r2.face_count
+    if r1.facial_feature is not None:
+        np.testing.assert_allclose(r1.facial_feature, r2.facial_feature)

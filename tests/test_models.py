@@ -1,0 +1,116 @@
+"""Shape/contract tests for the model zoo with fake weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_retinaface_mobilenet_output_contract():
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+
+    model, variables = init_retinaface("mobilenet025", (128, 128))
+    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    out = model.apply(variables, x, train=False)
+    assert set(out.keys()) == {8, 16, 32}
+    for stride, maps in out.items():
+        fh = fw = 128 // stride
+        assert maps["score"].shape == (2, fh, fw, 2)
+        assert maps["bbox"].shape == (2, fh, fw, 8)
+        assert maps["landmark"].shape == (2, fh, fw, 20)
+        s = np.asarray(maps["score"])
+        assert (s >= 0).all() and (s <= 1).all()  # softmax probabilities
+
+
+def test_retinaface_raw_logits_for_training():
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+
+    model, variables = init_retinaface("mobilenet025", (64, 64))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out = model.apply(variables, x, train=False, raw=True)
+    assert out[32]["score"].shape == (1, 2, 2, 2, 2)  # (B, H, W, A, 2) logits
+
+
+def test_retinaface_resnet50_channels():
+    from rs_face_detection_tpu.models.resnet import ResNet50
+
+    model = ResNet50()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    c3, c4, c5 = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert c3.shape == (1, 8, 8, 512)
+    assert c4.shape == (1, 4, 4, 1024)
+    assert c5.shape == (1, 2, 2, 2048)
+
+
+def test_arcface_embedding_shape():
+    from rs_face_detection_tpu.models.arcface import init_arcface
+
+    model, variables = init_arcface("iresnet18", 512, (112, 112))
+    emb = model.apply(variables, jnp.zeros((3, 112, 112, 3)), train=False)
+    assert emb.shape == (3, 512)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_small_cnn_heads():
+    from rs_face_detection_tpu.models.heads import init_small_cnn
+
+    quality, qvars = init_small_cnn(4, (112, 112))
+    probs = quality.apply(qvars, jnp.zeros((2, 112, 112, 3)), train=False)
+    assert probs.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(probs).sum(axis=1), 1.0, rtol=1e-5)
+
+    fqa, fvars = init_small_cnn(1, (112, 112), softmax=False)
+    score = fqa.apply(fvars, jnp.zeros((1, 112, 112, 3)), train=False)
+    assert score.shape == (1, 1)
+
+
+def test_registry_lifecycle_and_statistics():
+    from rs_face_detection_tpu.models.heads import init_small_cnn
+    from rs_face_detection_tpu.models.registry import (
+        ModelRegistry,
+        ModelSpec,
+    )
+
+    reg = ModelRegistry()
+
+    def builder():
+        model, variables = init_small_cnn(3, (32, 32))
+        return (
+            ModelSpec("toy", (32, 32, 3), "(B, 3) probs"),
+            model,
+            variables,
+        )
+
+    reg.register_builder("toy", builder)
+    assert reg.index() == [{"name": "toy", "state": "UNAVAILABLE"}]
+    assert not reg.model_ready("toy")
+
+    out = reg.infer("toy", jnp.zeros((2, 32, 32, 3)), train=False)  # lazy load
+    assert out.shape == (2, 3)
+    assert reg.model_ready("toy")
+    stats = reg.statistics("toy")
+    assert stats.execution_count == 1
+    assert stats.inference_count == 2
+    assert stats.cumulative_duration_s > 0
+
+    reg.unload("toy")
+    assert not reg.model_ready("toy")
+    assert reg.server_live() and reg.server_ready()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from rs_face_detection_tpu.models.heads import init_small_cnn
+    from rs_face_detection_tpu.models.registry import (
+        load_variables,
+        save_variables,
+    )
+
+    model, variables = init_small_cnn(4, (32, 32), seed=7)
+    path = str(tmp_path / "ckpt.npz")
+    save_variables(path, variables)
+    restored = load_variables(path)
+
+    x = jnp.ones((1, 32, 32, 3))
+    out1 = model.apply(variables, x, train=False)
+    out2 = model.apply(restored, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
