@@ -168,5 +168,6 @@ def nms_mask(
     if mode == "pallas":
         from .nms_pallas import nms_mask_pallas
 
-        return nms_mask_pallas(boxes, valid, iou_threshold)
+        interpret = jax.default_backend() != "tpu"
+        return nms_mask_pallas(boxes, valid, iou_threshold, interpret=interpret)
     raise ValueError(f"unknown NMS mode: {mode!r}")

@@ -1,0 +1,167 @@
+"""ctypes bindings for the native runtime (librsfd_native.so).
+
+Provides the host-side native path: mask-based greedy NMS (the live
+counterpart of the reference's dead CUDA kernel) and multithreaded JPEG
+decode + letterbox feeding the serving pipeline.  Falls back gracefully when
+the library isn't built; `ensure_built()` compiles it with the in-image
+toolchain (g++ + libjpeg).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "librsfd_native.so"))
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def ensure_built(force: bool = False) -> str:
+    """Build librsfd_native.so if missing; returns its path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+    return _LIB_PATH
+
+
+def load(build_if_missing: bool = True):
+    """Load (and memoize) the native library; None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if build_if_missing:
+                ensure_built()
+            lib = ctypes.CDLL(_LIB_PATH)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+
+        lib.rsfd_abi_version.restype = ctypes.c_int
+        if lib.rsfd_abi_version() != 1:
+            raise RuntimeError("rsfd_native ABI mismatch; rebuild native/")
+
+        lib.rsfd_nms.restype = ctypes.c_int
+        lib.rsfd_nms.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.rsfd_decode_letterbox.restype = ctypes.c_int
+        lib.rsfd_decode_letterbox.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.rsfd_decode_letterbox_batch.restype = None
+        lib.rsfd_decode_letterbox_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def nms(dets: np.ndarray, thresh: float) -> List[int]:
+    """Native greedy NMS over (N, 5) rows; same contract as ops.nms.nms_numpy."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; run ensure_built()")
+    dets = np.ascontiguousarray(dets, dtype=np.float32)
+    n = dets.shape[0]
+    keep = np.zeros(n, dtype=np.int32)
+    num = lib.rsfd_nms(
+        dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        ctypes.c_float(thresh),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return keep[:num].tolist()
+
+
+def decode_letterbox(
+    data: bytes, dst_w: int, dst_h: int
+) -> Tuple[np.ndarray, float]:
+    """Decode one JPEG and letterbox to (dst_h, dst_w, 3) BGR u8."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; run ensure_built()")
+    out = np.zeros((dst_h, dst_w, 3), dtype=np.uint8)
+    scale = ctypes.c_float(0.0)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    rc = lib.rsfd_decode_letterbox(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        dst_w,
+        dst_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(scale),
+    )
+    if rc != 0:
+        raise ValueError("native JPEG decode failed")
+    return out, float(scale.value)
+
+
+def decode_letterbox_batch(
+    payloads: Sequence[bytes],
+    dst_w: int,
+    dst_h: int,
+    num_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Threaded batch decode+letterbox.
+
+    Returns (imgs (N, dst_h, dst_w, 3) u8, det_scales (N,), ok (N,) bool).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; run ensure_built()")
+    n = len(payloads)
+    imgs = np.zeros((n, dst_h, dst_w, 3), dtype=np.uint8)
+    scales = np.ones((n,), dtype=np.float32)
+    status = np.zeros((n,), dtype=np.int32)
+    if n == 0:
+        return imgs, scales, status == 0
+
+    bufs = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for b in bufs]
+    )
+    lens = (ctypes.c_size_t * n)(*[len(p) for p in payloads])
+    lib.rsfd_decode_letterbox_batch(
+        ptrs,
+        lens,
+        n,
+        dst_w,
+        dst_h,
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return imgs, scales, status == 0

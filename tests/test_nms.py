@@ -77,7 +77,7 @@ def test_fixpoint_handles_suppression_chains():
     n = 32
     dets = np.zeros((n, 5), dtype=np.float32)
     for i in range(n):
-        dets[i] = [i * 6.0, 0.0, i * 6.0 + 10.0, 10.0, 1.0 - i * 0.01]
+        dets[i] = [i * 6.0, 0.0, i * 6.0 + 12.0, 12.0, 1.0 - i * 0.01]
     expected = nms_numpy(dets, 0.3)
     order, boxes, valid = _sorted_inputs(dets)
     keep = np.asarray(nms_mask_fixpoint(jnp.asarray(boxes), jnp.asarray(valid), 0.3))
