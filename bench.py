@@ -99,6 +99,10 @@ def main() -> int:
     imgs1, scales1 = batch_maker(1)(0)
     p50_ms = _latency(fn, det.variables, imgs1, scales1, iters=5 if args.smoke else 20)
 
+    r50_b32, _ = _throughput(
+        fn, det.variables, batch_maker(32), 32, max(3, n_batches // 2)
+    )
+
     # Light variant: MobileNet0.25 batch 8 and 32.
     detm, fnm = _build("mobilenet025", image_size, args.nms)
     mnet_b8, _ = _throughput(fnm, detm.variables, batch_maker(8), 8, n_batches)
@@ -110,6 +114,7 @@ def main() -> int:
         "unit": "images/sec",
         "vs_baseline": round(r50_b8 / BASELINE_IMGS_PER_SEC, 4),
         "r50_b8_img_s": round(r50_b8, 2),
+        "r50_b32_img_s": round(r50_b32, 2),
         "r50_p50_batch1_latency_ms": round(p50_ms, 3),
         "mnet025_b8_img_s": round(mnet_b8, 2),
         "mnet025_b32_img_s": round(mnet_b32, 2),

@@ -7,6 +7,14 @@ repository.
 
 from .arcface import IResNet, init_arcface
 from .heads import SmallCNN, init_small_cnn
+from .import_weights import (
+    apply_mapping,
+    torch_bn_to_flax,
+    torch_conv_to_flax,
+    torch_dense_to_flax,
+)
+from .scrfd import SCRFD, init_scrfd
+from .vit import ViT, init_vit
 from .registry import (
     ModelRegistry,
     ModelSpec,
@@ -30,4 +38,12 @@ __all__ = [
     "save_variables",
     "RetinaFace",
     "init_retinaface",
+    "apply_mapping",
+    "torch_bn_to_flax",
+    "torch_conv_to_flax",
+    "torch_dense_to_flax",
+    "SCRFD",
+    "init_scrfd",
+    "ViT",
+    "init_vit",
 ]

@@ -1,0 +1,148 @@
+"""Import trained PyTorch checkpoints into the flax model zoo.
+
+The reference consumed pre-trained weights from Triton's model repository
+(SURVEY.md §5 — checkpoint/resume was "delegated to Triton"); public
+RetinaFace/ArcFace weights circulate as PyTorch state_dicts, so this module
+owns the layout conversion:
+
+  - `torch_conv_to_flax`: OIHW -> HWIO kernels (grouped/depthwise included:
+    torch (O, I/g, kH, kW) -> flax (kH, kW, I/g, O));
+  - `torch_bn_to_flax`: weight/bias/running stats -> scale/bias + batch_stats;
+  - `torch_dense_to_flax`: (out, in) -> (in, out) + bias;
+  - `apply_mapping`: write converted tensors into a flax variables tree by
+    explicit {flax_path: (torch_key_prefix, kind)} mapping, validating every
+    shape and reporting unconsumed torch keys.
+
+Numerics of every primitive are verified against torch CPU forwards in
+tests/test_import_weights.py.  Mappings for specific public checkpoints are
+data (dicts), decoupled from the conversion machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, MutableMapping, Sequence, Tuple
+
+import numpy as np
+
+
+def torch_conv_to_flax(weight: np.ndarray) -> np.ndarray:
+    """Torch conv weight (O, I/g, kH, kW) -> flax kernel (kH, kW, I/g, O)."""
+    w = np.asarray(weight)
+    if w.ndim != 4:
+        raise ValueError(f"conv weight must be 4-D, got {w.shape}")
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def torch_dense_to_flax(weight: np.ndarray) -> np.ndarray:
+    """Torch Linear weight (out, in) -> flax Dense kernel (in, out)."""
+    w = np.asarray(weight)
+    if w.ndim != 2:
+        raise ValueError(f"dense weight must be 2-D, got {w.shape}")
+    return np.transpose(w, (1, 0))
+
+
+def torch_bn_to_flax(
+    weight: np.ndarray,
+    bias: np.ndarray,
+    running_mean: np.ndarray,
+    running_var: np.ndarray,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Torch BatchNorm tensors -> flax {params: {scale, bias}, batch_stats: {mean, var}}."""
+    return {
+        "params": {"scale": np.asarray(weight), "bias": np.asarray(bias)},
+        "batch_stats": {
+            "mean": np.asarray(running_mean),
+            "var": np.asarray(running_var),
+        },
+    }
+
+
+def _set_path(tree: MutableMapping, path: Sequence[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            raise KeyError(f"path {'/'.join(path)}: missing node {p!r}")
+        node = node[p]
+    leaf = path[-1]
+    if leaf not in node:
+        raise KeyError(f"path {'/'.join(path)}: missing leaf {leaf!r}")
+    expected = np.shape(node[leaf])
+    if tuple(expected) != tuple(value.shape):
+        raise ValueError(
+            f"path {'/'.join(path)}: shape {value.shape} != expected {expected}"
+        )
+    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+
+
+def apply_mapping(
+    variables: Mapping[str, Any],
+    state_dict: Mapping[str, np.ndarray],
+    mapping: Mapping[str, Tuple[str, str]],
+) -> Tuple[Dict[str, Any], list]:
+    """Write torch tensors into a copy of `variables` per the mapping.
+
+    mapping: {"params/body/conv1/Conv_0/kernel": ("body.conv1.0", "conv"), ...}
+    kinds: "conv" | "dense" | "bn" | "raw".
+    For "bn", the flax path points at the BatchNorm module directory (both
+    collections are filled); for others, at the leaf.
+
+    Returns (new_variables, unconsumed_torch_keys).
+    """
+    import copy
+
+    new_vars = copy.deepcopy(
+        {k: _to_mutable(v) for k, v in variables.items()}
+    )
+    consumed = set()
+
+    for flax_path, (torch_key, kind) in mapping.items():
+        parts = flax_path.split("/")
+        if kind == "conv":
+            value = torch_conv_to_flax(state_dict[f"{torch_key}.weight"])
+            consumed.add(f"{torch_key}.weight")
+            _set_path(new_vars, parts, value)
+        elif kind == "dense":
+            value = torch_dense_to_flax(state_dict[f"{torch_key}.weight"])
+            consumed.add(f"{torch_key}.weight")
+            _set_path(new_vars, parts + ["kernel"] if parts[-1] != "kernel" else parts, value)
+            bias_key = f"{torch_key}.bias"
+            if bias_key in state_dict:
+                consumed.add(bias_key)
+                bias_path = parts[:-1] + ["bias"] if parts[-1] == "kernel" else parts + ["bias"]
+                _set_path(new_vars, bias_path, np.asarray(state_dict[bias_key]))
+        elif kind == "bn":
+            conv = torch_bn_to_flax(
+                state_dict[f"{torch_key}.weight"],
+                state_dict[f"{torch_key}.bias"],
+                state_dict[f"{torch_key}.running_mean"],
+                state_dict[f"{torch_key}.running_var"],
+            )
+            for suffix in ("weight", "bias", "running_mean", "running_var"):
+                consumed.add(f"{torch_key}.{suffix}")
+            # flax_path addresses the module under params; batch_stats mirrors it.
+            assert parts[0] == "params", "bn mapping paths start at params/"
+            module_path = parts[1:]
+            _set_path(new_vars, ["params"] + module_path + ["scale"], conv["params"]["scale"])
+            _set_path(new_vars, ["params"] + module_path + ["bias"], conv["params"]["bias"])
+            _set_path(new_vars, ["batch_stats"] + module_path + ["mean"], conv["batch_stats"]["mean"])
+            _set_path(new_vars, ["batch_stats"] + module_path + ["var"], conv["batch_stats"]["var"])
+        elif kind == "raw":
+            value = np.asarray(state_dict[torch_key])
+            consumed.add(torch_key)
+            _set_path(new_vars, parts, value)
+        else:
+            raise ValueError(f"unknown kind {kind!r} for {flax_path}")
+
+    ignored_suffixes = ("num_batches_tracked",)
+    unconsumed = [
+        k
+        for k in state_dict
+        if k not in consumed and not k.endswith(ignored_suffixes)
+    ]
+    return new_vars, unconsumed
+
+
+def _to_mutable(tree):
+    if isinstance(tree, Mapping):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return np.asarray(tree)

@@ -315,3 +315,101 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
             return spec, model, variables
 
         registry.register_builder(model_name, fas_builder)
+
+    _attach_ekyc_builders(registry)
+
+
+def _attach_ekyc_builders(registry: ModelRegistry) -> None:
+    """Builders for the eKYC model family (ekyc_pipeline/config.rs names)."""
+    from ..configs import (
+        EkycFaceAttributeConfig,
+        EkycFaceDetectionConfig,
+        EkycFaceIDConfig,
+        EkycFaceQualityConfig,
+        EkycFASCropConfig,
+        EkycFASFullConfig,
+    )
+
+    def scrfd_builder():
+        from .scrfd import init_scrfd
+
+        model, variables = init_scrfd((640, 640))
+        return (
+            ModelSpec(
+                EkycFaceDetectionConfig().model_name,
+                (640, 640, 3),
+                "per-stride sigmoid score / distance bbox / kps maps",
+                preprocessing="letterbox 640, BGR->RGB, (px-127.5)*0.00784",
+            ),
+            model,
+            variables,
+        )
+
+    def face_id_builder():
+        from .arcface import init_arcface
+
+        cfg = EkycFaceIDConfig()
+        model, variables = init_arcface("iresnet50", 512, (cfg.imsize, cfg.imsize))
+        return (
+            ModelSpec(cfg.model_name, (cfg.imsize, cfg.imsize, 3), "(B, 512) embedding"),
+            model,
+            variables,
+        )
+
+    def attribute_builder():
+        from .heads import init_small_cnn
+
+        cfg = EkycFaceAttributeConfig()
+        model, variables = init_small_cnn(2, (cfg.imsize, cfg.imsize))
+        return (
+            ModelSpec(
+                cfg.model_name,
+                (cfg.imsize, cfg.imsize, 3),
+                "(B, 2) probabilities, col 1 = mask",
+            ),
+            model,
+            variables,
+        )
+
+    def quality_vp_builder():
+        from .heads import init_small_cnn
+
+        cfg = EkycFaceQualityConfig()
+        model, variables = init_small_cnn(2, (cfg.imsize, cfg.imsize))
+        return (
+            ModelSpec(
+                cfg.model_name,
+                (cfg.imsize, cfg.imsize, 3),
+                "(B, 2) probabilities, col 1 = covered",
+            ),
+            model,
+            variables,
+        )
+
+    def fas_vit_builder(cfg):
+        from .vit import init_vit
+
+        model, variables = init_vit("vit_l14", 2, (cfg.imsize, cfg.imsize))
+        return (
+            ModelSpec(
+                cfg.model_name,
+                (cfg.imsize, cfg.imsize, 3),
+                "(B, 2) probabilities, col 1 = live",
+                preprocessing="ImageNet mean/std RGB",
+            ),
+            model,
+            variables,
+        )
+
+    registry.register_builder(EkycFaceDetectionConfig().model_name, scrfd_builder)
+    registry.register_builder(EkycFaceIDConfig().model_name, face_id_builder)
+    registry.register_builder(EkycFaceAttributeConfig().model_name, attribute_builder)
+    registry.register_builder(EkycFaceQualityConfig().model_name, quality_vp_builder)
+    registry.register_builder(
+        EkycFASCropConfig().model_name,
+        lambda: fas_vit_builder(EkycFASCropConfig()),
+    )
+    registry.register_builder(
+        EkycFASFullConfig().model_name,
+        lambda: fas_vit_builder(EkycFASFullConfig()),
+    )

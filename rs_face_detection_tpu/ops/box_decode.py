@@ -79,6 +79,24 @@ def clip_points(points: jnp.ndarray, im_shape: Tuple[int, int]) -> jnp.ndarray:
     return jnp.clip(points, 0.0, bound)
 
 
+def distance2bbox(points: jnp.ndarray, distances: jnp.ndarray) -> jnp.ndarray:
+    """Decode (N, 4) [l, t, r, b] distances against (N, 2) anchor centers.
+
+    SCRFD-style box parameterization (models/scrfd.py): corners are the
+    center offset by the four predicted distances (already in pixels).
+    """
+    x1 = points[:, 0] - distances[:, 0]
+    y1 = points[:, 1] - distances[:, 1]
+    x2 = points[:, 0] + distances[:, 2]
+    y2 = points[:, 1] + distances[:, 3]
+    return jnp.stack([x1, y1, x2, y2], axis=1)
+
+
+def distance2kps(points: jnp.ndarray, distances: jnp.ndarray) -> jnp.ndarray:
+    """Decode (N, 5, 2) landmark offsets against (N, 2) anchor centers."""
+    return points[:, None, :] + distances
+
+
 def bbox_overlaps(boxes: jnp.ndarray, query_boxes: jnp.ndarray) -> jnp.ndarray:
     """(N, 4) x (K, 4) -> (N, K) IoU matrix with the +1 area convention.
 

@@ -3,22 +3,28 @@
 from .alignment import FaceAlignment
 from .antispoofing import FaceAntiSpoofing
 from .detection import PaddedDetections, RetinaFaceDetection
+from .ekyc_pipeline import EKYCPipeline, EKYCResult, SCRFDDetection
 from .extraction import FaceExtraction
-from .face_pipeline import EKYCPipeline, FaceExtractionResult, FacePipeline
+from .face_pipeline import FaceExtractionResult, FacePipeline
 from .quality import FaceQuality
 from .quality_assessment import FaceQualityAssessment
 from .selection import FaceSelection
+from .tracking import IouTracker, VideoPipeline
 
 __all__ = [
     "FaceAlignment",
     "FaceAntiSpoofing",
     "PaddedDetections",
     "RetinaFaceDetection",
-    "FaceExtraction",
     "EKYCPipeline",
+    "EKYCResult",
+    "SCRFDDetection",
+    "FaceExtraction",
     "FaceExtractionResult",
     "FacePipeline",
     "FaceQuality",
     "FaceQualityAssessment",
     "FaceSelection",
+    "IouTracker",
+    "VideoPipeline",
 ]

@@ -107,17 +107,3 @@ class FacePipeline:
         return result
 
 
-class EKYCPipeline:
-    """Placeholder mirroring the reference's unfinished eKYC pipeline
-    (src/pipeline/ekyc_pipeline/pipeline.rs:3-6 — an empty struct).
-
-    The intended model family (SCRFD detector, face_id, face_attribute,
-    CLIP-L14 anti-spoofing) is captured in configs.Ekyc*Config; raising here
-    keeps the surface explicit until those models land.
-    """
-
-    def __init__(self, *args, **kwargs) -> None:
-        raise NotImplementedError(
-            "EKYCPipeline is a stub in the reference (empty struct); "
-            "configs for its model family live in rs_face_detection_tpu.configs"
-        )

@@ -1,0 +1,214 @@
+"""gRPC serving facade: the reference's client/server surface, TPU-backed.
+
+The reference's entire communication layer is a gRPC client for Triton's
+GRPCInferenceService (/root/reference/src/triton_client/client.rs — 18 RPC
+wrappers over ModelInfer/ModelConfig/health/repository verbs).  In this
+framework the models are in-process, so the wire is optional — but external
+serving parity matters for drop-in deployments, so this module provides a
+thin gRPC service exposing the same verb families:
+
+  rsfd.FacePipeline/Extract        <-> the pipeline's extract() (end-to-end)
+  rsfd.FacePipeline/Detect         <-> one ModelInfer round (detection)
+  rsfd.FacePipeline/ServerLive     <-> ServerLive
+  rsfd.FacePipeline/ServerReady    <-> ServerReady
+  rsfd.FacePipeline/ModelReady     <-> ModelReady
+  rsfd.FacePipeline/RepositoryIndex<-> RepositoryIndex
+  rsfd.FacePipeline/ModelStatistics<-> ModelStatistics
+
+Wire format: request = raw JPEG/PNG bytes (Extract/Detect) or a UTF-8 JSON
+body (control verbs); response = UTF-8 JSON.  Embeddings travel as float
+lists.  grpcio's generic handlers + identity serializers keep this
+proto-free (the environment ships grpcio but no grpc_tools codegen).
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent import futures
+from typing import Optional
+
+import numpy as np
+
+try:  # pragma: no cover - environment probe
+    import grpc  # type: ignore
+
+    _HAS_GRPC = True
+except Exception:  # pragma: no cover
+    grpc = None
+    _HAS_GRPC = False
+
+SERVICE = "rsfd.FacePipeline"
+
+
+def _identity(x: bytes) -> bytes:
+    return x
+
+
+def _json_bytes(obj) -> bytes:
+    return json.dumps(obj).encode("utf-8")
+
+
+class FacePipelineServicer:
+    """Method implementations; independent of the gRPC plumbing for testing."""
+
+    def __init__(self, pipeline, registry) -> None:
+        self.pipeline = pipeline
+        self.registry = registry
+
+    def extract(self, payload: bytes) -> bytes:
+        try:
+            result = self.pipeline.extract(payload)
+        except ValueError as e:
+            return _json_bytes({"error": str(e)})
+        return _json_bytes(
+            {
+                "face_count": result.face_count,
+                "face_quality": (
+                    None if result.face_quality is None else int(result.face_quality)
+                ),
+                "quality_score": result.quality_score,
+                "facial_feature": (
+                    None
+                    if result.facial_feature is None
+                    else [float(v) for v in result.facial_feature]
+                ),
+                "selected_face_box": (
+                    None
+                    if result.selected_face_box is None
+                    else [float(v) for v in result.selected_face_box]
+                ),
+            }
+        )
+
+    def detect(self, payload: bytes) -> bytes:
+        from ..utils.image_io import decode_image_bytes
+
+        try:
+            image = decode_image_bytes(payload)
+        except ValueError as e:
+            return _json_bytes({"error": str(e)})
+        boxes, kps = self.pipeline.face_detection(image)
+        return _json_bytes(
+            {
+                "boxes": np.asarray(boxes).tolist(),
+                "keypoints": np.asarray(kps).tolist(),
+            }
+        )
+
+    def server_live(self, _: bytes) -> bytes:
+        return _json_bytes({"live": self.registry.server_live()})
+
+    def server_ready(self, _: bytes) -> bytes:
+        return _json_bytes({"ready": self.registry.server_ready()})
+
+    def model_ready(self, payload: bytes) -> bytes:
+        name = json.loads(payload or b"{}").get("name", "")
+        return _json_bytes({"name": name, "ready": self.registry.model_ready(name)})
+
+    def repository_index(self, _: bytes) -> bytes:
+        return _json_bytes({"models": self.registry.index()})
+
+    def model_statistics(self, payload: bytes) -> bytes:
+        name = json.loads(payload or b"{}").get("name", "")
+        try:
+            s = self.registry.statistics(name)
+        except KeyError:
+            return _json_bytes({"error": f"model {name!r} not loaded"})
+        return _json_bytes(
+            {
+                "name": name,
+                "inference_count": s.inference_count,
+                "execution_count": s.execution_count,
+                "cumulative_duration_s": s.cumulative_duration_s,
+            }
+        )
+
+
+def _handlers(servicer: FacePipelineServicer):
+    methods = {
+        "Extract": servicer.extract,
+        "Detect": servicer.detect,
+        "ServerLive": servicer.server_live,
+        "ServerReady": servicer.server_ready,
+        "ModelReady": servicer.model_ready,
+        "RepositoryIndex": servicer.repository_index,
+        "ModelStatistics": servicer.model_statistics,
+    }
+    rpcs = {
+        name: grpc.unary_unary_rpc_method_handler(
+            lambda req, ctx, fn=fn: fn(req),
+            request_deserializer=_identity,
+            response_serializer=_identity,
+        )
+        for name, fn in methods.items()
+    }
+    return grpc.method_handlers_generic_handler(SERVICE, rpcs)
+
+
+def serve(
+    pipeline=None,
+    registry=None,
+    port: int = 8001,
+    max_workers: int = 8,
+):
+    """Start a gRPC server; returns the grpc.Server (caller stops it)."""
+    if not _HAS_GRPC:
+        raise RuntimeError("grpcio not available")
+    if registry is None:
+        from ..models.registry import default_registry
+
+        registry = default_registry()
+    if pipeline is None:
+        from ..pipeline.face_pipeline import FacePipeline
+
+        pipeline = FacePipeline(registry=registry)
+
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+    server.add_generic_rpc_handlers(
+        (_handlers(FacePipelineServicer(pipeline, registry)),)
+    )
+    bound = server.add_insecure_port(f"[::]:{port}")
+    server.start()
+    server._rsfd_port = bound  # convenience for port=0 callers
+    return server
+
+
+class FacePipelineClient:
+    """Client mirroring the reference's TritonInferenceClient verb surface."""
+
+    def __init__(self, host: str = "localhost", port: int = 8001) -> None:
+        if not _HAS_GRPC:
+            raise RuntimeError("grpcio not available")
+        self._channel = grpc.insecure_channel(f"{host}:{port}")
+
+    def _call(self, method: str, payload: bytes) -> dict:
+        rpc = self._channel.unary_unary(
+            f"/{SERVICE}/{method}",
+            request_serializer=_identity,
+            response_deserializer=_identity,
+        )
+        return json.loads(rpc(payload))
+
+    def extract(self, image_bytes: bytes) -> dict:
+        return self._call("Extract", image_bytes)
+
+    def detect(self, image_bytes: bytes) -> dict:
+        return self._call("Detect", image_bytes)
+
+    def server_live(self) -> bool:
+        return self._call("ServerLive", b"")["live"]
+
+    def server_ready(self) -> bool:
+        return self._call("ServerReady", b"")["ready"]
+
+    def model_ready(self, name: str) -> bool:
+        return self._call("ModelReady", _json_bytes({"name": name}))["ready"]
+
+    def repository_index(self) -> list:
+        return self._call("RepositoryIndex", b"")["models"]
+
+    def model_statistics(self, name: str) -> dict:
+        return self._call("ModelStatistics", _json_bytes({"name": name}))
+
+    def close(self) -> None:
+        self._channel.close()
