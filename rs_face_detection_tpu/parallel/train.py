@@ -217,7 +217,8 @@ class Trainer:
         params = shard_pytree_fsdp(params, self.mesh)
         batch_stats = shard_pytree_fsdp(batch_stats, self.mesh)
         opt_state = shard_pytree_fsdp(opt_state, self.mesh)
-        return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+        step = jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh))
+        return TrainState(params, batch_stats, opt_state, step)
 
     def make_train_step(self):
         mesh = self.mesh
