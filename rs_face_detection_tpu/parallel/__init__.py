@@ -1,7 +1,9 @@
 """Parallelism: device meshes, sharded training, data-parallel serving."""
 
+from .checkpoint import latest_step, restore_train_state, save_train_state
 from .mesh import (
     data_sharding,
+    initialize_distributed,
     fsdp_param_spec,
     make_mesh,
     pytree_shardings,
@@ -13,6 +15,10 @@ from .train import TrainBatch, Trainer, TrainState, detection_loss, match_anchor
 
 __all__ = [
     "data_sharding",
+    "initialize_distributed",
+    "latest_step",
+    "restore_train_state",
+    "save_train_state",
     "fsdp_param_spec",
     "make_mesh",
     "pytree_shardings",

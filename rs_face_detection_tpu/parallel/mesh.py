@@ -21,6 +21,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (DCN) for pod-slice deployments.
+
+    Thin wrapper over jax.distributed.initialize: on Cloud TPU pods the
+    arguments auto-detect from the metadata environment; pass them explicitly
+    elsewhere.  After this, jax.devices() spans all hosts and make_mesh()
+    builds cross-host meshes whose collectives ride ICI within a slice and
+    DCN across slices.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,

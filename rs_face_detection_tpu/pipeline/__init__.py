@@ -6,6 +6,7 @@ from .detection import PaddedDetections, RetinaFaceDetection
 from .ekyc_pipeline import EKYCPipeline, EKYCResult, SCRFDDetection
 from .extraction import FaceExtraction
 from .face_pipeline import FaceExtractionResult, FacePipeline
+from .multiscale import MultiScaleDetection
 from .quality import FaceQuality
 from .quality_assessment import FaceQualityAssessment
 from .selection import FaceSelection
@@ -22,6 +23,7 @@ __all__ = [
     "FaceExtraction",
     "FaceExtractionResult",
     "FacePipeline",
+    "MultiScaleDetection",
     "FaceQuality",
     "FaceQualityAssessment",
     "FaceSelection",
