@@ -40,12 +40,14 @@ def _throughput(fn, variables, make_batch, batch, n_batches=12):
     return batch / dt, dt
 
 
-def _latency(fn, variables, imgs, scales, iters=20):
+def _latency(fn, variables, make_batch, iters=20):
+    # Distinct inputs per iteration: the relay caches identical executions.
     import jax
 
-    jax.block_until_ready(fn(variables, imgs, scales))
+    batches = [make_batch(i) for i in range(iters)]
+    jax.block_until_ready(fn(variables, *batches[0]))
     ts = []
-    for _ in range(iters):
+    for imgs, scales in batches:
         t0 = time.perf_counter()
         jax.block_until_ready(fn(variables, imgs, scales))
         ts.append(time.perf_counter() - t0)
@@ -96,8 +98,9 @@ def main() -> int:
     # Flagship: R50 batch 8.
     det, fn = _build("resnet50", image_size, args.nms)
     r50_b8, _ = _throughput(fn, det.variables, batch_maker(8), 8, n_batches)
-    imgs1, scales1 = batch_maker(1)(0)
-    p50_ms = _latency(fn, det.variables, imgs1, scales1, iters=5 if args.smoke else 20)
+    p50_ms = _latency(
+        fn, det.variables, batch_maker(1), iters=5 if args.smoke else 20
+    )
 
     r50_b32, _ = _throughput(
         fn, det.variables, batch_maker(32), 32, max(3, n_batches // 2)

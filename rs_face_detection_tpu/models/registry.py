@@ -148,6 +148,22 @@ class ModelRegistry:
         with self._lock:
             return self._models[name]
 
+    def record(self, name: str, batch_size: int, duration_s: float) -> None:
+        """Account an externally-timed forward pass against a model's stats.
+
+        The fused pipelines compose module.apply into their own jit graphs
+        (no per-model RPC exists to intercept), so they report their timings
+        here — keeping model_statistics parity observable end to end.
+        """
+        with self._lock:
+            entry = self._models.get(name)
+            if entry is None:
+                return
+            entry.stats.inference_count += int(batch_size)
+            entry.stats.execution_count += 1
+            entry.stats.cumulative_duration_s += duration_s
+            entry.stats.last_duration_s = duration_s
+
     def infer(self, name: str, batch: Any, **kwargs) -> Any:
         """Standalone timed forward pass (the model_infer analog).
 

@@ -63,12 +63,20 @@ class DetectionServer:
         mesh: Optional[Mesh] = None,
         batch_size: int = 8,
         decode_workers: int = 8,
+        use_native_loader: bool = True,
     ) -> None:
         self.detector = detector or RetinaFaceDetection()
         self.cfg: FaceDetectionConfig = self.detector.cfg
         self.batch_size = batch_size
         self.mesh = mesh
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
+        self._decode_workers = decode_workers
+        self._native = None
+        if use_native_loader:
+            from ..runtime import native as _native
+
+            if _native.available():
+                self._native = _native
 
         base_fn = self.detector.make_batched_fn()
         if mesh is not None:
@@ -101,8 +109,24 @@ class DetectionServer:
 
     def _prepare_batch(self, payloads: Sequence) -> Tuple[np.ndarray, np.ndarray, int]:
         n = len(payloads)
-        results = list(self._pool.map(self._prepare, payloads))
         width, height = self.cfg.image_size
+
+        # Fast path: the native C++ loader (threaded libjpeg decode+letterbox)
+        # handles all-bytes JPEG batches in one call.
+        if self._native is not None and n and all(
+            isinstance(p, (bytes, bytearray)) for p in payloads
+        ):
+            imgs_n, scales_n, ok = self._native.decode_letterbox_batch(
+                payloads, width, height, num_threads=self._decode_workers
+            )
+            if ok.all():  # non-JPEG bytes (e.g. PNG) fall through to cv2/PIL
+                imgs = np.zeros((self.batch_size, height, width, 3), np.uint8)
+                scales = np.ones((self.batch_size,), np.float32)
+                imgs[:n] = imgs_n
+                scales[:n] = scales_n
+                return imgs, scales, n
+
+        results = list(self._pool.map(self._prepare, payloads))
         imgs = np.zeros((self.batch_size, height, width, 3), np.uint8)
         scales = np.ones((self.batch_size,), np.float32)
         for i, (img, scale) in enumerate(results):
@@ -129,15 +153,21 @@ class DetectionServer:
         sentinel = object()
 
         def producer():
-            chunk: List = []
-            for payload in payload_iter:
-                chunk.append(payload)
-                if len(chunk) == self.batch_size:
+            # The sentinel/error MUST reach the queue even when a payload
+            # fails to decode, or the consumer would block forever.
+            try:
+                chunk: List = []
+                for payload in payload_iter:
+                    chunk.append(payload)
+                    if len(chunk) == self.batch_size:
+                        batches.put(self._prepare_batch(chunk))
+                        chunk = []
+                if chunk:
                     batches.put(self._prepare_batch(chunk))
-                    chunk = []
-            if chunk:
-                batches.put(self._prepare_batch(chunk))
-            batches.put(sentinel)
+            except BaseException as e:  # re-raised on the consumer side
+                batches.put(e)
+            finally:
+                batches.put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -147,6 +177,12 @@ class DetectionServer:
             item = batches.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                # Drain pending device work, then surface the producer error.
+                for out, n_prev in pending:
+                    yield self._unpack(out, n_prev)
+                thread.join()
+                raise item
             imgs, scales, n = item
             # Async dispatch: _run returns device futures immediately, so the
             # producer thread prepares the next batch while this one computes.

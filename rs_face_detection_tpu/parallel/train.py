@@ -95,9 +95,16 @@ def match_anchors(
 
     labels = jnp.where(max_iou >= pos_iou, 1, jnp.where(max_iou < neg_iou, 0, -1))
 
-    # Force-match each gt's best anchor.
+    # Force-match each gt's best anchor.  scatter-max (not set): a padded
+    # (invalid) gt's argmax lands on anchor 0 and a plain set with duplicate
+    # indices could let its False clobber a valid gt's True there.
     best_anchor = jnp.argmax(iou, axis=0)  # (M,)
-    forced = jnp.zeros(anchors.shape[0], dtype=bool).at[best_anchor].set(gt_valid)
+    forced = (
+        jnp.zeros(anchors.shape[0], dtype=jnp.int32)
+        .at[best_anchor]
+        .max(gt_valid.astype(jnp.int32))
+        .astype(bool)
+    )
     labels = jnp.where(forced, 1, labels)
     best_gt = jnp.where(
         forced & (max_iou <= 0.0),
@@ -108,7 +115,8 @@ def match_anchors(
 
 
 def flatten_raw_outputs(
-    net_out: Dict[int, Dict[str, jnp.ndarray]], level_order=(32, 16, 8)
+    net_out: Dict[int, Dict[str, jnp.ndarray]],
+    level_order: Tuple[int, ...],
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-level raw maps -> (N, 2) logits, (N, 4) deltas, (N, 5, 2) lm deltas.
 
@@ -197,11 +205,17 @@ class Trainer:
     ) -> None:
         self.mesh = mesh
         self.cfg = cfg or FaceDetectionConfig()
-        anchors, _ = full_anchor_table(
-            self.cfg.image_size, RPN_ANCHOR_CFG, self.cfg.feat_strides
+        anchors, level_info = full_anchor_table(
+            self.cfg.image_size,
+            RPN_ANCHOR_CFG,
+            self.cfg.feat_strides,
+            self.cfg.dense_anchor,
         )
         self.anchors = jnp.asarray(anchors)
-        self.model = RetinaFace(backbone=self.cfg.backbone, dtype=dtype)
+        num_anchors = level_info[0][3]
+        self.model = RetinaFace(
+            backbone=self.cfg.backbone, num_anchors=num_anchors, dtype=dtype
+        )
         self.tx = optax.adamw(learning_rate)
 
     def init_state(self, seed: int = 0) -> TrainState:
@@ -236,9 +250,11 @@ class Trainer:
                 mutable=["batch_stats"],
             )
 
+            feat_strides = tuple(self.cfg.feat_strides)
+
             def per_image(i):
                 single = jax.tree.map(lambda t: t[i], net_out)
-                logits, boxes, lms = flatten_raw_outputs(single)
+                logits, boxes, lms = flatten_raw_outputs(single, feat_strides)
                 return detection_loss(
                     logits,
                     boxes,

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import instance_cache
 from ..configs import FaceAlignmentConfig
 from ..ops.image import crop_resize, warp_affine
 from ..ops.umeyama import umeyama_similarity_np
@@ -33,7 +34,7 @@ class FaceAlignment:
         self.cfg = cfg or FaceAlignmentConfig()
         self.template = np.asarray(self.cfg.standard_landmarks, dtype=np.float32)
 
-    @functools.lru_cache(maxsize=32)
+    @instance_cache
     def _warp_jit(self, src_h: int, src_w: int):
         out_w, out_h = self.cfg.image_size
 
@@ -42,7 +43,7 @@ class FaceAlignment:
 
         return jax.jit(run)
 
-    @functools.lru_cache(maxsize=32)
+    @instance_cache
     def _crop_jit(self, src_h: int, src_w: int):
         out_w, out_h = self.cfg.image_size
 

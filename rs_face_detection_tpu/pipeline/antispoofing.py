@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import instance_cache
 from ..configs import FaceAntiSpoofingConfig
 from ..models.registry import ModelRegistry, default_registry
 from ..ops.image import crop_resize
@@ -90,7 +91,7 @@ class FaceAntiSpoofing:
         registry = registry or default_registry()
         self._models = [registry.get(name) for name in self.cfg.model_names]
 
-    @functools.lru_cache(maxsize=32)
+    @instance_cache
     def _scale_jit(self, scale_idx: int, batch: int, src_h: int, src_w: int):
         out_w, out_h = self.cfg.image_sizes[scale_idx]
         model, _ = self._models[scale_idx]

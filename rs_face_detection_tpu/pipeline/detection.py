@@ -24,12 +24,14 @@ Decode semantics preserved exactly (see tests/test_detection.py):
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import instance_cache
 from ..configs import RPN_ANCHOR_CFG, FaceDetectionConfig
 from ..models.registry import ModelRegistry, default_registry
 from ..ops.anchors import full_anchor_table
@@ -151,6 +153,7 @@ class RetinaFaceDetection:
         self.model = model
         self.variables = variables
         self.nms_mode = nms_mode
+        self._registry = registry
         anchors, level_info = full_anchor_table(
             self.cfg.image_size,
             RPN_ANCHOR_CFG,
@@ -159,10 +162,19 @@ class RetinaFaceDetection:
         )
         self.anchors = jnp.asarray(anchors)
         self.level_info = tuple(level_info)
+        # The anchor table's per-cell count must match the model's head width
+        # (dense_anchor doubles A; the model must be built to match).
+        table_a = level_info[0][3]
+        model_a = getattr(self.model, "num_anchors", table_a)
+        if table_a != model_a:
+            raise ValueError(
+                f"anchor table has {table_a} anchors/cell but the model head "
+                f"predicts {model_a}; build the model with num_anchors={table_a}"
+            )
 
     # ---- single-image path (shape-bucketed jit cache) -------------------
 
-    @functools.lru_cache(maxsize=32)
+    @instance_cache
     def _jit_for_shape(self, src_h: int, src_w: int):
         cfg = self.cfg
         width, height = cfg.image_size
@@ -188,8 +200,13 @@ class RetinaFaceDetection:
     def __call__(self, image_bgr_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, w = image_bgr_u8.shape[:2]
         fn = self._jit_for_shape(h, w)
+        start = time.perf_counter()
         out = fn(self.variables, jnp.asarray(image_bgr_u8))
-        n = int(out.count)
+        n = int(out.count)  # host sync
+        if self._registry is not None:
+            self._registry.record(
+                self.cfg.model_name, 1, time.perf_counter() - start
+            )
         return np.asarray(out.det[:n]), np.asarray(out.kps[:n])
 
     def detect_padded(self, image_bgr_u8: np.ndarray) -> PaddedDetections:
@@ -219,6 +236,14 @@ class RetinaFaceDetection:
 
         def batched(variables, imgs_u8, det_scales):
             x = bgr_to_rgb(imgs_u8.astype(jnp.float32))
+            x = (
+                normalize(
+                    x,
+                    tuple(m * cfg.pixel_scale for m in cfg.pixel_means),
+                    tuple(1.0 / s for s in cfg.pixel_stds),
+                )
+                / cfg.pixel_scale
+            )
             net_out = self.model.apply(variables, x, train=False)  # batched maps
             return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
 

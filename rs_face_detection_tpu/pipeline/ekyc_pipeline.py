@@ -20,6 +20,7 @@ runs as one batched jit graph, and verify() is the public API:
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -27,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import instance_cache
 from ..configs import (
     EkycFaceAttributeConfig,
     EkycFaceDetectionConfig,
@@ -92,6 +94,7 @@ class SCRFDDetection:
         self.variables = variables
         self.image_size = image_size
         self.nms_mode = nms_mode
+        self._registry = registry
         centers, levels = scrfd_anchor_centers(image_size)
         self.centers = jnp.asarray(centers)
         self.levels = levels
@@ -125,7 +128,7 @@ class SCRFDDetection:
             jnp.concatenate(kps_l),
         )
 
-    @functools.lru_cache(maxsize=16)
+    @instance_cache
     def _jit_for_shape(self, src_h: int, src_w: int):
         width, height = self.image_size
         mean, scale = self.cfg.mean, self.cfg.scale
@@ -149,8 +152,13 @@ class SCRFDDetection:
 
     def __call__(self, image_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, w = image_bgr.shape[:2]
+        start = time.perf_counter()
         out = self._jit_for_shape(h, w)(self.variables, jnp.asarray(image_bgr))
-        n = int(out.count)
+        n = int(out.count)  # host sync
+        if self._registry is not None:
+            self._registry.record(
+                self.cfg.model_name, 1, time.perf_counter() - start
+            )
         return np.asarray(out.det[:n]), np.asarray(out.kps[:n])
 
 
@@ -199,7 +207,7 @@ class EKYCPipeline:
 
     # -- jitted heads ------------------------------------------------------
 
-    @functools.lru_cache(maxsize=8)
+    @instance_cache
     def _embed_jit(self, batch: int):
         model, _ = self._face_id
         mean, scale = self.id_cfg.mean, self.id_cfg.scale
@@ -211,7 +219,7 @@ class EKYCPipeline:
 
         return jax.jit(run)
 
-    @functools.lru_cache(maxsize=8)
+    @instance_cache
     def _head_jit(self, which: str, batch: int, src_h: int, src_w: int):
         if which == "attribute":
             model, _ = self._attribute

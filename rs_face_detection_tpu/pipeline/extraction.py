@@ -16,12 +16,14 @@ deviation for batch > 1).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import instance_cache
 from ..configs import FaceIdentificationConfig
 from ..models.registry import ModelRegistry, default_registry
 from ..ops.image import bgr_to_rgb, normalize, resize_bilinear
@@ -41,8 +43,9 @@ class FaceExtraction:
             model, variables = registry.get(self.cfg.model_name)
         self.model = model
         self.variables = variables
+        self._registry = registry
 
-    @functools.lru_cache(maxsize=16)
+    @instance_cache
     def _jit_for(self, batch: int, src_h: int, src_w: int):
         out_w, out_h = self.cfg.image_size
 
@@ -64,4 +67,10 @@ class FaceExtraction:
             return np.zeros((0, self.cfg.embedding_dim), np.float32)
         stack = jnp.asarray(np.stack(imgs_bgr))
         fn = self._jit_for(stack.shape[0], stack.shape[1], stack.shape[2])
-        return np.asarray(fn(self.variables, stack))
+        start = time.perf_counter()
+        out = np.asarray(fn(self.variables, stack))
+        if self._registry is not None:
+            self._registry.record(
+                self.cfg.model_name, stack.shape[0], time.perf_counter() - start
+            )
+        return out

@@ -14,12 +14,14 @@ class 0 and reports class 0's probability (:160-166).
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import instance_cache
 from ..configs import FaceQualityConfig
 from ..models.registry import ModelRegistry, default_registry
 from ..ops.image import bgr_to_rgb, normalize, resize_bilinear
@@ -42,8 +44,9 @@ class FaceQuality:
             model, variables = registry.get(self.cfg.model_name)
         self.model = model
         self.variables = variables
+        self._registry = registry
 
-    @functools.lru_cache(maxsize=16)
+    @instance_cache
     def _jit_for(self, batch: int, src_h: int, src_w: int):
         out_w, out_h = self.cfg.image_size
 
@@ -61,7 +64,13 @@ class FaceQuality:
         """Raw (B, 4) class probabilities for same-shaped BGR crops."""
         stack = jnp.asarray(np.stack(imgs_bgr))
         fn = self._jit_for(stack.shape[0], stack.shape[1], stack.shape[2])
-        return np.asarray(fn(self.variables, stack))
+        start = time.perf_counter()
+        out = np.asarray(fn(self.variables, stack))
+        if self._registry is not None:
+            self._registry.record(
+                self.cfg.model_name, stack.shape[0], time.perf_counter() - start
+            )
+        return out
 
     def __call__(
         self, imgs_bgr: Sequence[np.ndarray]

@@ -11,12 +11,14 @@ FacePipeline.extract — same as the reference.
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cache import instance_cache
 from ..configs import FaceQualityAssessmentConfig
 from ..models.registry import ModelRegistry, default_registry
 from ..ops.image import bgr_to_rgb, normalize, resize_bilinear
@@ -36,8 +38,9 @@ class FaceQualityAssessment:
             model, variables = registry.get(self.cfg.model_name)
         self.model = model
         self.variables = variables
+        self._registry = registry
 
-    @functools.lru_cache(maxsize=16)
+    @instance_cache
     def _jit_for(self, batch: int, src_h: int, src_w: int):
         out_w, out_h = self.cfg.image_size
 
@@ -59,7 +62,12 @@ class FaceQualityAssessment:
             return [], []
         stack = jnp.asarray(np.stack(imgs_bgr))
         fn = self._jit_for(stack.shape[0], stack.shape[1], stack.shape[2])
+        start = time.perf_counter()
         out = np.asarray(fn(self.variables, stack)).reshape(-1)
+        if self._registry is not None:
+            self._registry.record(
+                self.cfg.model_name, stack.shape[0], time.perf_counter() - start
+            )
         scores = [float(s) for s in out]
         flags = [1 if s > self.cfg.threshold else 0 for s in scores]
         return scores, flags

@@ -126,8 +126,20 @@ class IouTracker:
                 )
                 self._next_id += 1
 
+        # Snapshot copies: internal Track objects mutate on later frames, so
+        # returning them live would retroactively rewrite callers' history.
         return [
-            t for t in self._tracks if t.hits >= self.min_hits and t.age == 0
+            Track(
+                track_id=t.track_id,
+                box=t.box.copy(),
+                score=t.score,
+                keypoints=None if t.keypoints is None else t.keypoints.copy(),
+                hits=t.hits,
+                age=t.age,
+                frames=t.frames,
+            )
+            for t in self._tracks
+            if t.hits >= self.min_hits and t.age == 0
         ]
 
     @property

@@ -62,6 +62,8 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
 
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.shape[2] == 2:  # LA (gray + alpha): replicate luminance
+        img = np.repeat(img[:, :, :1], 3, axis=2)
     elif img.shape[2] == 4:
         img = img[:, :, :3]
     if img.dtype != np.uint8:

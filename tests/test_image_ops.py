@@ -102,3 +102,20 @@ def test_umeyama_noisy_close_to_cv2_lmeds():
         src, dst.astype(np.float32), method=cv2.LMEDS
     )
     np.testing.assert_allclose(got, ref, atol=0.15)
+
+
+def test_decode_la_png_replicates_luminance():
+    """2-channel (gray+alpha) PNGs must decode to (H, W, 3)."""
+    from PIL import Image
+    import io as _io
+
+    from rs_face_detection_tpu.utils.image_io import decode_image_bytes
+
+    la = Image.fromarray(np.uint8(np.arange(64).reshape(8, 8) * 3), mode="L").convert("LA")
+    buf = _io.BytesIO()
+    la.save(buf, format="PNG")
+    img = decode_image_bytes(buf.getvalue())
+    assert img.shape == (8, 8, 3)
+    # All three channels carry the luminance.
+    assert (img[:, :, 0] == img[:, :, 1]).all()
+    assert (img[:, :, 0] == img[:, :, 2]).all()

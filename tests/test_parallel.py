@@ -109,3 +109,27 @@ def test_detection_server_stream_pipelining():
     for chunk in server.detect_stream(iter(imgs)):
         out.extend(chunk)
     assert len(out) == 10
+
+
+def test_detection_server_stream_error_propagates():
+    """A corrupt payload mid-stream must raise, not deadlock (producer dies)."""
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.parallel.serving import DetectionServer
+    from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+
+    cfg = FaceDetectionConfig(
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=64,
+        max_detections=16,
+    )
+    model, variables = init_retinaface("mobilenet025", cfg.image_size, seed=0)
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+    server = DetectionServer(det, batch_size=2)
+
+    rng = np.random.default_rng(2)
+    good = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    payloads = [good, good, b"corrupt bytes", good]
+    with pytest.raises(ValueError):
+        for _ in server.detect_stream(iter(payloads)):
+            pass

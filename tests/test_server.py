@@ -92,6 +92,13 @@ def test_repository_and_statistics(client):
     stats = client.model_statistics("nonexistent")
     assert "error" in stats
 
+    # Statistics must reflect pipeline traffic (not just registry.infer).
+    client.detect(_jpeg(7))
+    stats = client.model_statistics("face_detection_retina")
+    assert stats["execution_count"] >= 1
+    assert stats["inference_count"] >= 1
+    assert stats["cumulative_duration_s"] > 0
+
 
 def test_extract_garbage_bytes_returns_error(client):
     result = client.extract(b"definitely not an image")
