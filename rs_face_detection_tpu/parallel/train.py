@@ -146,17 +146,32 @@ def detection_loss(
     gt_valid: jnp.ndarray,
     box_weight: float = 2.0,
     lm_weight: float = 1.0,
+    ohem_ratio: float = 3.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """RetinaFace multi-task loss for one image (vmap over batch)."""
+    """RetinaFace multi-task loss for one image (vmap over batch).
+
+    Classification uses OHEM: all positives plus the hardest negatives at
+    `ohem_ratio` negatives per positive (RetinaFace paper training recipe) —
+    static-shape via rank thresholding instead of a dynamic top-k.
+    """
     labels, best_gt, _ = match_anchors(anchors, gt_boxes, gt_valid)
     pos = labels == 1
+    neg = labels == 0
     num_pos = jnp.maximum(jnp.sum(pos), 1)
 
-    # Classification: CE over participating anchors, normalized by positives.
+    # Classification CE with hard-negative mining.
     logp = jax.nn.log_softmax(logits, axis=-1)
     target = jnp.clip(labels, 0, 1)
     ce = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
-    cls_loss = jnp.sum(jnp.where(labels >= 0, ce, 0.0)) / num_pos
+    neg_ce = jnp.where(neg, ce, -jnp.inf)
+    # rank[i] = number of negatives with strictly larger loss; keep the
+    # hardest ohem_ratio * num_pos negatives.
+    order = jnp.argsort(-neg_ce)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    keep_neg = neg & (rank < (ohem_ratio * num_pos).astype(rank.dtype))
+    cls_loss = (
+        jnp.sum(jnp.where(pos, ce, 0.0)) + jnp.sum(jnp.where(keep_neg, ce, 0.0))
+    ) / num_pos
 
     # Box regression on positives.
     matched_boxes = gt_boxes[best_gt]
@@ -191,6 +206,36 @@ def detection_loss(
         "lm_loss": lm_loss,
         "num_pos": num_pos.astype(jnp.float32),
     }
+
+
+def arcface_margin_loss(
+    embeddings: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    margin: float = 0.5,
+    scale: float = 64.0,
+) -> jnp.ndarray:
+    """Additive-angular-margin softmax loss (ArcFace, Deng et al. 2019).
+
+    The reference consumed a pre-trained `face_identification` model from
+    Triton; training it in-framework needs this head: cosine logits between
+    L2-normalized (B, D) embeddings and (C, D) class weights, the target
+    class's angle shifted by `margin`, all scaled by `scale`.  One (B, D) x
+    (D, C) matmul — pure MXU work — plus elementwise trig.
+    """
+    emb = embeddings / jnp.maximum(
+        jnp.linalg.norm(embeddings, axis=1, keepdims=True), 1e-12
+    )
+    w = class_weights / jnp.maximum(
+        jnp.linalg.norm(class_weights, axis=1, keepdims=True), 1e-12
+    )
+    cos = jnp.clip(emb @ w.T, -1.0 + 1e-7, 1.0 - 1e-7)  # (B, C)
+    theta = jnp.arccos(cos)
+    target_onehot = jax.nn.one_hot(labels, class_weights.shape[0])
+    cos_with_margin = jnp.cos(theta + margin * target_onehot)
+    logits = scale * cos_with_margin
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(target_onehot * logp, axis=-1))
 
 
 class Trainer:

@@ -133,3 +133,69 @@ def test_detection_server_stream_error_propagates():
     with pytest.raises(ValueError):
         for _ in server.detect_stream(iter(payloads)):
             pass
+
+
+def test_detection_loss_ohem_selects_hard_negatives():
+    from rs_face_detection_tpu.parallel.train import detection_loss
+
+    n = 64
+    anchors = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        anchors[i] = [i * 20, 0, i * 20 + 15, 15]
+    gt = np.array([[0, 0, 15, 15]], np.float32)  # matches anchor 0 exactly
+    gt_lms = np.zeros((1, 5, 2), np.float32)
+    valid = np.array([True])
+
+    logits = np.zeros((n, 2), np.float32)
+    # Make a handful of negatives very confidently wrong (hard).
+    logits[10:13, 1] = 8.0
+    box_deltas = np.zeros((n, 4), np.float32)
+    lm_deltas = np.zeros((n, 5, 2), np.float32)
+
+    loss, metrics = detection_loss(
+        jnp.asarray(logits),
+        jnp.asarray(box_deltas),
+        jnp.asarray(lm_deltas),
+        jnp.asarray(anchors),
+        jnp.asarray(gt),
+        jnp.asarray(gt_lms),
+        jnp.asarray(valid),
+    )
+    assert np.isfinite(float(loss))
+    assert float(metrics["num_pos"]) == 1
+    # With 1 positive and ratio 3, cls loss is driven by the 3 hard negatives
+    # (CE ~ 8 each), not the ~61 easy ones (CE ~ 0.69 each, which would sum
+    # to ~42 without OHEM).
+    assert 20.0 < float(metrics["cls_loss"]) < 30.0
+
+
+def test_arcface_margin_loss_behavior():
+    from rs_face_detection_tpu.parallel.train import arcface_margin_loss
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(10, 32)).astype(np.float32)
+    labels = np.arange(8) % 10
+    # Embeddings pointing at their class weights -> low loss.
+    good = w[labels] + rng.normal(0, 0.01, (8, 32)).astype(np.float32)
+    # Embeddings pointing at the WRONG class -> high loss.
+    bad = w[(labels + 5) % 10].astype(np.float32)
+    loss_good = float(
+        arcface_margin_loss(jnp.asarray(good), jnp.asarray(labels), jnp.asarray(w))
+    )
+    loss_bad = float(
+        arcface_margin_loss(jnp.asarray(bad), jnp.asarray(labels), jnp.asarray(w))
+    )
+    assert loss_good < loss_bad
+    assert np.isfinite(loss_good) and np.isfinite(loss_bad)
+    # Margin must make the loss strictly harder than plain cosine softmax
+    # (checked away from softmax saturation with noisier embeddings).
+    noisy = (w[labels] + rng.normal(0, 2.0, (8, 32))).astype(np.float32)
+    loss_margin = float(
+        arcface_margin_loss(jnp.asarray(noisy), jnp.asarray(labels), jnp.asarray(w))
+    )
+    loss_nomargin = float(
+        arcface_margin_loss(
+            jnp.asarray(noisy), jnp.asarray(labels), jnp.asarray(w), margin=0.0
+        )
+    )
+    assert loss_margin > loss_nomargin
