@@ -27,6 +27,7 @@ import numpy as np
 
 from ..configs import FacePipelineConfig, FaceQualityClass
 from ..models.registry import ModelRegistry, default_registry
+from ..utils.cache import instance_cache
 from ..utils.image_io import decode_image_bytes
 from .alignment import FaceAlignment
 from .detection import RetinaFaceDetection
@@ -71,6 +72,43 @@ class FacePipeline:
         self.face_extraction = FaceExtraction(
             self.config.identification, registry=registry
         )
+        self._registry = registry
+
+    @instance_cache
+    def _fused_tail_jit(self, src_h: int, src_w: int):
+        """One jit graph for align-warp -> quality probs + embedding.
+
+        The reference pays one RPC per stage (pipeline.rs:216-237); even
+        in-process, separate dispatches pay host<->device latency per stage.
+        Warping the selected face and running both 112x112 heads on it is a
+        single small graph — fuse it so extract() costs exactly two device
+        dispatches (detect + tail).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.image import bgr_to_rgb, normalize, warp_affine
+        from .quality import _MEAN as _Q_MEAN, _STD as _Q_STD
+
+        out_w, out_h = self.config.alignment.image_size
+        q_model = self.face_quality.model
+        e_model = self.face_extraction.model
+
+        def run(q_vars, e_vars, img_u8, matrix):
+            face = warp_affine(img_u8.astype(jnp.float32), matrix, out_h, out_w)
+            rgb = bgr_to_rgb(face)[None]
+            q_probs = q_model.apply(
+                q_vars, normalize(rgb, _Q_MEAN, _Q_STD), train=False
+            )
+            emb = e_model.apply(
+                e_vars,
+                normalize(rgb, (127.5,) * 3, (0.0078125,) * 3),
+                train=False,
+            )
+            emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            return q_probs[0], emb[0]
+
+        return jax.jit(run)
 
     def extract(self, im_bytes: bytes) -> FaceExtractionResult:
         """Decode bytes -> detect -> select -> align -> quality -> embed."""
@@ -93,10 +131,35 @@ class FacePipeline:
         if selected_box is None and not self.process_on_no_face:
             return result
 
-        aligned = self.face_alignment(image_bgr, selected_box, selected_points)
+        # Fast path: a usable similarity transform lets warp + both heads run
+        # as ONE fused dispatch; otherwise (crop fallback) stage separately.
+        matrix = (
+            self.face_alignment.estimate(selected_points)
+            if selected_points is not None
+            else None
+        )
+        if matrix is not None:
+            import jax.numpy as jnp
 
-        quality_scores, quality_classes = self.face_quality([aligned])
-        features = self.face_extraction([aligned])
+            fn = self._fused_tail_jit(*image_bgr.shape[:2])
+            q_probs, feature = fn(
+                self.face_quality.variables,
+                self.face_extraction.variables,
+                jnp.asarray(image_bgr),
+                jnp.asarray(matrix),
+            )
+            q_probs = np.asarray(q_probs)
+            predict = int(np.argmax(q_probs))
+            score = float(q_probs[predict])
+            if predict == 1 and score < self.config.quality.threshold:
+                predict = 0
+                score = float(q_probs[0])
+            quality_classes, quality_scores = [predict], [score]
+            features = np.asarray(feature)[None]
+        else:
+            aligned = self.face_alignment(image_bgr, selected_box, selected_points)
+            quality_scores, quality_classes = self.face_quality([aligned])
+            features = self.face_extraction([aligned])
 
         result.facial_feature = features[0]
         result.face_quality = FaceQualityClass(quality_classes[0])

@@ -114,3 +114,25 @@ def test_extract_image_deterministic(pipeline):
     assert r1.face_count == r2.face_count
     if r1.facial_feature is not None:
         np.testing.assert_allclose(r1.facial_feature, r2.facial_feature)
+
+
+def test_fused_tail_matches_staged_path(pipeline):
+    """The one-dispatch warp+quality+embed graph must match staged modules."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    result = pipeline.extract_image(img)
+    if result.facial_feature is None:
+        pytest.skip("no face selected under random weights for this seed")
+
+    boxes, kps = pipeline.face_detection(img)
+    box, points = pipeline.face_selection(img.shape[:2], boxes, kps)
+    assert points is not None
+    aligned = pipeline.face_alignment(img, box, points)
+    staged_scores, staged_classes = pipeline.face_quality([aligned])
+    staged_features = pipeline.face_extraction([aligned])
+
+    assert result.face_quality == staged_classes[0]
+    assert result.quality_score == pytest.approx(staged_scores[0], rel=1e-4)
+    np.testing.assert_allclose(
+        result.facial_feature, staged_features[0], rtol=1e-4, atol=1e-5
+    )
