@@ -115,6 +115,124 @@ class FacePipeline:
         image = decode_image_bytes(im_bytes)
         return self.extract_image(image)
 
+    @instance_cache
+    def _batch_jits(self, batch: int):
+        """Batched detect + batched fused tail for extract_batch."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.image import bgr_to_rgb, normalize, warp_affine
+        from .quality import _MEAN as _Q_MEAN, _STD as _Q_STD
+
+        detect_fn = self.face_detection.make_batched_fn()
+        out_w, out_h = self.config.alignment.image_size
+        q_model = self.face_quality.model
+        e_model = self.face_extraction.model
+
+        def tail(q_vars, e_vars, imgs_u8, matrices):
+            def warp_one(img, m):
+                return warp_affine(img.astype(jnp.float32), m, out_h, out_w)
+
+            faces = jax.vmap(warp_one)(imgs_u8, matrices)
+            rgb = bgr_to_rgb(faces)
+            q_probs = q_model.apply(
+                q_vars, normalize(rgb, _Q_MEAN, _Q_STD), train=False
+            )
+            emb = e_model.apply(
+                e_vars,
+                normalize(rgb, (127.5,) * 3, (0.0078125,) * 3),
+                train=False,
+            )
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+            return q_probs, emb
+
+        return detect_fn, jax.jit(tail)
+
+    def extract_batch(self, payloads) -> list:
+        """Throughput-mode extract over a batch of images (bytes or BGR arrays).
+
+        Two device dispatches total: one batched detect over letterboxed
+        canvases, one fused warp+quality+embed over every selected face.
+        Faces are warped from the letterboxed canvas (matrix rescaled by
+        det_scale), so very large inputs are sampled at detector resolution —
+        the single-image extract() path samples the original instead.
+        """
+        import jax.numpy as jnp
+
+        from ..parallel.serving import letterbox_host
+        from ..utils.image_io import decode_image_bytes as _decode
+
+        n = len(payloads)
+        if n == 0:
+            return []
+        width, height = self.config.detection.image_size
+        images = [
+            _decode(p) if isinstance(p, (bytes, bytearray)) else p
+            for p in payloads
+        ]
+        canvases = np.zeros((n, height, width, 3), np.uint8)
+        scales = np.ones((n,), np.float32)
+        for i, img in enumerate(images):
+            canvases[i], scales[i] = letterbox_host(img, width, height)
+
+        detect_fn, tail_fn = self._batch_jits(n)
+        det_out = detect_fn(
+            self.face_detection.variables,
+            jnp.asarray(canvases),
+            jnp.asarray(scales),
+        )
+        counts = np.asarray(det_out.count)
+        all_det = np.asarray(det_out.det)
+        all_kps = np.asarray(det_out.kps)
+
+        results = [FaceExtractionResult() for _ in range(n)]
+        matrices = np.zeros((n, 2, 3), np.float32)
+        selected = np.zeros(n, bool)
+        for i in range(n):
+            boxes = all_det[i, : counts[i]]
+            kps = all_kps[i, : counts[i]]
+            results[i].face_count = int(counts[i])
+            box, points = self.face_selection(
+                images[i].shape[:2], boxes, kps, is_enroll=self.enroll
+            )
+            if box is None or points is None:
+                continue
+            m = self.face_alignment.estimate(points)
+            if m is None:
+                continue
+            results[i].selected_face_box = box
+            # Rescale: matrix maps original coords; we warp the letterboxed
+            # canvas, where canvas = original * det_scale.
+            m_canvas = m.copy()
+            m_canvas[:, :2] /= scales[i]
+            matrices[i] = m_canvas
+            selected[i] = True
+
+        if selected.any():
+            q_probs, embs = tail_fn(
+                self.face_quality.variables,
+                self.face_extraction.variables,
+                jnp.asarray(canvases),
+                jnp.asarray(matrices),
+            )
+            q_probs = np.asarray(q_probs)
+            embs = np.asarray(embs)
+            thr = self.config.quality.threshold
+            for i in range(n):
+                if not selected[i]:
+                    continue
+                predict = int(np.argmax(q_probs[i]))
+                score = float(q_probs[i, predict])
+                if predict == 1 and score < thr:
+                    predict = 0
+                    score = float(q_probs[i, 0])
+                results[i].face_quality = FaceQualityClass(predict)
+                results[i].quality_score = score
+                results[i].facial_feature = embs[i]
+        return results
+
     def extract_image(self, image_bgr: np.ndarray) -> FaceExtractionResult:
         """Same as extract() for an already-decoded (H, W, 3) uint8 BGR image."""
         result = FaceExtractionResult()

@@ -136,3 +136,24 @@ def test_fused_tail_matches_staged_path(pipeline):
     np.testing.assert_allclose(
         result.facial_feature, staged_features[0], rtol=1e-4, atol=1e-5
     )
+
+
+def test_extract_batch_matches_single(pipeline):
+    """Throughput-mode extract_batch: schema parity with the single path."""
+    rng = np.random.default_rng(6)
+    imgs = [
+        rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    batch_results = pipeline.extract_batch(imgs)
+    assert len(batch_results) == 3
+    for img, br in zip(imgs, batch_results):
+        sr = pipeline.extract_image(img)
+        assert br.face_count == sr.face_count
+        if br.facial_feature is not None and sr.facial_feature is not None:
+            # 64x64 inputs letterbox 1:1 into the 64x64 detector canvas, so
+            # the batched tail sees the same pixels as the single path.
+            np.testing.assert_allclose(
+                br.facial_feature, sr.facial_feature, rtol=1e-3, atol=1e-3
+            )
+            assert br.face_quality == sr.face_quality
+    assert pipeline.extract_batch([]) == []
