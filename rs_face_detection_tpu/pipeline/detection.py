@@ -202,12 +202,14 @@ class RetinaFaceDetection:
         fn = self._jit_for_shape(h, w)
         start = time.perf_counter()
         out = fn(self.variables, jnp.asarray(image_bgr_u8))
-        n = int(out.count)  # host sync
+        # Single device->host sync for all three outputs.
+        count, det, kps = jax.device_get((out.count, out.det, out.kps))
+        n = int(count)
         if self._registry is not None:
             self._registry.record(
                 self.cfg.model_name, 1, time.perf_counter() - start
             )
-        return np.asarray(out.det[:n]), np.asarray(out.kps[:n])
+        return det[:n], kps[:n]
 
     def detect_padded(self, image_bgr_u8: np.ndarray) -> PaddedDetections:
         """Device-resident padded result (no host sync beyond the count)."""

@@ -154,12 +154,14 @@ class SCRFDDetection:
         h, w = image_bgr.shape[:2]
         start = time.perf_counter()
         out = self._jit_for_shape(h, w)(self.variables, jnp.asarray(image_bgr))
-        n = int(out.count)  # host sync
+        # Single device->host sync for all three outputs.
+        count, det, kps = jax.device_get((out.count, out.det, out.kps))
+        n = int(count)
         if self._registry is not None:
             self._registry.record(
                 self.cfg.model_name, 1, time.perf_counter() - start
             )
-        return np.asarray(out.det[:n]), np.asarray(out.kps[:n])
+        return det[:n], kps[:n]
 
 
 @dataclass

@@ -178,14 +178,20 @@ class FacePipeline:
             canvases[i], scales[i] = letterbox_host(img, width, height)
 
         detect_fn, tail_fn = self._batch_jits(n)
+        # One host->device transfer for the canvases: detect and the fused
+        # tail share the same device buffer.
+        import jax
+
+        canvases_dev = jnp.asarray(canvases)
         det_out = detect_fn(
             self.face_detection.variables,
-            jnp.asarray(canvases),
+            canvases_dev,
             jnp.asarray(scales),
         )
-        counts = np.asarray(det_out.count)
-        all_det = np.asarray(det_out.det)
-        all_kps = np.asarray(det_out.kps)
+        # One device->host sync for all three outputs.
+        counts, all_det, all_kps = jax.device_get(
+            (det_out.count, det_out.det, det_out.kps)
+        )
 
         results = [FaceExtractionResult() for _ in range(n)]
         matrices = np.zeros((n, 2, 3), np.float32)
@@ -211,14 +217,14 @@ class FacePipeline:
             selected[i] = True
 
         if selected.any():
-            q_probs, embs = tail_fn(
-                self.face_quality.variables,
-                self.face_extraction.variables,
-                jnp.asarray(canvases),
-                jnp.asarray(matrices),
+            q_probs, embs = jax.device_get(
+                tail_fn(
+                    self.face_quality.variables,
+                    self.face_extraction.variables,
+                    canvases_dev,
+                    jnp.asarray(matrices),
+                )
             )
-            q_probs = np.asarray(q_probs)
-            embs = np.asarray(embs)
             thr = self.config.quality.threshold
             for i in range(n):
                 if not selected[i]:
@@ -235,9 +241,13 @@ class FacePipeline:
 
     def extract_image(self, image_bgr: np.ndarray) -> FaceExtractionResult:
         """Same as extract() for an already-decoded (H, W, 3) uint8 BGR image."""
+        import jax.numpy as jnp
+
         result = FaceExtractionResult()
 
-        detections, key_points = self.face_detection(image_bgr)
+        # One host->device transfer: detect and the fused tail share it.
+        img_dev = jnp.asarray(image_bgr)
+        detections, key_points = self.face_detection(img_dev)
         result.face_count = int(detections.shape[0])
         if self.debug:
             print(f"face_pipeline - detections: {detections}")
@@ -257,13 +267,11 @@ class FacePipeline:
             else None
         )
         if matrix is not None:
-            import jax.numpy as jnp
-
             fn = self._fused_tail_jit(*image_bgr.shape[:2])
             q_probs, feature = fn(
                 self.face_quality.variables,
                 self.face_extraction.variables,
-                jnp.asarray(image_bgr),
+                img_dev,
                 jnp.asarray(matrix),
             )
             q_probs = np.asarray(q_probs)
