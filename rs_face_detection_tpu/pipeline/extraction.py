@@ -36,12 +36,24 @@ class FaceExtraction:
         registry: Optional[ModelRegistry] = None,
         model=None,
         variables=None,
+        quantized: bool = False,
     ) -> None:
         self.cfg = cfg or FaceIdentificationConfig()
         if model is None or variables is None:
             registry = registry or default_registry()
             model, variables = registry.get(self.cfg.model_name)
         self.model = model
+        self.quantized = quantized
+        if quantized:
+            # Weight-only int8: params stored int8 + per-channel scales,
+            # dequantized inside the jit graph (ops/quantize.py).
+            import jax as _jax
+
+            from ..ops.quantize import quantize_tree
+
+            host_vars = _jax.device_get(variables)
+            variables = dict(host_vars)
+            variables["params"] = quantize_tree(host_vars["params"])
         self.variables = variables
         self._registry = registry
 
@@ -50,6 +62,11 @@ class FaceExtraction:
         out_w, out_h = self.cfg.image_size
 
         def run(variables, imgs_bgr):
+            if self.quantized:
+                from ..ops.quantize import dequantize_tree
+
+                variables = dict(variables)
+                variables["params"] = dequantize_tree(variables["params"])
             x = jax.vmap(lambda im: resize_bilinear(im, out_h, out_w))(
                 imgs_bgr.astype(jnp.float32)
             )
