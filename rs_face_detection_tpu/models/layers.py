@@ -23,6 +23,20 @@ def leaky_relu(negative_slope: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return act
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/b, W/b, b*b*C), channel k = (bi*b + bj)*C + c.
+
+    The standard TPU stem transform: a stride-b conv on few channels becomes
+    a stride-1 conv on b*b*C channels, filling MXU lanes instead of wasting
+    125 of 128 on a 3-channel input.
+    """
+    b, h, w, c = x.shape
+    assert h % block == 0 and w % block == 0, (x.shape, block)
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, block * block * c)
+
+
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm + optional activation (NHWC)."""
 
@@ -31,6 +45,7 @@ class ConvBN(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     groups: int = 1
     act: Callable[[jnp.ndarray], jnp.ndarray] | None = nn.relu
+    padding: Any = "SAME"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -39,7 +54,7 @@ class ConvBN(nn.Module):
             self.features,
             self.kernel,
             strides=self.strides,
-            padding="SAME",
+            padding=self.padding,
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,

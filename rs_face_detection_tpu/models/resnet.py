@@ -13,7 +13,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvBN
+from .layers import ConvBN, space_to_depth
 
 
 class Bottleneck(nn.Module):
@@ -40,17 +40,39 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """ResNet-50 trunk emitting (C3, C4, C5)."""
+    """ResNet-50 trunk emitting (C3, C4, C5).
+
+    stem_space_to_depth (default True) replaces the MXU-hostile 7x7/s2 conv
+    on 3 channels with an exactly-equivalent 4x4/s1 conv on the 2x2
+    space-to-depth input (12 channels): same receptive field and output, ~4x
+    better MXU lane utilization.  Imported 7x7 weights convert exactly via
+    models.import_weights.stem7x7_to_s2d.
+    """
 
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    stem_space_to_depth: bool = True
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         dt = self.dtype
-        x = ConvBN(64, (7, 7), (2, 2), act=nn.relu, dtype=dt, name="stem")(x, train)
+        if self.stem_space_to_depth:
+            x = space_to_depth(x, 2)
+            # Equivalent to conv 7x7/s2 pad (2,3): taps a=floor((u-2)/2)+1,
+            # block phase bi=(u-2) mod 2, giving a 4x4 kernel, pad (1, 2).
+            x = ConvBN(
+                64,
+                (4, 4),
+                (1, 1),
+                act=nn.relu,
+                padding=((1, 2), (1, 2)),
+                dtype=dt,
+                name="stem",
+            )(x, train)
+        else:
+            x = ConvBN(64, (7, 7), (2, 2), act=nn.relu, dtype=dt, name="stem")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         widths = (64, 128, 256, 512)

@@ -114,3 +114,39 @@ def test_checkpoint_roundtrip(tmp_path):
     out1 = model.apply(variables, x, train=False)
     out2 = model.apply(restored, x, train=False)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+def test_s2d_stem_equivalence():
+    """space-to-depth 4x4 stem == 7x7/s2 stem with converted weights."""
+    import flax.linen as nn
+
+    from rs_face_detection_tpu.models.import_weights import stem7x7_to_s2d
+    from rs_face_detection_tpu.models.layers import space_to_depth
+
+    rng = np.random.default_rng(0)
+    w7 = rng.normal(0, 0.1, (7, 7, 3, 8)).astype(np.float32)
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    conv7 = nn.Conv(8, (7, 7), strides=(2, 2), padding="SAME", use_bias=False)
+    ref = conv7.apply({"params": {"kernel": jnp.asarray(w7)}}, jnp.asarray(x))
+
+    w4 = stem7x7_to_s2d(w7)
+    conv4 = nn.Conv(8, (4, 4), padding=((1, 2), (1, 2)), use_bias=False)
+    got = conv4.apply(
+        {"params": {"kernel": jnp.asarray(w4)}},
+        space_to_depth(jnp.asarray(x), 2),
+    )
+    assert got.shape == ref.shape == (2, 32, 32, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_resnet50_s2d_stem_shapes_unchanged():
+    from rs_face_detection_tpu.models.resnet import ResNet50
+
+    model = ResNet50(stem_space_to_depth=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    c3, c4, c5 = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert c3.shape == (1, 8, 8, 512)
+    assert c5.shape == (1, 2, 2, 2048)
+    # Stem kernel really is the 4x4 x 12-channel form.
+    assert variables["params"]["stem"]["Conv_0"]["kernel"].shape == (4, 4, 12, 64)
