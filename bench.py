@@ -31,10 +31,10 @@ def _throughput(fn, variables, make_batch, batch, n_batches=12):
     import jax
 
     batches = [make_batch(i) for i in range(n_batches)]
-    scales = batches[0][1]
-    jax.block_until_ready(fn(variables, batches[0][0], scales))  # compile
+    warmup = make_batch(n_batches)  # never reused: relay caches identical calls
+    jax.block_until_ready(fn(variables, *warmup))  # compile
     t0 = time.perf_counter()
-    outs = [fn(variables, imgs, s) for imgs, s in batches]
+    outs = [fn(variables, imgs, sc) for imgs, sc in batches]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / n_batches
     return batch / dt, dt
@@ -45,7 +45,8 @@ def _latency(fn, variables, make_batch, iters=20):
     import jax
 
     batches = [make_batch(i) for i in range(iters)]
-    jax.block_until_ready(fn(variables, *batches[0]))
+    warmup = make_batch(iters)  # never reused: the relay caches identical calls
+    jax.block_until_ready(fn(variables, *warmup))
     ts = []
     for imgs, scales in batches:
         t0 = time.perf_counter()

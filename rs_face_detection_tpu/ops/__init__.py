@@ -17,7 +17,14 @@ from .box_decode import (
     clip_points,
     landmark_pred,
 )
+from .eval import average_precision, evaluate_detector, match_detections
 from .nms import nms_mask, nms_mask_fixpoint, nms_mask_greedy, nms_numpy
+from .quantize import (
+    dequantize_tree,
+    int8_matmul,
+    quantize_array,
+    quantize_tree,
+)
 from .umeyama import umeyama_similarity, umeyama_similarity_np
 
 __all__ = [
@@ -30,10 +37,17 @@ __all__ = [
     "clip_boxes",
     "clip_points",
     "landmark_pred",
+    "average_precision",
+    "evaluate_detector",
+    "match_detections",
     "nms_mask",
     "nms_mask_fixpoint",
     "nms_mask_greedy",
     "nms_numpy",
+    "dequantize_tree",
+    "int8_matmul",
+    "quantize_array",
+    "quantize_tree",
     "umeyama_similarity",
     "umeyama_similarity_np",
 ]

@@ -136,7 +136,8 @@ def int8_matmul(
     scale2d = scale.reshape(1, n)
 
     block_n = min(block_n, n)
-    assert n % block_n == 0, f"N={n} not divisible by block_n={block_n}"
+    while n % block_n:
+        block_n -= 1  # largest divisor of n <= requested block
 
     return pl.pallas_call(
         _int8_matmul_kernel,

@@ -232,7 +232,18 @@ def arcface_margin_loss(
     cos = jnp.clip(emb @ w.T, -1.0 + 1e-7, 1.0 - 1e-7)  # (B, C)
     theta = jnp.arccos(cos)
     target_onehot = jax.nn.one_hot(labels, class_weights.shape[0])
-    cos_with_margin = jnp.cos(theta + margin * target_onehot)
+    # Guard against theta + m wrapping past pi (which would make the target
+    # logit non-monotonic in theta and reverse gradients for the
+    # worst-misclassified samples): beyond the wrap point use the standard
+    # linear fallback cos(theta) - m*sin(m).
+    import math
+
+    margined = jnp.where(
+        theta <= math.pi - margin,
+        jnp.cos(theta + margin),
+        cos - margin * math.sin(margin),
+    )
+    cos_with_margin = jnp.where(target_onehot > 0, margined, cos)
     logits = scale * cos_with_margin
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.sum(target_onehot * logp, axis=-1))

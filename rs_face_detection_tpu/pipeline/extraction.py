@@ -29,6 +29,11 @@ from ..models.registry import ModelRegistry, default_registry
 from ..ops.image import bgr_to_rgb, normalize, resize_bilinear
 
 
+#: ArcFace preprocessing constants (face_extraction.rs:69): (px-127.5)*0.0078125.
+EMBED_MEAN = (127.5, 127.5, 127.5)
+EMBED_SCALE = (0.0078125, 0.0078125, 0.0078125)
+
+
 class FaceExtraction:
     def __init__(
         self,
@@ -54,6 +59,9 @@ class FaceExtraction:
             host_vars = _jax.device_get(variables)
             variables = dict(host_vars)
             variables["params"] = quantize_tree(host_vars["params"])
+            # Resident on device once: int8 leaves stream from HBM per call
+            # instead of re-uploading from host.
+            variables = _jax.tree.map(_jax.numpy.asarray, variables)
         self.variables = variables
         self._registry = registry
 
@@ -71,7 +79,7 @@ class FaceExtraction:
                 imgs_bgr.astype(jnp.float32)
             )
             x = bgr_to_rgb(x)
-            x = normalize(x, (127.5, 127.5, 127.5), (0.0078125,) * 3)
+            x = normalize(x, EMBED_MEAN, EMBED_SCALE)
             emb = self.model.apply(variables, x, train=False)  # (B, D)
             norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
             return emb / jnp.maximum(norm, 1e-12)

@@ -87,23 +87,28 @@ class FacePipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.image import bgr_to_rgb, normalize, warp_affine
+        from ..ops.image import bgr_to_rgb, normalize, resize_bilinear, warp_affine
+        from .extraction import EMBED_MEAN, EMBED_SCALE
         from .quality import _MEAN as _Q_MEAN, _STD as _Q_STD
 
         out_w, out_h = self.config.alignment.image_size
+        q_w, q_h = self.config.quality.image_size
+        e_w, e_h = self.config.identification.image_size
         q_model = self.face_quality.model
         e_model = self.face_extraction.model
 
         def run(q_vars, e_vars, img_u8, matrix):
             face = warp_affine(img_u8.astype(jnp.float32), matrix, out_h, out_w)
-            rgb = bgr_to_rgb(face)[None]
+            rgb = bgr_to_rgb(face)
+            # Per-head resize (no-op when head size == alignment size) keeps
+            # parity with the staged modules under any config.
+            q_in = resize_bilinear(rgb, q_h, q_w)[None]
+            e_in = resize_bilinear(rgb, e_h, e_w)[None]
             q_probs = q_model.apply(
-                q_vars, normalize(rgb, _Q_MEAN, _Q_STD), train=False
+                q_vars, normalize(q_in, _Q_MEAN, _Q_STD), train=False
             )
             emb = e_model.apply(
-                e_vars,
-                normalize(rgb, (127.5,) * 3, (0.0078125,) * 3),
-                train=False,
+                e_vars, normalize(e_in, EMBED_MEAN, EMBED_SCALE), train=False
             )
             emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
             return q_probs[0], emb[0]
@@ -121,11 +126,14 @@ class FacePipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.image import bgr_to_rgb, normalize, warp_affine
+        from ..ops.image import bgr_to_rgb, normalize, resize_bilinear, warp_affine
+        from .extraction import EMBED_MEAN, EMBED_SCALE
         from .quality import _MEAN as _Q_MEAN, _STD as _Q_STD
 
         detect_fn = self.face_detection.make_batched_fn()
         out_w, out_h = self.config.alignment.image_size
+        q_w, q_h = self.config.quality.image_size
+        e_w, e_h = self.config.identification.image_size
         q_model = self.face_quality.model
         e_model = self.face_extraction.model
 
@@ -135,13 +143,13 @@ class FacePipeline:
 
             faces = jax.vmap(warp_one)(imgs_u8, matrices)
             rgb = bgr_to_rgb(faces)
+            q_in = jax.vmap(lambda f: resize_bilinear(f, q_h, q_w))(rgb)
+            e_in = jax.vmap(lambda f: resize_bilinear(f, e_h, e_w))(rgb)
             q_probs = q_model.apply(
-                q_vars, normalize(rgb, _Q_MEAN, _Q_STD), train=False
+                q_vars, normalize(q_in, _Q_MEAN, _Q_STD), train=False
             )
             emb = e_model.apply(
-                e_vars,
-                normalize(rgb, (127.5,) * 3, (0.0078125,) * 3),
-                train=False,
+                e_vars, normalize(e_in, EMBED_MEAN, EMBED_SCALE), train=False
             )
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
@@ -159,6 +167,9 @@ class FacePipeline:
         det_scale), so very large inputs are sampled at detector resolution —
         the single-image extract() path samples the original instead.
         """
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax.numpy as jnp
 
         from ..parallel.serving import letterbox_host
@@ -168,16 +179,20 @@ class FacePipeline:
         if n == 0:
             return []
         width, height = self.config.detection.image_size
-        images = [
-            _decode(p) if isinstance(p, (bytes, bytearray)) else p
-            for p in payloads
-        ]
-        canvases = np.zeros((n, height, width, 3), np.uint8)
-        scales = np.ones((n,), np.float32)
-        for i, img in enumerate(images):
-            canvases[i], scales[i] = letterbox_host(img, width, height)
+
+        def prep(p):
+            img = _decode(p) if isinstance(p, (bytes, bytearray)) else p
+            canvas, scale = letterbox_host(img, width, height)
+            return img, canvas, scale
+
+        with ThreadPoolExecutor(max_workers=min(8, n)) as pool:
+            prepped = list(pool.map(prep, payloads))
+        images = [p[0] for p in prepped]
+        canvases = np.stack([p[1] for p in prepped])
+        scales = np.asarray([p[2] for p in prepped], np.float32)
 
         detect_fn, tail_fn = self._batch_jits(n)
+        detect_start = time.perf_counter()
         # One host->device transfer for the canvases: detect and the fused
         # tail share the same device buffer.
         import jax
@@ -192,10 +207,17 @@ class FacePipeline:
         counts, all_det, all_kps = jax.device_get(
             (det_out.count, det_out.det, det_out.kps)
         )
+        if self._registry is not None:
+            self._registry.record(
+                self.config.detection.model_name,
+                n,
+                time.perf_counter() - detect_start,
+            )
 
         results = [FaceExtractionResult() for _ in range(n)]
         matrices = np.zeros((n, 2, 3), np.float32)
         selected = np.zeros(n, bool)
+        staged = []  # (index, box, points): crop-fallback / no-face-compat
         for i in range(n):
             boxes = all_det[i, : counts[i]]
             kps = all_kps[i, : counts[i]]
@@ -203,10 +225,16 @@ class FacePipeline:
             box, points = self.face_selection(
                 images[i].shape[:2], boxes, kps, is_enroll=self.enroll
             )
-            if box is None or points is None:
+            if box is None:
+                if self.process_on_no_face:
+                    staged.append((i, None, None))
                 continue
-            m = self.face_alignment.estimate(points)
+            m = self.face_alignment.estimate(points) if points is not None else None
             if m is None:
+                # Degenerate/missing landmarks: same margin-crop fallback as
+                # extract_image, staged per image.
+                results[i].selected_face_box = box
+                staged.append((i, box, points))
                 continue
             results[i].selected_face_box = box
             # Rescale: matrix maps original coords; we warp the letterboxed
@@ -216,7 +244,10 @@ class FacePipeline:
             matrices[i] = m_canvas
             selected[i] = True
 
+        from .quality import demote_quality
+
         if selected.any():
+            tail_start = time.perf_counter()
             q_probs, embs = jax.device_get(
                 tail_fn(
                     self.face_quality.variables,
@@ -225,18 +256,27 @@ class FacePipeline:
                     jnp.asarray(matrices),
                 )
             )
+            if self._registry is not None:
+                dur = time.perf_counter() - tail_start
+                k = int(selected.sum())
+                self._registry.record(self.config.quality.model_name, k, dur)
+                self._registry.record(self.config.identification.model_name, k, dur)
             thr = self.config.quality.threshold
             for i in range(n):
                 if not selected[i]:
                     continue
-                predict = int(np.argmax(q_probs[i]))
-                score = float(q_probs[i, predict])
-                if predict == 1 and score < thr:
-                    predict = 0
-                    score = float(q_probs[i, 0])
+                predict, score = demote_quality(q_probs[i], thr)
                 results[i].face_quality = FaceQualityClass(predict)
                 results[i].quality_score = score
                 results[i].facial_feature = embs[i]
+
+        for i, box, points in staged:
+            aligned = self.face_alignment(images[i], box, points)
+            scores_q, classes_q = self.face_quality([aligned])
+            feats = self.face_extraction([aligned])
+            results[i].face_quality = FaceQualityClass(classes_q[0])
+            results[i].quality_score = scores_q[0]
+            results[i].facial_feature = feats[0]
         return results
 
     def extract_image(self, image_bgr: np.ndarray) -> FaceExtractionResult:
@@ -267,7 +307,12 @@ class FacePipeline:
             else None
         )
         if matrix is not None:
+            import time
+
+            from .quality import demote_quality
+
             fn = self._fused_tail_jit(*image_bgr.shape[:2])
+            tail_start = time.perf_counter()
             q_probs, feature = fn(
                 self.face_quality.variables,
                 self.face_extraction.variables,
@@ -275,13 +320,15 @@ class FacePipeline:
                 jnp.asarray(matrix),
             )
             q_probs = np.asarray(q_probs)
-            predict = int(np.argmax(q_probs))
-            score = float(q_probs[predict])
-            if predict == 1 and score < self.config.quality.threshold:
-                predict = 0
-                score = float(q_probs[0])
-            quality_classes, quality_scores = [predict], [score]
             features = np.asarray(feature)[None]
+            if self._registry is not None:
+                dur = time.perf_counter() - tail_start
+                self._registry.record(self.config.quality.model_name, 1, dur)
+                self._registry.record(
+                    self.config.identification.model_name, 1, dur
+                )
+            predict, score = demote_quality(q_probs, self.config.quality.threshold)
+            quality_classes, quality_scores = [predict], [score]
         else:
             aligned = self.face_alignment(image_bgr, selected_box, selected_points)
             quality_scores, quality_classes = self.face_quality([aligned])

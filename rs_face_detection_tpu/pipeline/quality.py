@@ -30,6 +30,23 @@ _MEAN = (123.675, 116.28, 103.53)
 _STD = (0.01712475, 0.017507, 0.01742919)
 
 
+def demote_quality(probs, threshold: float):
+    """Argmax + threshold demotion (face_quality.rs:160-166).
+
+    Class 1 (Good) below `threshold` demotes to class 0 (Bad), reporting
+    class 0's probability.  Shared by the staged module and the fused
+    pipeline tails so the rule lives in one place.
+    """
+    import numpy as _np
+
+    predict = int(_np.argmax(probs))
+    score = float(probs[predict])
+    if predict == 1 and score < threshold:
+        predict = 0
+        score = float(probs[0])
+    return predict, score
+
+
 class FaceQuality:
     def __init__(
         self,
@@ -82,11 +99,7 @@ class FaceQuality:
         scores: List[float] = []
         classes: List[int] = []
         for row in probs:
-            predict = int(np.argmax(row))
-            score = float(row[predict])
-            if predict == 1 and score < self.cfg.threshold:
-                predict = 0
-                score = float(row[0])
+            predict, score = demote_quality(row, self.cfg.threshold)
             classes.append(predict)
             scores.append(score)
         return scores, classes

@@ -157,3 +157,18 @@ def test_extract_batch_matches_single(pipeline):
             )
             assert br.face_quality == sr.face_quality
     assert pipeline.extract_batch([]) == []
+
+
+def test_extract_batch_degenerate_landmarks_fallback(pipeline, monkeypatch):
+    """extract_batch must stage the crop fallback like extract_image does."""
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    # Force every similarity estimate to fail -> all faces take the fallback.
+    monkeypatch.setattr(pipeline.face_alignment, "estimate", lambda pts: None)
+    results = pipeline.extract_batch(imgs)
+    for img, br in zip(imgs, results):
+        sr = pipeline.extract_image(img)
+        assert br.face_count == sr.face_count
+        if sr.facial_feature is not None:
+            assert br.facial_feature is not None
+            assert br.selected_face_box is not None
