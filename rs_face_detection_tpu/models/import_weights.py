@@ -57,24 +57,30 @@ def torch_bn_to_flax(
     }
 
 
-def stem7x7_to_s2d(kernel_hwio: np.ndarray) -> np.ndarray:
-    """Exactly convert a 7x7/s2 stem kernel to the space-to-depth 4x4 form.
+def stem_to_s2d(kernel_hwio: np.ndarray) -> np.ndarray:
+    """Exactly convert a (K, K)/stride-2 stem kernel to space-to-depth form.
 
-    Input: (7, 7, C, F) HWIO kernel applied with stride 2, pad (2, 3) (the
-    SAME padding XLA derives for this geometry).  Output: (4, 4, 4C, F)
-    kernel for a stride-1 conv with pad (1, 2) on the 2x2 space-to-depth
-    input whose channel k = (bi*2 + bj)*C + c.  The two convs produce
+    Input: (K, K, C, F) HWIO kernel applied with stride 2 and SAME padding
+    (XLA derives pad (2,3) for K=7, (0,1) for K=3 on even inputs).  Output:
+    (ceil(K/2), ceil(K/2), 4C, F) kernel for a stride-1 conv on the 2x2
+    space-to-depth input whose channel k = (bi*2 + bj)*C + c, with padding
+    ((1,2),(1,2)) for K=7 and ((0,1),(0,1)) for K=3.  The two convs produce
     identical outputs (tests/test_models.py::test_s2d_stem_equivalence).
     """
     kh, kw, c, f = kernel_hwio.shape
-    assert (kh, kw) == (7, 7), kernel_hwio.shape
-    out = np.zeros((4, 4, 4 * c, f), dtype=kernel_hwio.dtype)
-    for u in range(7):
-        for v in range(7):
+    assert kh == kw and kh % 2 == 1, kernel_hwio.shape
+    kk = (kh + 1) // 2
+    out = np.zeros((kk, kk, 4 * c, f), dtype=kernel_hwio.dtype)
+    for u in range(kh):
+        for v in range(kw):
             a, bi = divmod(u, 2)
             b, bj = divmod(v, 2)
             out[a, b, (bi * 2 + bj) * c : (bi * 2 + bj + 1) * c] = kernel_hwio[u, v]
     return out
+
+
+#: Backwards-compatible alias (the 7x7 ResNet stem case).
+stem7x7_to_s2d = stem_to_s2d
 
 
 def _set_path(tree: MutableMapping, path: Sequence[str], value: np.ndarray) -> None:

@@ -12,14 +12,21 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvBN, DepthwiseSeparable, leaky_relu
+from .layers import ConvBN, DepthwiseSeparable, leaky_relu, space_to_depth
 
 
 class MobileNetV1_025(nn.Module):
-    """Width-0.25 MobileNetV1 trunk emitting (C3, C4, C5)."""
+    """Width-0.25 MobileNetV1 trunk emitting (C3, C4, C5).
+
+    stem_space_to_depth (default True) replaces the 3-channel 3x3/s2 stem
+    with the exactly-equivalent 2x2/s1 conv on the 2x2 space-to-depth input
+    (12 channels) — same MXU-utilization fix as the ResNet stem; imported
+    3x3 weights convert via models.import_weights.stem_to_s2d.
+    """
 
     dtype: Any = jnp.float32
     negative_slope: float = 0.1
+    stem_space_to_depth: bool = True
 
     @nn.compact
     def __call__(
@@ -29,7 +36,22 @@ class MobileNetV1_025(nn.Module):
         dt = self.dtype
 
         # Stage 1 -> stride 8, 64 channels.
-        x = ConvBN(8, (3, 3), (2, 2), act=act, dtype=dt, name="conv1")(x, train)
+        if self.stem_space_to_depth:
+            b0, h0, w0, _ = x.shape
+            if h0 % 2 or w0 % 2:
+                x = jnp.pad(x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)))
+            x = space_to_depth(x, 2)
+            x = ConvBN(
+                8,
+                (2, 2),
+                (1, 1),
+                act=act,
+                padding=((0, 1), (0, 1)),
+                dtype=dt,
+                name="conv1",
+            )(x, train)
+        else:
+            x = ConvBN(8, (3, 3), (2, 2), act=act, dtype=dt, name="conv1")(x, train)
         x = DepthwiseSeparable(16, (1, 1), dtype=dt, name="ds1")(x, train)
         x = DepthwiseSeparable(32, (2, 2), dtype=dt, name="ds2")(x, train)
         x = DepthwiseSeparable(32, (1, 1), dtype=dt, name="ds3")(x, train)

@@ -150,3 +150,28 @@ def test_resnet50_s2d_stem_shapes_unchanged():
     assert c5.shape == (1, 2, 2, 2048)
     # Stem kernel really is the 4x4 x 12-channel form.
     assert variables["params"]["stem"]["Conv_0"]["kernel"].shape == (4, 4, 12, 64)
+
+
+def test_s2d_stem_equivalence_3x3():
+    """2x2 s2d stem == 3x3/s2 stem with converted weights (MobileNet case)."""
+    import flax.linen as nn
+
+    from rs_face_detection_tpu.models.import_weights import stem_to_s2d
+    from rs_face_detection_tpu.models.layers import space_to_depth
+
+    rng = np.random.default_rng(1)
+    w3 = rng.normal(0, 0.1, (3, 3, 3, 8)).astype(np.float32)
+    x = rng.normal(0, 1, (2, 64, 48, 3)).astype(np.float32)
+
+    conv3 = nn.Conv(8, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)
+    ref = conv3.apply({"params": {"kernel": jnp.asarray(w3)}}, jnp.asarray(x))
+
+    w2 = stem_to_s2d(w3)
+    assert w2.shape == (2, 2, 12, 8)
+    conv2 = nn.Conv(8, (2, 2), padding=((0, 1), (0, 1)), use_bias=False)
+    got = conv2.apply(
+        {"params": {"kernel": jnp.asarray(w2)}},
+        space_to_depth(jnp.asarray(x), 2),
+    )
+    assert got.shape == ref.shape == (2, 32, 24, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
