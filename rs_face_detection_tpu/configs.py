@@ -70,7 +70,12 @@ class FaceDetectionConfig:
     iou_threshold: float = 0.45
     # --- TPU-native additions ---
     backbone: str = "mobilenet025"  # or "resnet50"
-    max_candidates: int = 512  # static top-k kept after the confidence filter
+    # Static top-k kept after the confidence filter.  NMS cost scales with
+    # max_candidates^2; at the production 0.7 threshold, 256 simultaneous
+    # candidates is already extreme (output caps at max_detections anyway).
+    # Raise this (with a lower confidence_threshold) for dense-scene
+    # evaluation such as WIDER-hard.
+    max_candidates: int = 256
     max_detections: int = 100  # static post-NMS output rows
     feat_strides: Tuple[int, ...] = (32, 16, 8)
     bbox_stds: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
