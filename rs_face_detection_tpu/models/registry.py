@@ -78,7 +78,12 @@ class ModelRegistry:
             self._builders[name] = builder
 
     def load(self, name: str) -> None:
-        """Instantiate a registered builder (repository_model_load analog)."""
+        """Instantiate a registered builder (repository_model_load analog).
+
+        Concurrent loads of the same name may build redundantly, but only the
+        first result is kept — a later register would silently replace the
+        live entry and discard its accumulated statistics.
+        """
         with self._lock:
             if name in self._models:
                 return
@@ -86,7 +91,9 @@ class ModelRegistry:
                 raise KeyError(f"model {name!r} has no registered builder")
             builder = self._builders[name]
         spec, module, variables = builder()
-        self.register(spec, module, variables)
+        with self._lock:
+            if spec.name not in self._models:
+                self._models[spec.name] = _Entry(spec, module, variables, module.apply)
 
     def register(self, spec: ModelSpec, module: Any, variables: Any) -> None:
         apply_fn = module.apply
