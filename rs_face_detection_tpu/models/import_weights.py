@@ -108,7 +108,7 @@ def apply_mapping(
     """Write torch tensors into a copy of `variables` per the mapping.
 
     mapping: {"params/body/conv1/Conv_0/kernel": ("body.conv1.0", "conv"), ...}
-    kinds: "conv" | "dense" | "bn" | "raw".
+    kinds: "conv" | "conv_s2d" (stride-2 stem into a space-to-depth model) | "dense" | "bn" | "raw".
     For "bn", the flax path points at the BatchNorm module directory (both
     collections are filled); for others, at the leaf.
 
@@ -125,6 +125,12 @@ def apply_mapping(
         parts = flax_path.split("/")
         if kind == "conv":
             value = torch_conv_to_flax(state_dict[f"{torch_key}.weight"])
+            consumed.add(f"{torch_key}.weight")
+            _set_path(new_vars, parts, value)
+        elif kind == "conv_s2d":
+            # Stride-2 stem conv into a space-to-depth model: OIHW -> HWIO,
+            # then the exact s2d re-expression (stem_to_s2d).
+            value = stem_to_s2d(torch_conv_to_flax(state_dict[f"{torch_key}.weight"]))
             consumed.add(f"{torch_key}.weight")
             _set_path(new_vars, parts, value)
         elif kind == "dense":

@@ -39,7 +39,10 @@ class MobileNetV1_025(nn.Module):
         if self.stem_space_to_depth:
             b0, h0, w0, _ = x.shape
             if h0 % 2 or w0 % 2:
-                x = jnp.pad(x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)))
+                # Odd dims: SAME padding for stride 2 puts an extra zero on
+                # the LOW side; prepending it keeps the s2d conv exactly
+                # equal to the classic stem (see test_s2d_stem_odd_inputs).
+                x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
             x = space_to_depth(x, 2)
             x = ConvBN(
                 8,

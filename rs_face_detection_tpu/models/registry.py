@@ -91,9 +91,13 @@ class ModelRegistry:
                 raise KeyError(f"model {name!r} has no registered builder")
             builder = self._builders[name]
         spec, module, variables = builder()
+        if spec.name != name:
+            raise ValueError(
+                f"builder registered as {name!r} returned spec.name={spec.name!r}"
+            )
         with self._lock:
-            if spec.name not in self._models:
-                self._models[spec.name] = _Entry(spec, module, variables, module.apply)
+            if name not in self._models:
+                self._models[name] = _Entry(spec, module, variables, module.apply)
 
     def register(self, spec: ModelSpec, module: Any, variables: Any) -> None:
         apply_fn = module.apply

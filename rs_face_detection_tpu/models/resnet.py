@@ -59,12 +59,12 @@ class ResNet50(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         dt = self.dtype
         if self.stem_space_to_depth:
-            # Odd spatial sizes: zero-pad to even (output size matches the
-            # classic SAME 7x7/s2 stem's ceil(H/2); only border values can
-            # differ, by at most one padded column's contribution).
             b0, h0, w0, _ = x.shape
             if h0 % 2 or w0 % 2:
-                x = jnp.pad(x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)))
+                # Odd dims: SAME padding for stride 2 puts an extra zero on
+                # the LOW side; prepending it keeps the s2d conv exactly
+                # equal to the classic stem (see test_s2d_stem_odd_inputs).
+                x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
             x = space_to_depth(x, 2)
             # Equivalent to conv 7x7/s2 pad (2,3): taps a=floor((u-2)/2)+1,
             # block phase bi=(u-2) mod 2, giving a 4x4 kernel, pad (1, 2).

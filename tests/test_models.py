@@ -175,3 +175,59 @@ def test_s2d_stem_equivalence_3x3():
     )
     assert got.shape == ref.shape == (2, 32, 24, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_stem_odd_inputs_exact():
+    """Odd-sized inputs: s2d stems remain exactly equal to the classic convs."""
+    import flax.linen as nn
+
+    from rs_face_detection_tpu.models.import_weights import stem_to_s2d
+    from rs_face_detection_tpu.models.layers import space_to_depth
+
+    rng = np.random.default_rng(2)
+    for k, new_pad in ((3, ((0, 1), (0, 1))), (7, ((1, 2), (1, 2)))):
+        w = rng.normal(0, 0.1, (k, k, 3, 8)).astype(np.float32)
+        x = rng.normal(0, 1, (1, 65, 47, 3)).astype(np.float32)
+
+        conv = nn.Conv(8, (k, k), strides=(2, 2), padding="SAME", use_bias=False)
+        ref = conv.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
+
+        # Low-side zero pad to even, then the even-case s2d machinery.
+        xp = jnp.pad(jnp.asarray(x), ((0, 0), (1, 0), (1, 0), (0, 0)))
+        conv_s = nn.Conv(8, ((k + 1) // 2,) * 2, padding=new_pad, use_bias=False)
+        got = conv_s.apply(
+            {"params": {"kernel": jnp.asarray(stem_to_s2d(w))}},
+            space_to_depth(xp, 2),
+        )
+        assert got.shape == ref.shape, (k, got.shape, ref.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg=f"k={k}",
+        )
+
+
+def test_conv_s2d_import_kind():
+    """apply_mapping 'conv_s2d' routes a torch stem into the s2d model layout."""
+    import torch
+
+    from rs_face_detection_tpu.models.import_weights import apply_mapping
+    from rs_face_detection_tpu.models.mobilenet import MobileNetV1_025
+
+    model = MobileNetV1_025()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    tconv = torch.nn.Conv2d(3, 8, 3, stride=2, padding=1, bias=False)
+    state_dict = {"stage1.0.weight": tconv.weight.detach().numpy()}
+    new_vars, unconsumed = apply_mapping(
+        variables,
+        state_dict,
+        {"params/conv1/Conv_0/kernel": ("stage1.0", "conv_s2d")},
+    )
+    assert unconsumed == []
+    assert np.asarray(new_vars["params"]["conv1"]["Conv_0"]["kernel"]).shape == (
+        2,
+        2,
+        12,
+        8,
+    )

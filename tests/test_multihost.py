@@ -58,11 +58,17 @@ def test_two_process_collective(tmp_path):
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=220)
-        outs.append(out)
-        assert p.returncode == 0, out[-2000:]
-    # 8 rows of 1s + 8 rows of 2s, 16 cols: 128 + 256.
-    for out in outs:
-        assert "SUM 384.0" in out, out[-2000:]
+    try:
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=220)
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+        # 8 rows of 1s + 8 rows of 2s, 16 cols: 128 + 256.
+        for out in outs:
+            assert "SUM 384.0" in out, out[-2000:]
+    finally:
+        for p in procs:  # never leave an orphan coordination worker behind
+            if p.poll() is None:
+                p.kill()
