@@ -1,0 +1,90 @@
+"""Op-level profile of the fused detect graph on the current backend.
+
+Captures a jax.profiler trace of one batched detect call, then attributes the
+top device events back to source ops by cross-referencing fusion names with
+the compiled HLO's op_name metadata.  This is how the space-to-depth stem
+and max_candidates findings were made (see CLAUDE.md / memory notes).
+
+Usage:
+    python tools/profile_detect.py [--backbone mobilenet025] [--batch 32]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import re
+import shutil
+import sys
+import tempfile
+from collections import defaultdict
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--backbone", default="mobilenet025")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--image-size", type=int, default=640)
+    parser.add_argument("--top", type=int, default=25)
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rs_face_detection_tpu.configs import FaceDetectionConfig
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+    from rs_face_detection_tpu.utils.profiling import trace
+
+    size = (args.image_size, args.image_size)
+    cfg = FaceDetectionConfig(backbone=args.backbone, image_size=size)
+    model, variables = init_retinaface(args.backbone, size, dtype=jnp.bfloat16, seed=0)
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+    fn = det.make_batched_fn()
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (args.batch, size[1], size[0], 3), dtype=np.uint8)
+    )
+    scales = jnp.ones((args.batch,), jnp.float32)
+    jax.block_until_ready(fn(det.variables, imgs, scales))  # compile + warm
+
+    trace_dir = tempfile.mkdtemp(prefix="rsfd_profile_")
+    with trace(trace_dir):
+        jax.block_until_ready(fn(det.variables, imgs, scales))
+
+    hlo = fn.lower(det.variables, imgs, scales).compile().as_text()
+
+    def op_meta(name: str) -> str:
+        m = re.search(rf"^\s*%?{re.escape(name)} = .*$", hlo, re.M)
+        if not m:
+            return ""
+        mm = re.search(r'op_name="([^"]+)"', m.group(0))
+        return (mm.group(1) if mm else "")[:100]
+
+    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        print("no trace produced", file=sys.stderr)
+        return 1
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    by_name = defaultdict(float)
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and e.get("dur", 0) > 0:
+            by_name[e["name"]] += e["dur"]
+
+    print(f"# top {args.top} events ({args.backbone} b{args.batch} @ {size})")
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
+        extra = (
+            op_meta(name)
+            if name.split(".")[0] in ("fusion", "copy", "convolution", "while", "sort", "custom-call", "dynamic-slice")
+            else ""
+        )
+        print(f"{dur / 1000:9.3f} ms  {name[:34]:36s} {extra}")
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
