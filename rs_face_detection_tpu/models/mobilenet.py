@@ -18,15 +18,18 @@ from .layers import ConvBN, DepthwiseSeparable, leaky_relu, space_to_depth
 class MobileNetV1_025(nn.Module):
     """Width-0.25 MobileNetV1 trunk emitting (C3, C4, C5).
 
-    stem_space_to_depth (default True) replaces the 3-channel 3x3/s2 stem
-    with the exactly-equivalent 2x2/s1 conv on the 2x2 space-to-depth input
-    (12 channels) — same MXU-utilization fix as the ResNet stem; imported
-    3x3 weights convert via models.import_weights.stem_to_s2d.
+    stem_space_to_depth replaces the 3-channel 3x3/s2 stem with the
+    exactly-equivalent 2x2/s1 conv on the 2x2 space-to-depth input
+    (12 channels); imported 3x3 weights convert via
+    models.import_weights.stem_to_s2d.  Default False: profiled on v5e, the
+    mnet stem is also OUTPUT-channel-starved (8 of 128 lanes), so the s2d
+    layout copies cost more than the conv saves (unlike the 64-out ResNet
+    stem, where s2d is a net win and defaults on).
     """
 
     dtype: Any = jnp.float32
     negative_slope: float = 0.1
-    stem_space_to_depth: bool = True
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(

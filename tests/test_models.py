@@ -213,7 +213,7 @@ def test_conv_s2d_import_kind():
     from rs_face_detection_tpu.models.import_weights import apply_mapping
     from rs_face_detection_tpu.models.mobilenet import MobileNetV1_025
 
-    model = MobileNetV1_025()
+    model = MobileNetV1_025(stem_space_to_depth=True)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
     )

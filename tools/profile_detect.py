@@ -13,11 +13,15 @@ import argparse
 import glob
 import gzip
 import json
+import os
 import re
 import shutil
 import sys
 import tempfile
 from collections import defaultdict
+
+# Runnable from a source checkout without installation.
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
