@@ -18,6 +18,7 @@ from .box_decode import (
     landmark_pred,
 )
 from .eval import average_precision, evaluate_detector, match_detections
+from .matching import Gallery, cosine_scores, normalize_rows, search, verify
 from .nms import nms_mask, nms_mask_fixpoint, nms_mask_greedy, nms_numpy
 from .quantize import (
     dequantize_tree,
@@ -38,6 +39,11 @@ __all__ = [
     "clip_points",
     "landmark_pred",
     "average_precision",
+    "Gallery",
+    "cosine_scores",
+    "normalize_rows",
+    "search",
+    "verify",
     "evaluate_detector",
     "match_detections",
     "nms_mask",
