@@ -220,7 +220,49 @@ void rsfd_decode_letterbox_batch(const uint8_t** datas, const size_t* lens,
   for (auto& t : threads) t.join();
 }
 
+// 2x2 space-to-depth reshuffle: (n, h, w, 3) u8 -> (n, h/2, w/2, 12) u8 with
+// output channel k = (bi*2 + bj)*3 + c (bi/bj = row/col within the 2x2
+// block, c = source channel order).  This is the MXU-ready stem layout the
+// serving path feeds to space-to-depth backbones (ops/image.py
+// s2d_layout_host is the numpy reference; pipeline/detection.py
+// make_batched_fn(pre_s2d=True) consumes it).  Done here because the
+// reshuffle is memcpy-speed on host but costs ~1.4 ms of relayout copies
+// per R50 batch-8 step if left to the TPU.  Threaded over images.
+void rsfd_s2d_batch(const uint8_t* src, int n, int h, int w, uint8_t* dst,
+                    int num_threads) {
+  if (n <= 0 || h % 2 || w % 2) return;
+  int workers = num_threads > 0
+                    ? num_threads
+                    : static_cast<int>(std::thread::hardware_concurrency());
+  workers = std::max(1, std::min(workers, n));
+  const int h2 = h / 2, w2 = w / 2;
+  const size_t in_frame = static_cast<size_t>(h) * w * 3;
+  const size_t out_frame = static_cast<size_t>(h2) * w2 * 12;
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int img = next.fetch_add(1);
+      if (img >= n) return;
+      const uint8_t* s = src + in_frame * img;
+      uint8_t* d = dst + out_frame * img;
+      for (int i = 0; i < h2; ++i) {
+        const uint8_t* r0 = s + static_cast<size_t>(2 * i) * w * 3;
+        const uint8_t* r1 = r0 + static_cast<size_t>(w) * 3;
+        uint8_t* o = d + static_cast<size_t>(i) * w2 * 12;
+        for (int j = 0; j < w2; ++j) {
+          std::memcpy(o, r0 + j * 6, 6);      // (bi=0, bj=0..1)
+          std::memcpy(o + 6, r1 + j * 6, 6);  // (bi=1, bj=0..1)
+          o += 12;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < workers; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+}
+
 // Version tag for the ctypes wrapper to sanity-check the ABI.
-int rsfd_abi_version() { return 1; }
+int rsfd_abi_version() { return 2; }
 
 }  // extern "C"

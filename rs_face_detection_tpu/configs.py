@@ -77,6 +77,11 @@ class FaceDetectionConfig:
     # evaluation such as WIDER-hard.
     max_candidates: int = 256
     max_detections: int = 100  # static post-NMS output rows
+    # Candidate selection: "exact" (lax.top_k) or "approx"
+    # (lax.approx_max_k, recall_target 0.95) — the TPU-native approximate
+    # top-k is measurably cheaper on large anchor grids but may drop a few
+    # true candidates in dense scenes; keep "exact" for parity/eval.
+    candidate_selection: str = "exact"
     feat_strides: Tuple[int, ...] = (32, 16, 8)
     bbox_stds: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     landmark_std: float = 1.0

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -37,8 +38,74 @@ def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return x.reshape(b, h // block, w // block, block * block * c)
 
 
+class Int8Conv(nn.Module):
+    """int8 x int8 -> int32 conv on the MXU (v5e: 2x the bf16 peak).
+
+    Weights are per-output-channel symmetric int8 (`kernel_q` x
+    `kernel_scale`, see ops.quantize.quantize_array); activations quantize
+    per-tensor against a *static* calibrated absolute maximum (`amax`), so
+    serving pays no extra reductions — the quantize op is one elementwise
+    pass that XLA fuses into the producer.  With calibrate=True the conv
+    instead runs in float on the dequantized weights (the calibration
+    forward used to record `amax` ranges).
+
+    The reference has no low-precision story (fp32 over the wire to Triton
+    throughout — SURVEY.md §2); this is the TPU-native serving fast path.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, amax: jnp.ndarray, calibrate: bool = False
+    ) -> jnp.ndarray:
+        kh, kw = self.kernel
+        kq = self.param(
+            "kernel_q",
+            nn.initializers.zeros,
+            (kh, kw, x.shape[-1], self.features),
+            jnp.int8,
+        )
+        ks = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        dims = ("NHWC", "HWIO", "NHWC")
+        if calibrate:
+            w = kq.astype(self.dtype) * ks.astype(self.dtype)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w,
+                self.strides,
+                self.padding,
+                dimension_numbers=dims,
+            )
+        sx = jnp.maximum(amax, jnp.float32(1e-8)) / 127.0
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0
+        ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq,
+            kq,
+            self.strides,
+            self.padding,
+            dimension_numbers=dims,
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (sx * ks)).astype(self.dtype)
+
+
 class ConvBN(nn.Module):
-    """Conv2D + BatchNorm + optional activation (NHWC)."""
+    """Conv2D + BatchNorm + optional activation (NHWC).
+
+    quant=True swaps the conv for Int8Conv (groups == 1 only: depthwise
+    convs are bandwidth-bound, int8 buys them nothing).  Calibration state
+    (per-layer activation amax) lives in the "quant_stats" collection and is
+    recorded whenever that collection is mutable in `apply`.
+    """
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -47,19 +114,38 @@ class ConvBN(nn.Module):
     act: Callable[[jnp.ndarray], jnp.ndarray] | None = nn.relu
     padding: Any = "SAME"
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=self.padding,
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.quant and self.groups == 1:
+            amax_v = self.variable(
+                "quant_stats", "amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            calibrating = self.is_mutable_collection("quant_stats")
+            if calibrating:
+                amax_v.value = jnp.maximum(
+                    amax_v.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+            x = Int8Conv(
+                self.features,
+                self.kernel,
+                self.strides,
+                padding=self.padding,
+                dtype=self.dtype,
+                name="Conv_0",  # path-compatible with the float variant
+            )(x, amax_v.value, calibrate=calibrating)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=self.padding,
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -79,6 +165,7 @@ class DepthwiseSeparable(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     negative_slope: float = 0.1
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -94,7 +181,13 @@ class DepthwiseSeparable(nn.Module):
             name="dw",
         )(x, train)
         x = ConvBN(
-            self.features, (1, 1), (1, 1), act=act, dtype=self.dtype, name="pw"
+            self.features,
+            (1, 1),
+            (1, 1),
+            act=act,
+            dtype=self.dtype,
+            quant=self.quant,
+            name="pw",
         )(x, train)
         return x
 
@@ -105,6 +198,7 @@ class FPN(nn.Module):
     out_channels: int
     negative_slope: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -118,6 +212,7 @@ class FPN(nn.Module):
                 (1, 1),
                 act=act,
                 dtype=self.dtype,
+                quant=self.quant,
                 name=f"lateral{i}",
             )(f, train)
             for i, f in enumerate(feats)
@@ -131,6 +226,7 @@ class FPN(nn.Module):
                 (3, 3),
                 act=act,
                 dtype=self.dtype,
+                quant=self.quant,
                 name=f"merge{i}",
             )(merged, train)
             outs.insert(0, merged)
@@ -154,6 +250,7 @@ class SSH(nn.Module):
     out_channels: int
     negative_slope: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -162,20 +259,20 @@ class SSH(nn.Module):
         half = self.out_channels // 2
         quarter = self.out_channels // 4
 
-        conv3 = ConvBN(half, (3, 3), act=None, dtype=self.dtype, name="conv3")(
+        conv3 = ConvBN(half, (3, 3), act=None, dtype=self.dtype, quant=self.quant, name="conv3")(
             x, train
         )
         conv5_1 = ConvBN(
-            quarter, (3, 3), act=act, dtype=self.dtype, name="conv5_1"
+            quarter, (3, 3), act=act, dtype=self.dtype, quant=self.quant, name="conv5_1"
         )(x, train)
         conv5 = ConvBN(
-            quarter, (3, 3), act=None, dtype=self.dtype, name="conv5_2"
+            quarter, (3, 3), act=None, dtype=self.dtype, quant=self.quant, name="conv5_2"
         )(conv5_1, train)
         conv7_1 = ConvBN(
-            quarter, (3, 3), act=act, dtype=self.dtype, name="conv7_1"
+            quarter, (3, 3), act=act, dtype=self.dtype, quant=self.quant, name="conv7_1"
         )(conv5_1, train)
         conv7 = ConvBN(
-            quarter, (3, 3), act=None, dtype=self.dtype, name="conv7_2"
+            quarter, (3, 3), act=None, dtype=self.dtype, quant=self.quant, name="conv7_2"
         )(conv7_1, train)
 
         out = jnp.concatenate([conv3, conv5, conv7], axis=-1)

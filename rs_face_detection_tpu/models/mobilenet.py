@@ -30,6 +30,7 @@ class MobileNetV1_025(nn.Module):
     dtype: Any = jnp.float32
     negative_slope: float = 0.1
     stem_space_to_depth: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -40,13 +41,17 @@ class MobileNetV1_025(nn.Module):
 
         # Stage 1 -> stride 8, 64 channels.
         if self.stem_space_to_depth:
-            b0, h0, w0, _ = x.shape
-            if h0 % 2 or w0 % 2:
-                # Odd dims: SAME padding for stride 2 puts an extra zero on
-                # the LOW side; prepending it keeps the s2d conv exactly
-                # equal to the classic stem (see test_s2d_stem_odd_inputs).
-                x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
-            x = space_to_depth(x, 2)
+            if x.shape[-1] == 3:
+                b0, h0, w0, _ = x.shape
+                if h0 % 2 or w0 % 2:
+                    # Odd dims: SAME padding for stride 2 puts an extra zero
+                    # on the LOW side; prepending it keeps the s2d conv
+                    # exactly equal to the classic stem
+                    # (see test_s2d_stem_odd_inputs).
+                    x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
+                x = space_to_depth(x, 2)
+            # else: 12 channels — input arrived pre-transformed via
+            # ops.image.s2d_stem_input (uint8-domain fused preprocess).
             x = ConvBN(
                 8,
                 (2, 2),
@@ -54,28 +59,31 @@ class MobileNetV1_025(nn.Module):
                 act=act,
                 padding=((0, 1), (0, 1)),
                 dtype=dt,
+                quant=self.quant,
                 name="conv1",
             )(x, train)
         else:
-            x = ConvBN(8, (3, 3), (2, 2), act=act, dtype=dt, name="conv1")(x, train)
-        x = DepthwiseSeparable(16, (1, 1), dtype=dt, name="ds1")(x, train)
-        x = DepthwiseSeparable(32, (2, 2), dtype=dt, name="ds2")(x, train)
-        x = DepthwiseSeparable(32, (1, 1), dtype=dt, name="ds3")(x, train)
-        x = DepthwiseSeparable(64, (2, 2), dtype=dt, name="ds4")(x, train)
-        x = DepthwiseSeparable(64, (1, 1), dtype=dt, name="ds5")(x, train)
+            x = ConvBN(
+                8, (3, 3), (2, 2), act=act, dtype=dt, quant=self.quant, name="conv1"
+            )(x, train)
+        x = DepthwiseSeparable(16, (1, 1), dtype=dt, quant=self.quant, name="ds1")(x, train)
+        x = DepthwiseSeparable(32, (2, 2), dtype=dt, quant=self.quant, name="ds2")(x, train)
+        x = DepthwiseSeparable(32, (1, 1), dtype=dt, quant=self.quant, name="ds3")(x, train)
+        x = DepthwiseSeparable(64, (2, 2), dtype=dt, quant=self.quant, name="ds4")(x, train)
+        x = DepthwiseSeparable(64, (1, 1), dtype=dt, quant=self.quant, name="ds5")(x, train)
         c3 = x
 
         # Stage 2 -> stride 16, 128 channels.
-        x = DepthwiseSeparable(128, (2, 2), dtype=dt, name="ds6")(x, train)
+        x = DepthwiseSeparable(128, (2, 2), dtype=dt, quant=self.quant, name="ds6")(x, train)
         for i in range(5):
-            x = DepthwiseSeparable(128, (1, 1), dtype=dt, name=f"ds{7 + i}")(
+            x = DepthwiseSeparable(128, (1, 1), dtype=dt, quant=self.quant, name=f"ds{7 + i}")(
                 x, train
             )
         c4 = x
 
         # Stage 3 -> stride 32, 256 channels.
-        x = DepthwiseSeparable(256, (2, 2), dtype=dt, name="ds12")(x, train)
-        x = DepthwiseSeparable(256, (1, 1), dtype=dt, name="ds13")(x, train)
+        x = DepthwiseSeparable(256, (2, 2), dtype=dt, quant=self.quant, name="ds12")(x, train)
+        x = DepthwiseSeparable(256, (1, 1), dtype=dt, quant=self.quant, name="ds13")(x, train)
         c5 = x
 
         return c3, c4, c5

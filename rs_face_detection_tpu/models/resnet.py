@@ -20,21 +20,37 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x this
     strides: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         residual = x
         out_ch = self.features * 4
-        y = ConvBN(self.features, (1, 1), act=nn.relu, dtype=self.dtype, name="c1")(
-            x, train
-        )
+        q = self.quant
         y = ConvBN(
-            self.features, (3, 3), self.strides, act=nn.relu, dtype=self.dtype, name="c2"
+            self.features, (1, 1), act=nn.relu, dtype=self.dtype, quant=q, name="c1"
+        )(x, train)
+        y = ConvBN(
+            self.features,
+            (3, 3),
+            self.strides,
+            act=nn.relu,
+            dtype=self.dtype,
+            quant=q,
+            name="c2",
         )(y, train)
-        y = ConvBN(out_ch, (1, 1), act=None, dtype=self.dtype, name="c3")(y, train)
+        y = ConvBN(out_ch, (1, 1), act=None, dtype=self.dtype, quant=q, name="c3")(
+            y, train
+        )
         if residual.shape != y.shape:
             residual = ConvBN(
-                out_ch, (1, 1), self.strides, act=None, dtype=self.dtype, name="proj"
+                out_ch,
+                (1, 1),
+                self.strides,
+                act=None,
+                dtype=self.dtype,
+                quant=q,
+                name="proj",
             )(x, train)
         return nn.relu(y + residual)
 
@@ -52,6 +68,7 @@ class ResNet50(nn.Module):
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     stem_space_to_depth: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -59,13 +76,17 @@ class ResNet50(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         dt = self.dtype
         if self.stem_space_to_depth:
-            b0, h0, w0, _ = x.shape
-            if h0 % 2 or w0 % 2:
-                # Odd dims: SAME padding for stride 2 puts an extra zero on
-                # the LOW side; prepending it keeps the s2d conv exactly
-                # equal to the classic stem (see test_s2d_stem_odd_inputs).
-                x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
-            x = space_to_depth(x, 2)
+            if x.shape[-1] == 3:
+                b0, h0, w0, _ = x.shape
+                if h0 % 2 or w0 % 2:
+                    # Odd dims: SAME padding for stride 2 puts an extra zero
+                    # on the LOW side; prepending it keeps the s2d conv
+                    # exactly equal to the classic stem
+                    # (see test_s2d_stem_odd_inputs).
+                    x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
+                x = space_to_depth(x, 2)
+            # else: 12 channels — input arrived pre-transformed via
+            # ops.image.s2d_stem_input (uint8-domain fused preprocess).
             # Equivalent to conv 7x7/s2 pad (2,3): taps a=floor((u-2)/2)+1,
             # block phase bi=(u-2) mod 2, giving a 4x4 kernel, pad (1, 2).
             x = ConvBN(
@@ -75,10 +96,13 @@ class ResNet50(nn.Module):
                 act=nn.relu,
                 padding=((1, 2), (1, 2)),
                 dtype=dt,
+                quant=self.quant,
                 name="stem",
             )(x, train)
         else:
-            x = ConvBN(64, (7, 7), (2, 2), act=nn.relu, dtype=dt, name="stem")(x, train)
+            x = ConvBN(
+                64, (7, 7), (2, 2), act=nn.relu, dtype=dt, quant=self.quant, name="stem"
+            )(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         widths = (64, 128, 256, 512)
@@ -87,7 +111,7 @@ class ResNet50(nn.Module):
             for block in range(blocks):
                 strides = (2, 2) if block == 0 and stage > 0 else (1, 1)
                 x = Bottleneck(
-                    width, strides, dtype=dt, name=f"s{stage}b{block}"
+                    width, strides, dtype=dt, quant=self.quant, name=f"s{stage}b{block}"
                 )(x, train)
             feats.append(x)
         # feats strides: [4, 8, 16, 32] -> return C3..C5.

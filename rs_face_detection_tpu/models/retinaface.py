@@ -24,10 +24,10 @@ from .layers import FPN, SSH
 from .mobilenet import MobileNetV1_025
 from .resnet import ResNet50
 
-#: per-backbone (fpn/ssh channels, leaky-relu slope)
+#: per-backbone (fpn/ssh channels, leaky-relu slope, s2d-stem default)
 _BACKBONES = {
-    "mobilenet025": (64, 0.1),
-    "resnet50": (256, 0.0),
+    "mobilenet025": (64, 0.1, False),
+    "resnet50": (256, 0.0, True),
 }
 
 
@@ -42,6 +42,21 @@ class RetinaFace(nn.Module):
     backbone: str = "mobilenet025"
     num_anchors: int = 2
     dtype: Any = jnp.float32
+    #: None -> per-backbone default (_BACKBONES); bool overrides.
+    stem_s2d: Any = None
+    #: int8 serving mode (ops.quantize.quantize_retinaface builds the variables).
+    quant: bool = False
+
+    def uses_s2d_stem(self) -> bool:
+        """Whether the backbone stem consumes the 2x2 space-to-depth layout.
+
+        When True, callers may feed a pre-transformed (B, H/2, W/2, 12) input
+        (ops.image.s2d_stem_input) instead of (B, H, W, 3); the backbone
+        skips its internal reshuffle in that case.
+        """
+        if self.stem_s2d is not None:
+            return bool(self.stem_s2d)
+        return _BACKBONES[self.backbone][2]
 
     @nn.compact
     def __call__(
@@ -49,19 +64,30 @@ class RetinaFace(nn.Module):
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         if self.backbone not in _BACKBONES:
             raise ValueError(f"unknown backbone: {self.backbone!r}")
-        channels, slope = _BACKBONES[self.backbone]
+        channels, slope, _ = _BACKBONES[self.backbone]
         dt = self.dtype
+        s2d = self.uses_s2d_stem()
 
         if self.backbone == "mobilenet025":
-            feats = MobileNetV1_025(dtype=dt, name="body")(x.astype(dt), train)
+            feats = MobileNetV1_025(
+                dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"
+            )(x.astype(dt), train)
         else:
-            feats = ResNet50(dtype=dt, name="body")(x.astype(dt), train)
+            feats = ResNet50(
+                dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"
+            )(x.astype(dt), train)
 
-        pyramid = FPN(channels, negative_slope=slope, dtype=dt, name="fpn")(
-            feats, train
-        )
+        pyramid = FPN(
+            channels, negative_slope=slope, dtype=dt, quant=self.quant, name="fpn"
+        )(feats, train)
         contexts = [
-            SSH(channels, negative_slope=slope, dtype=dt, name=f"ssh{i}")(p, train)
+            SSH(
+                channels,
+                negative_slope=slope,
+                dtype=dt,
+                quant=self.quant,
+                name=f"ssh{i}",
+            )(p, train)
             for i, p in enumerate(pyramid)
         ]
 
@@ -93,12 +119,16 @@ def init_retinaface(
     image_size: Sequence[int] = (640, 640),
     dtype: Any = jnp.float32,
     seed: int = 0,
+    stem_s2d: Any = None,
 ):
     """Build a RetinaFace module and initialize variables for a static size.
 
     Returns (module, variables) with variables = {"params", "batch_stats"}.
+    stem_s2d overrides the backbone's space-to-depth stem default (serving
+    paths that feed host-reshuffled 12-channel input want True even for the
+    MobileNet backbone, whose device-side-s2d default is False).
     """
-    model = RetinaFace(backbone=backbone, dtype=dtype)
+    model = RetinaFace(backbone=backbone, dtype=dtype, stem_s2d=stem_s2d)
     width, height = image_size
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(

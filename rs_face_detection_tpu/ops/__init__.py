@@ -21,9 +21,12 @@ from .eval import average_precision, evaluate_detector, match_detections
 from .matching import Gallery, cosine_scores, normalize_rows, search, verify
 from .nms import nms_mask, nms_mask_fixpoint, nms_mask_greedy, nms_numpy
 from .quantize import (
+    calibrate,
     dequantize_tree,
     int8_matmul,
     quantize_array,
+    quantize_model_variables,
+    quantize_retinaface,
     quantize_tree,
 )
 from .umeyama import umeyama_similarity, umeyama_similarity_np
@@ -50,9 +53,12 @@ __all__ = [
     "nms_mask_fixpoint",
     "nms_mask_greedy",
     "nms_numpy",
+    "calibrate",
     "dequantize_tree",
     "int8_matmul",
     "quantize_array",
+    "quantize_model_variables",
+    "quantize_retinaface",
     "quantize_tree",
     "umeyama_similarity",
     "umeyama_similarity_np",

@@ -102,6 +102,98 @@ def quantized_bytes(qparams: Mapping[str, Any]) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Full int8 inference: convert a float RetinaFace to the quantized variant.
+# ---------------------------------------------------------------------------
+
+
+def quantize_model_variables(qmodel, float_variables, example_input):
+    """Build variables for a quant=True model from a float model's variables.
+
+    The quantized module tree differs from the float one only where ConvBN
+    swapped nn.Conv for Int8Conv: `.../Conv_0/kernel` becomes
+    `.../Conv_0/{kernel_q, kernel_scale}` (per-output-channel symmetric, see
+    quantize_array).  Everything else (BN, biases, heads, batch_stats) copies
+    through by identical path.  Returns variables including a zeroed
+    "quant_stats" collection — run `calibrate` next.
+    """
+    from flax import traverse_util
+
+    target = jax.eval_shape(
+        lambda: qmodel.init(jax.random.PRNGKey(0), example_input, train=False)
+    )
+    fparams = traverse_util.flatten_dict(float_variables["params"])
+    out = {}
+    for path, leaf in traverse_util.flatten_dict(target["params"]).items():
+        if path[-1] == "kernel_q":
+            w = np.asarray(fparams[path[:-1] + ("kernel",)], np.float32)
+            q, s = quantize_array(w)
+            assert q.shape == leaf.shape, (path, q.shape, leaf.shape)
+            out[path] = jnp.asarray(q)
+            out[path[:-1] + ("kernel_scale",)] = jnp.asarray(s.reshape(-1))
+        elif path[-1] == "kernel_scale":
+            continue  # written alongside kernel_q
+        else:
+            out[path] = jnp.asarray(fparams[path])
+    variables = dict(float_variables)
+    variables["params"] = traverse_util.unflatten_dict(out)
+    variables["quant_stats"] = jax.tree.map(
+        lambda l: jnp.zeros(l.shape, l.dtype), target["quant_stats"]
+    )
+    return variables
+
+
+def calibrate(qmodel, variables, batches):
+    """Record per-layer activation amax over calibration batches.
+
+    Runs the float-math calibration forward (Int8Conv calibrate path) with
+    the "quant_stats" collection mutable; amax accumulates monotonically
+    across batches.  Returns variables with the calibrated ranges.
+    """
+    apply = jax.jit(
+        functools.partial(qmodel.apply, train=False, mutable=["quant_stats"])
+    )
+    variables = dict(variables)
+    for batch in batches:
+        _, upd = apply(variables, batch)
+        variables["quant_stats"] = upd["quant_stats"]
+    return variables
+
+
+def quantize_retinaface(
+    model,
+    float_variables,
+    image_size,
+    calib_batches=None,
+    n_calib: int = 2,
+    calib_batch_size: int = 2,
+    seed: int = 0,
+):
+    """float RetinaFace -> (quant model, calibrated int8 variables).
+
+    calib_batches: iterable of model-input arrays (normalized images, any of
+    the stem layouts the model accepts).  When None, random uint8-range
+    pixels are used — fine for throughput work; pass representative images
+    for accuracy-sensitive serving.
+    """
+    qmodel = model.clone(quant=True)
+    width, height = image_size
+    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+    variables = quantize_model_variables(qmodel, float_variables, dummy)
+    if calib_batches is None:
+        rng = np.random.default_rng(seed)
+        calib_batches = [
+            jnp.asarray(
+                rng.integers(
+                    0, 256, (calib_batch_size, height, width, 3)
+                ).astype(np.float32)
+            )
+            for _ in range(n_calib)
+        ]
+    variables = calibrate(qmodel, variables, calib_batches)
+    return qmodel, variables
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused dequant-matmul: (M, K) bf16/f32 x (K, N) int8 -> (M, N) f32.
 # ---------------------------------------------------------------------------
 

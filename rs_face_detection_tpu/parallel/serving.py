@@ -78,7 +78,16 @@ class DetectionServer:
             if _native.available():
                 self._native = _native
 
-        base_fn = self.detector.make_batched_fn()
+        # s2d-stem models take the host-reshuffled 12-channel layout (the
+        # native loader / ops.image.s2d_layout_host emit it); see
+        # detection.make_batched_fn.
+        width, height = self.cfg.image_size
+        self._pre_s2d = (
+            getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
+            and width % 2 == 0
+            and height % 2 == 0
+        )
+        base_fn = self.detector.make_batched_fn(pre_s2d=self._pre_s2d)
         if mesh is not None:
             if batch_size % mesh.shape["data"]:
                 raise ValueError(
@@ -124,7 +133,7 @@ class DetectionServer:
                 scales = np.ones((self.batch_size,), np.float32)
                 imgs[:n] = imgs_n
                 scales[:n] = scales_n
-                return imgs, scales, n
+                return self._maybe_s2d(imgs), scales, n
 
         results = list(self._pool.map(self._prepare, payloads))
         imgs = np.zeros((self.batch_size, height, width, 3), np.uint8)
@@ -132,7 +141,16 @@ class DetectionServer:
         for i, (img, scale) in enumerate(results):
             imgs[i] = img
             scales[i] = scale
-        return imgs, scales, n
+        return self._maybe_s2d(imgs), scales, n
+
+    def _maybe_s2d(self, imgs: np.ndarray) -> np.ndarray:
+        if not self._pre_s2d:
+            return imgs
+        if self._native is not None:
+            return self._native.s2d_batch(imgs, num_threads=self._decode_workers)
+        from ..ops.image import s2d_layout_host
+
+        return s2d_layout_host(imgs)
 
     # -- serving -----------------------------------------------------------
 

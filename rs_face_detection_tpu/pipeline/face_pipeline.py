@@ -130,6 +130,9 @@ class FacePipeline:
         from .extraction import EMBED_MEAN, EMBED_SCALE
         from .quality import _MEAN as _Q_MEAN, _STD as _Q_STD
 
+        # No pre_s2d here (unlike DetectionServer): the fused tail warps faces
+        # from the same device canvases, so one (B, H, W, 3) upload shared by
+        # both dispatches beats saving the detect graph's s2d layout copies.
         detect_fn = self.face_detection.make_batched_fn()
         out_w, out_h = self.config.alignment.image_size
         q_w, q_h = self.config.quality.image_size

@@ -49,8 +49,17 @@ def load(build_if_missing: bool = True):
             return None
 
         lib.rsfd_abi_version.restype = ctypes.c_int
-        if lib.rsfd_abi_version() != 1:
-            raise RuntimeError("rsfd_native ABI mismatch; rebuild native/")
+        if lib.rsfd_abi_version() != 2:
+            # Stale build from an older source tree: rebuild once.
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
+                check=True,
+                capture_output=True,
+            )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.rsfd_abi_version.restype = ctypes.c_int
+            if lib.rsfd_abi_version() != 2:
+                raise RuntimeError("rsfd_native ABI mismatch; rebuild native/")
 
         lib.rsfd_nms.restype = ctypes.c_int
         lib.rsfd_nms.argtypes = [
@@ -78,6 +87,15 @@ def load(build_if_missing: bool = True):
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.rsfd_s2d_batch.restype = None
+        lib.rsfd_s2d_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
         ]
         _lib = lib
@@ -128,15 +146,42 @@ def decode_letterbox(
     return out, float(scale.value)
 
 
+def s2d_batch(imgs: np.ndarray, num_threads: int = 0) -> np.ndarray:
+    """Threaded 2x2 space-to-depth: (N, H, W, 3) u8 -> (N, H/2, W/2, 12) u8.
+
+    Same layout as ops.image.s2d_layout_host (the numpy reference); this is
+    the MXU-ready input for detection.make_batched_fn(pre_s2d=True).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; run ensure_built()")
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    n, h, w, c = imgs.shape
+    assert c == 3 and h % 2 == 0 and w % 2 == 0, imgs.shape
+    out = np.empty((n, h // 2, w // 2, 12), dtype=np.uint8)
+    lib.rsfd_s2d_batch(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        h,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    return out
+
+
 def decode_letterbox_batch(
     payloads: Sequence[bytes],
     dst_w: int,
     dst_h: int,
     num_threads: int = 0,
+    s2d: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Threaded batch decode+letterbox.
 
-    Returns (imgs (N, dst_h, dst_w, 3) u8, det_scales (N,), ok (N,) bool).
+    Returns (imgs (N, dst_h, dst_w, 3) u8, det_scales (N,), ok (N,) bool);
+    with s2d=True, imgs is instead the (N, dst_h/2, dst_w/2, 12) stem layout
+    (see s2d_batch).
     """
     lib = load()
     if lib is None:
@@ -164,4 +209,6 @@ def decode_letterbox_batch(
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
     )
+    if s2d:
+        return s2d_batch(imgs, num_threads), scales, status == 0
     return imgs, scales, status == 0

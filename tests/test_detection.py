@@ -161,6 +161,114 @@ def test_detector_end_to_end_shapes():
         assert (np.diff(boxes[:, 4]) <= 1e-6).all()
 
 
+def test_s2d_stem_input_matches_reference_order():
+    """Fused uint8-domain preprocess == flip -> normalize -> cast -> s2d."""
+    from rs_face_detection_tpu.models.layers import space_to_depth
+    from rs_face_detection_tpu.ops.image import (
+        bgr_to_rgb,
+        normalize,
+        s2d_stem_input,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, size=(2, 8, 6, 3), dtype=np.uint8))
+    mean = (123.675, 116.28, 103.53)
+    scale = (58.4, 57.1, 57.4)
+    post_div = 255.0
+
+    fused = s2d_stem_input(imgs, mean, scale, post_div, jnp.bfloat16)
+    ref = normalize(bgr_to_rgb(imgs.astype(jnp.float32)), mean, scale)
+    ref = space_to_depth((ref / jnp.float32(post_div)).astype(jnp.bfloat16), 2)
+    assert fused.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_detector_batched_s2d_preprocess_matches_single():
+    """R50 (s2d stem): fused-preprocess batched path == single-image path."""
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+
+    cfg = FaceDetectionConfig(
+        backbone="resnet50",
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=64,
+        max_detections=16,
+    )
+    model, variables = init_retinaface("resnet50", cfg.image_size, seed=0)
+    assert model.uses_s2d_stem()
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+    batched = det.make_batched_fn()
+    out = batched(det.variables, jnp.asarray(imgs), jnp.ones(2, jnp.float32))
+    for i in range(2):
+        single_boxes, _ = det(imgs[i])
+        n = int(out.count[i])
+        assert n == len(single_boxes)
+        np.testing.assert_allclose(
+            np.asarray(out.det[i, :n]), single_boxes, rtol=1e-4, atol=1e-3
+        )
+
+
+def test_approx_candidate_selection_small_grid_exact():
+    """With k >= candidate count, approx selection degrades to exact."""
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+
+    kwargs = dict(
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=256,  # > 168 anchors at 64x64
+        max_detections=16,
+    )
+    model, variables = init_retinaface("mobilenet025", (64, 64), seed=0)
+    exact = RetinaFaceDetection(
+        FaceDetectionConfig(**kwargs), model=model, variables=variables
+    )
+    approx = RetinaFaceDetection(
+        FaceDetectionConfig(candidate_selection="approx", **kwargs),
+        model=model,
+        variables=variables,
+    )
+    img = np.random.default_rng(5).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    b1, k1 = exact(img)
+    b2, k2 = approx(img)
+    np.testing.assert_allclose(b1, b2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(k1, k2, rtol=1e-5, atol=1e-5)
+
+
+def test_detector_pre_s2d_input_matches_device_path():
+    """Host-reshuffled (pre_s2d) input gives identical detections."""
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.ops.image import s2d_layout_host
+    from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+
+    cfg = FaceDetectionConfig(
+        backbone="resnet50",
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=64,
+        max_detections=16,
+    )
+    model, variables = init_retinaface("resnet50", cfg.image_size, seed=0)
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+    scales = jnp.ones(2, jnp.float32)
+    out = det.make_batched_fn()(det.variables, jnp.asarray(imgs), scales)
+    out_pre = det.make_batched_fn(pre_s2d=True)(
+        det.variables, jnp.asarray(s2d_layout_host(imgs)), scales
+    )
+    np.testing.assert_array_equal(np.asarray(out.count), np.asarray(out_pre.count))
+    np.testing.assert_array_equal(np.asarray(out.det), np.asarray(out_pre.det))
+    np.testing.assert_array_equal(np.asarray(out.kps), np.asarray(out_pre.kps))
+
+
 def test_detector_batched_path_matches_single():
     from rs_face_detection_tpu.models.retinaface import init_retinaface
     from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection

@@ -87,3 +87,15 @@ def test_native_decode_batch_threaded():
 def test_native_decode_garbage_raises():
     with pytest.raises(ValueError):
         native.decode_letterbox(b"garbage", 64, 64)
+
+
+def test_native_s2d_batch_matches_numpy():
+    from rs_face_detection_tpu.ops.image import s2d_layout_host
+    from rs_face_detection_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    imgs = np.random.default_rng(0).integers(0, 256, (3, 8, 6, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(native.s2d_batch(imgs), s2d_layout_host(imgs))

@@ -88,6 +88,34 @@ def test_detection_server_sharded_batch():
         np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-3)
 
 
+def test_detection_server_pre_s2d_matches_detector():
+    """An s2d-stem detector served via DetectionServer (host s2d layout)
+    returns the same boxes as calling the detector directly."""
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.parallel.serving import DetectionServer
+    from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+
+    cfg = FaceDetectionConfig(
+        backbone="resnet50",
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=32,
+        max_detections=8,
+    )
+    model, variables = init_retinaface("resnet50", cfg.image_size, seed=0)
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+    server = DetectionServer(det, batch_size=2, use_native_loader=False)
+    assert server._pre_s2d
+
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    results = server.detect_batch(imgs)
+    for img, (boxes, kps) in zip(imgs, results):
+        ref_boxes, ref_kps = det(img)
+        np.testing.assert_allclose(boxes, ref_boxes, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(kps, ref_kps, rtol=1e-4, atol=1e-3)
+
+
 def test_detection_server_stream_pipelining():
     from rs_face_detection_tpu.models.retinaface import init_retinaface
     from rs_face_detection_tpu.parallel.serving import DetectionServer

@@ -80,3 +80,92 @@ def test_quantized_extraction_embeddings_close():
     # Quantized variables really are int8 underneath.
     leaves = jax.tree.leaves(fq.variables["params"])
     assert any(np.asarray(l).dtype == np.int8 for l in leaves)
+
+
+# ---------------------------------------------------------------------------
+# Full int8 inference (activations on the MXU): Int8Conv + quantize_retinaface.
+# ---------------------------------------------------------------------------
+
+
+def test_int8_conv_exact_on_grid():
+    """When weights/activations sit exactly on the int8 grid, the int8 conv
+    reproduces the float conv up to f32 accumulation order."""
+    from rs_face_detection_tpu.models.layers import Int8Conv
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(-127, 128, (3, 3, 4, 8)).astype(np.int8)
+    s = (0.01 * (1 + np.arange(8))).astype(np.float32)
+    xq = rng.integers(-127, 128, (1, 6, 6, 4)).astype(np.float32)
+    sx = 0.5
+    x = jnp.asarray(xq * sx)
+
+    mod = Int8Conv(8, (3, 3))
+    variables = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}}
+    out = mod.apply(variables, x, jnp.float32(127 * sx))
+
+    w = jnp.asarray(q.astype(np.float32) * s)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_int8_conv_calibration_records_amax():
+    from rs_face_detection_tpu.models.layers import ConvBN
+
+    mod = ConvBN(8, (3, 3), quant=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 3, (1, 6, 6, 4)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    _, upd = mod.apply(variables, x, mutable=["quant_stats"])
+    amax = float(jax.tree.leaves(upd["quant_stats"])[0])
+    assert amax == float(jnp.max(jnp.abs(x)))
+
+
+def test_quantize_retinaface_scores_close_and_int8():
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.ops.quantize import quantize_retinaface
+
+    size = (64, 64)
+    model, variables = init_retinaface("mobilenet025", size, seed=0)
+    qmodel, qvars = quantize_retinaface(model, variables, size)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 64, 64, 3)).astype(np.float32)
+    )
+    of = model.apply(variables, x, train=False)
+    oq = qmodel.apply(qvars, x, train=False)
+    for stride in (8, 16, 32):
+        d = np.abs(np.asarray(of[stride]["score"]) - np.asarray(oq[stride]["score"]))
+        assert d.max() < 0.05, (stride, d.max())
+
+    leaves = jax.tree.leaves(qvars["params"])
+    assert any(np.asarray(l).dtype == np.int8 for l in leaves)
+    # Calibration populated every recorded range.
+    assert all(float(a) > 0 for a in jax.tree.leaves(qvars["quant_stats"]))
+
+
+def test_quantized_detector_pipeline_runs():
+    """int8 model drops into RetinaFaceDetection (incl. pre_s2d input)."""
+    from rs_face_detection_tpu.configs import FaceDetectionConfig
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+    from rs_face_detection_tpu.ops.image import s2d_layout_host
+    from rs_face_detection_tpu.ops.quantize import quantize_retinaface
+    from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+
+    cfg = FaceDetectionConfig(
+        backbone="resnet50",
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=32,
+        max_detections=8,
+    )
+    model, variables = init_retinaface("resnet50", cfg.image_size, seed=0)
+    qmodel, qvars = quantize_retinaface(model, variables, cfg.image_size, n_calib=1)
+    det = RetinaFaceDetection(cfg, model=qmodel, variables=qvars)
+
+    imgs = np.random.default_rng(2).integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    out = det.make_batched_fn(pre_s2d=True)(
+        det.variables, jnp.asarray(s2d_layout_host(imgs)), jnp.ones(2, jnp.float32)
+    )
+    assert out.det.shape == (2, 8, 5) and out.kps.shape == (2, 8, 5, 2)
+    assert np.isfinite(np.asarray(out.det)).all()

@@ -30,6 +30,9 @@ def main() -> int:
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--image-size", type=int, default=640)
     parser.add_argument("--top", type=int, default=25)
+    parser.add_argument("--pre-s2d", action="store_true")
+    parser.add_argument("--approx-topk", action="store_true")
+    parser.add_argument("--quant", default=None, choices=[None, "int8"])
     args = parser.parse_args()
 
     import numpy as np
@@ -42,15 +45,32 @@ def main() -> int:
     from rs_face_detection_tpu.utils.profiling import trace
 
     size = (args.image_size, args.image_size)
-    cfg = FaceDetectionConfig(backbone=args.backbone, image_size=size)
-    model, variables = init_retinaface(args.backbone, size, dtype=jnp.bfloat16, seed=0)
+    cfg = FaceDetectionConfig(
+        backbone=args.backbone,
+        image_size=size,
+        candidate_selection="approx" if args.approx_topk else "exact",
+    )
+    model, variables = init_retinaface(
+        args.backbone,
+        size,
+        dtype=jnp.bfloat16,
+        seed=0,
+        stem_s2d=True if args.pre_s2d else None,
+    )
+    if args.quant == "int8":
+        from rs_face_detection_tpu.ops.quantize import quantize_retinaface
+
+        model, variables = quantize_retinaface(model, variables, size)
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
-    fn = det.make_batched_fn()
+    fn = det.make_batched_fn(pre_s2d=args.pre_s2d)
 
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(
-        rng.integers(0, 255, (args.batch, size[1], size[0], 3), dtype=np.uint8)
-    )
+    imgs_np = rng.integers(0, 255, (args.batch, size[1], size[0], 3), dtype=np.uint8)
+    if args.pre_s2d:
+        from rs_face_detection_tpu.ops.image import s2d_layout_host
+
+        imgs_np = s2d_layout_host(imgs_np)
+    imgs = jnp.asarray(imgs_np)
     scales = jnp.ones((args.batch,), jnp.float32)
     jax.block_until_ready(fn(det.variables, imgs, scales))  # compile + warm
 
@@ -80,11 +100,7 @@ def main() -> int:
 
     print(f"# top {args.top} events ({args.backbone} b{args.batch} @ {size})")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
-        extra = (
-            op_meta(name)
-            if name.split(".")[0] in ("fusion", "copy", "convolution", "while", "sort", "custom-call", "dynamic-slice")
-            else ""
-        )
+        extra = op_meta(name) if not name.startswith("$") else ""
         print(f"{dur / 1000:9.3f} ms  {name[:34]:36s} {extra}")
     shutil.rmtree(trace_dir, ignore_errors=True)
     return 0
