@@ -67,6 +67,11 @@ def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
     warm = stack(2 * n_batches, 3 * n_batches)
     jax.block_until_ready(mega(variables, *warm))  # compile
     reps = [stack(0, n_batches), stack(n_batches, 2 * n_batches)]
+    # Stage inputs fully in HBM before timing: host->device transfer rides
+    # the loader pipeline in production (and in _throughput it completes
+    # during the warmup compile); unstaged, the tunnel's ~0.1 GB/s transfer
+    # rate would dominate the measurement.
+    jax.block_until_ready(reps)
     t0 = time.perf_counter()
     outs = [mega(variables, xs, ss) for xs, ss in reps]
     jax.block_until_ready(outs)
