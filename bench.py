@@ -160,6 +160,12 @@ def main() -> int:
     p50_ms = _latency(
         fn, det.variables, batch_maker(1, r50_s2d), iters=5 if args.smoke else 20
     )
+    # Device-graph batch-1 latency: back-to-back executions via lax.map
+    # exclude the relay's fixed ~29 ms round trip, which dominates p50 in
+    # this environment but does not exist on a locally attached chip.
+    _, b1_dt = _throughput_device(
+        fn, det.variables, batch_maker(1, r50_s2d), 1, max(4, n_batches // 2)
+    )
 
     r50_b32, _ = _throughput_device(
         fn, det.variables, batch_maker(32, r50_s2d), 32, max(3, n_batches // 2)
@@ -186,6 +192,7 @@ def main() -> int:
         "r50_b8_pipelined_img_s": round(r50_b8_pipe, 2),
         "r50_b32_img_s": round(r50_b32, 2),
         "r50_p50_batch1_latency_ms": round(p50_ms, 3),
+        "r50_batch1_device_graph_ms": round(b1_dt * 1000.0, 3),
         "mnet025_b8_img_s": round(mnet_b8, 2),
         "mnet025_b32_img_s": round(mnet_b32, 2),
         "mnet025_b32_pipelined_img_s": round(mnet_b32_pipe, 2),
