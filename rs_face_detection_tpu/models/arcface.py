@@ -4,9 +4,14 @@ In-process replacement for the reference's remote embedding model
 (face_extraction.rs:79-165): consumes aligned 112x112 RGB crops normalized
 with (px - 127.5) * 0.0078125 and emits a 512-d feature row per face.
 
-Architecture: improved ResNet (IResNet) as used by insightface's ArcFace —
-BN -> 3x3 conv -> BN -> PReLU -> strided 3x3 conv -> BN residual blocks,
-stages [3, 4, 14, 3] for iresnet50, final BN-flatten-FC-BN to 512-d.
+Architecture: improved ResNet (IResNet) exactly as insightface's
+arcface_torch `iresnet.py` defines it — BN -> 3x3 conv -> BN -> per-channel
+PReLU -> strided 3x3 conv -> BN residual blocks (torch-symmetric padding),
+stages [3, 4, 14, 3] for iresnet50, tail BN -> flatten -> FC(512) -> affine
+BatchNorm1d.  Public insightface state_dicts load structurally via
+models.checkpoint_maps.iresnet_map (torch NCHW flatten order handled by the
+"dense_nchw" import kind).
+
 L2 normalization happens in the pipeline (per-row; see utils.rs:148-154 — the
 reference normalizes each (1, 512) batch by its Frobenius norm, identical to
 per-row at its batch_size=1 default).
@@ -21,6 +26,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from .layers import PReLUChannel
 
 _STAGES = {
     "iresnet18": (2, 2, 2, 2),
@@ -50,7 +57,7 @@ class _IBlock(nn.Module):
             f,
             (3, 3),
             strides=(s, s),
-            padding="SAME",
+            padding=((1, 1), (1, 1)),  # torch pad=1 (differs from SAME at s=2)
             use_bias=False,
             dtype=dt,
             param_dtype=jnp.float32,
@@ -60,7 +67,7 @@ class _IBlock(nn.Module):
         y = bn("bn1")(x)
         y = conv(self.features, 1, "conv1")(y)
         y = bn("bn2")(y)
-        y = nn.PReLU(param_dtype=jnp.float32)(y)
+        y = PReLUChannel(name="prelu")(y)
         y = conv(self.features, self.strides, "conv2")(y)
         y = bn("bn3")(y)
 
@@ -94,7 +101,7 @@ class IResNet(nn.Module):
         x = nn.Conv(
             64,
             (3, 3),
-            padding="SAME",
+            padding=((1, 1), (1, 1)),
             use_bias=False,
             dtype=dt,
             param_dtype=jnp.float32,
@@ -108,7 +115,7 @@ class IResNet(nn.Module):
             param_dtype=jnp.float32,
             name="stem_bn",
         )(x)
-        x = nn.PReLU(param_dtype=jnp.float32)(x)
+        x = PReLUChannel(name="stem_prelu")(x)
 
         for stage, (blocks, width) in enumerate(zip(stages, (64, 128, 256, 512))):
             for block in range(blocks):
@@ -127,14 +134,16 @@ class IResNet(nn.Module):
             param_dtype=jnp.float32,
             name="tail_bn",
         )(x)
+        # NHWC flatten; torch checkpoints flatten NCHW — the import kind
+        # "dense_nchw" permutes fc.weight's input dim to compensate.
         x = x.astype(jnp.float32).reshape(x.shape[0], -1)
         x = nn.Dense(self.embedding_dim, param_dtype=jnp.float32, name="fc")(x)
+        # insightface `features`: affine BatchNorm1d (weight frozen at 1.0 in
+        # training but present in every public state_dict).
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            use_scale=False,
-            use_bias=False,
             param_dtype=jnp.float32,
             name="feat_bn",
         )(x)

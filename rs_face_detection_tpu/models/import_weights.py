@@ -60,23 +60,46 @@ def torch_bn_to_flax(
 def stem_to_s2d(kernel_hwio: np.ndarray) -> np.ndarray:
     """Exactly convert a (K, K)/stride-2 stem kernel to space-to-depth form.
 
-    Input: (K, K, C, F) HWIO kernel applied with stride 2 and SAME padding
-    (XLA derives pad (2,3) for K=7, (0,1) for K=3 on even inputs).  Output:
-    (ceil(K/2), ceil(K/2), 4C, F) kernel for a stride-1 conv on the 2x2
-    space-to-depth input whose channel k = (bi*2 + bj)*C + c, with padding
-    ((1,2),(1,2)) for K=7 and ((0,1),(0,1)) for K=3.  The two convs produce
-    identical outputs (tests/test_models.py::test_s2d_stem_equivalence).
+    Input: (K, K, C, F) HWIO kernel (K odd) applied with stride 2 and
+    symmetric padding K//2 — the torch Conv2d convention, which is what every
+    public checkpoint (torchvision ResNet, biubug6 RetinaFace, insightface
+    iresnet) was trained with and what layers.ConvBN's default "TORCH"
+    padding reproduces.  Output: (KK, KK, 4C, F) kernel for a stride-1 conv
+    on the 2x2 space-to-depth input whose channel k = (bi*2 + bj)*C + c,
+    applied with block-space padding `s2d_stem_padding(K)` (((2,1),(2,1))
+    for K=7, ((1,0),(1,0)) for K=3).  The two convs produce identical
+    outputs (tests/test_models.py::test_s2d_stem_equivalence).
+
+    Derivation: with left pad p = K//2, output o reads input i = 2o - p + k;
+    in 2x2 block space that is block m = floor(i/2) = o + floor((k-p)/2) at
+    phase (k-p) mod 2, so tap k lands in s2d kernel row floor((k-p)/2) - m_min
+    at block-phase channel offset.
     """
     kh, kw, c, f = kernel_hwio.shape
     assert kh == kw and kh % 2 == 1, kernel_hwio.shape
-    kk = (kh + 1) // 2
+    p = kh // 2
+    offs = [(u - p) // 2 for u in range(kh)]  # python floor division
+    m_min = min(offs)
+    kk = max(offs) - m_min + 1
     out = np.zeros((kk, kk, 4 * c, f), dtype=kernel_hwio.dtype)
     for u in range(kh):
+        a, bi = (u - p) // 2 - m_min, (u - p) % 2
         for v in range(kw):
-            a, bi = divmod(u, 2)
-            b, bj = divmod(v, 2)
+            b, bj = (v - p) // 2 - m_min, (v - p) % 2
             out[a, b, (bi * 2 + bj) * c : (bi * 2 + bj + 1) * c] = kernel_hwio[u, v]
     return out
+
+
+def s2d_stem_padding(k: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Block-space conv padding for the s2d form of an odd-K, pad-K//2,
+    stride-2 stem (see stem_to_s2d): ((2,1),(2,1)) for K=7, ((1,0),(1,0))
+    for K=3."""
+    assert k % 2 == 1, k
+    p = k // 2
+    offs = [(u - p) // 2 for u in range(k)]
+    pl = -min(offs)
+    pr = max(offs) - min(offs) - pl
+    return ((pl, pr), (pl, pr))
 
 
 #: Backwards-compatible alias (the 7x7 ResNet stem case).
@@ -103,14 +126,23 @@ def _set_path(tree: MutableMapping, path: Sequence[str], value: np.ndarray) -> N
 def apply_mapping(
     variables: Mapping[str, Any],
     state_dict: Mapping[str, np.ndarray],
-    mapping: Mapping[str, Tuple[str, str]],
+    mapping: Mapping[str, Tuple],
 ) -> Tuple[Dict[str, Any], list]:
     """Write torch tensors into a copy of `variables` per the mapping.
 
     mapping: {"params/body/conv1/Conv_0/kernel": ("body.conv1.0", "conv"), ...}
-    kinds: "conv" | "conv_s2d" (stride-2 stem into a space-to-depth model) | "dense" | "bn" | "raw".
-    For "bn", the flax path points at the BatchNorm module directory (both
-    collections are filled); for others, at the leaf.
+    kinds:
+      - "conv": conv weight only (OIHW -> HWIO); path at the kernel leaf.
+      - "conv_s2d": stride-2 stem into a space-to-depth model (stem_to_s2d).
+      - "conv_bias": conv weight + bias; path at the conv MODULE directory
+        (kernel and bias leaves are filled) — used for head convs.
+      - "dense": Linear weight (+ bias when present).
+      - "dense_nchw": Linear applied after a torch NCHW flatten; mapping value
+        is (torch_key, "dense_nchw", (C, H, W)) and the weight's input dim is
+        permuted from c*H*W+h*W+w to (h*W+w)*C+c to match an NHWC flatten.
+        Path at the Dense MODULE directory.
+      - "bn": BatchNorm; path at the module directory (params + batch_stats).
+      - "raw": verbatim copy; torch_key is the FULL state_dict key.
 
     Returns (new_variables, unconsumed_torch_keys).
     """
@@ -121,7 +153,8 @@ def apply_mapping(
     )
     consumed = set()
 
-    for flax_path, (torch_key, kind) in mapping.items():
+    for flax_path, spec in mapping.items():
+        torch_key, kind = spec[0], spec[1]
         parts = flax_path.split("/")
         if kind == "conv":
             value = torch_conv_to_flax(state_dict[f"{torch_key}.weight"])
@@ -133,6 +166,14 @@ def apply_mapping(
             value = stem_to_s2d(torch_conv_to_flax(state_dict[f"{torch_key}.weight"]))
             consumed.add(f"{torch_key}.weight")
             _set_path(new_vars, parts, value)
+        elif kind == "conv_bias":
+            value = torch_conv_to_flax(state_dict[f"{torch_key}.weight"])
+            consumed.add(f"{torch_key}.weight")
+            _set_path(new_vars, parts + ["kernel"], value)
+            consumed.add(f"{torch_key}.bias")
+            _set_path(
+                new_vars, parts + ["bias"], np.asarray(state_dict[f"{torch_key}.bias"])
+            )
         elif kind == "dense":
             value = torch_dense_to_flax(state_dict[f"{torch_key}.weight"])
             consumed.add(f"{torch_key}.weight")
@@ -142,6 +183,28 @@ def apply_mapping(
                 consumed.add(bias_key)
                 bias_path = parts[:-1] + ["bias"] if parts[-1] == "kernel" else parts + ["bias"]
                 _set_path(new_vars, bias_path, np.asarray(state_dict[bias_key]))
+        elif kind == "dense_nchw":
+            c, h, w = spec[2]
+            weight = np.asarray(state_dict[f"{torch_key}.weight"])  # (out, C*H*W)
+            out_f = weight.shape[0]
+            if weight.shape[1] != c * h * w:
+                raise ValueError(
+                    f"{flax_path}: dense_nchw expects input dim {c * h * w}, "
+                    f"got {weight.shape}"
+                )
+            # torch flattens NCHW (c*H*W + h*W + w); our model flattens NHWC.
+            value = (
+                weight.reshape(out_f, c, h, w)
+                .transpose(0, 2, 3, 1)
+                .reshape(out_f, h * w * c)
+                .T
+            )
+            consumed.add(f"{torch_key}.weight")
+            _set_path(new_vars, parts + ["kernel"], value)
+            bias_key = f"{torch_key}.bias"
+            if bias_key in state_dict:
+                consumed.add(bias_key)
+                _set_path(new_vars, parts + ["bias"], np.asarray(state_dict[bias_key]))
         elif kind == "bn":
             conv = torch_bn_to_flax(
                 state_dict[f"{torch_key}.weight"],

@@ -24,6 +24,28 @@ def leaky_relu(negative_slope: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return act
 
 
+class PReLUChannel(nn.Module):
+    """Per-channel PReLU: y = max(x, 0) + alpha[c] * min(x, 0).
+
+    Matches torch nn.PReLU(num_parameters=C) — one learnable slope per
+    channel (last axis), init 0.25 — which is what insightface's iresnet
+    uses throughout; flax's nn.PReLU has a single scalar slope and cannot
+    structurally accept those checkpoints.
+    """
+
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha",
+            lambda _, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (x.shape[-1],),
+        )
+        alpha = alpha.astype(x.dtype)
+        return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
 def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/b, W/b, b*b*C), channel k = (bi*b + bj)*C + c.
 
@@ -98,8 +120,26 @@ class Int8Conv(nn.Module):
         return (y.astype(jnp.float32) * (sx * ks)).astype(self.dtype)
 
 
+def torch_padding(kernel: Tuple[int, int]):
+    """Symmetric k//2 padding — the torch Conv2d `padding=k//2` convention.
+
+    Identical to XLA SAME for stride 1 (odd kernels), but NOT for stride 2,
+    where SAME derives asymmetric (0,1)/(2,3) pads.  Public checkpoints
+    (torchvision, biubug6 RetinaFace, insightface iresnet) are trained with
+    the symmetric convention, so it is the default everywhere here — without
+    it, imported weights could never bit-match at image edges.
+    """
+    kh, kw = kernel
+    assert kh % 2 == 1 and kw % 2 == 1, kernel
+    return ((kh // 2, kh // 2), (kw // 2, kw // 2))
+
+
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm + optional activation (NHWC).
+
+    The default padding "TORCH" resolves to symmetric k//2 padding (see
+    `torch_padding`) — equal to SAME at stride 1, torch-checkpoint-exact at
+    stride 2.
 
     quant=True swaps the conv for Int8Conv (groups == 1 only: depthwise
     convs are bandwidth-bound, int8 buys them nothing).  Calibration state
@@ -112,9 +152,14 @@ class ConvBN(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     groups: int = 1
     act: Callable[[jnp.ndarray], jnp.ndarray] | None = nn.relu
-    padding: Any = "SAME"
+    padding: Any = "TORCH"
     dtype: Dtype = jnp.float32
     quant: bool = False
+
+    def _padding(self):
+        if isinstance(self.padding, str) and self.padding == "TORCH":
+            return torch_padding(self.kernel)
+        return self.padding
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -131,7 +176,7 @@ class ConvBN(nn.Module):
                 self.features,
                 self.kernel,
                 self.strides,
-                padding=self.padding,
+                padding=self._padding(),
                 dtype=self.dtype,
                 name="Conv_0",  # path-compatible with the float variant
             )(x, amax_v.value, calibrate=calibrating)
@@ -140,7 +185,7 @@ class ConvBN(nn.Module):
                 self.features,
                 self.kernel,
                 strides=self.strides,
-                padding=self.padding,
+                padding=self._padding(),
                 feature_group_count=self.groups,
                 use_bias=False,
                 dtype=self.dtype,

@@ -44,20 +44,22 @@ class MobileNetV1_025(nn.Module):
             if x.shape[-1] == 3:
                 b0, h0, w0, _ = x.shape
                 if h0 % 2 or w0 % 2:
-                    # Odd dims: SAME padding for stride 2 puts an extra zero
-                    # on the LOW side; prepending it keeps the s2d conv
-                    # exactly equal to the classic stem
+                    # Odd dims: append a HIGH-side zero to reach even size —
+                    # it falls inside the torch conv's right-pad region, so
+                    # the s2d conv stays exactly equal to the classic stem
                     # (see test_s2d_stem_odd_inputs).
-                    x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
+                    x = jnp.pad(x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)))
                 x = space_to_depth(x, 2)
             # else: 12 channels — input arrived pre-transformed via
             # ops.image.s2d_stem_input (uint8-domain fused preprocess).
+            # Exactly equivalent to conv 3x3/s2 pad 1 (torch convention):
+            # 2x2 kernel, block-space pad (1, 0) (import_weights.stem_to_s2d).
             x = ConvBN(
                 8,
                 (2, 2),
                 (1, 1),
                 act=act,
-                padding=((0, 1), (0, 1)),
+                padding=((1, 0), (1, 0)),
                 dtype=dt,
                 quant=self.quant,
                 name="conv1",

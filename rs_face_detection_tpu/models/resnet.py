@@ -63,6 +63,10 @@ class ResNet50(nn.Module):
     space-to-depth input (12 channels): same receptive field and output, ~4x
     better MXU lane utilization.  Imported 7x7 weights convert exactly via
     models.import_weights.stem7x7_to_s2d.
+
+    All strided convs and the maxpool use torch padding semantics (symmetric
+    k//2 — layers.torch_padding), so torchvision-layout checkpoints
+    (e.g. biubug6 RetinaFace-R50, models.checkpoint_maps) bit-match.
     """
 
     dtype: Any = jnp.float32
@@ -79,22 +83,23 @@ class ResNet50(nn.Module):
             if x.shape[-1] == 3:
                 b0, h0, w0, _ = x.shape
                 if h0 % 2 or w0 % 2:
-                    # Odd dims: SAME padding for stride 2 puts an extra zero
-                    # on the LOW side; prepending it keeps the s2d conv
-                    # exactly equal to the classic stem
-                    # (see test_s2d_stem_odd_inputs).
-                    x = jnp.pad(x, ((0, 0), (h0 % 2, 0), (w0 % 2, 0), (0, 0)))
+                    # Odd dims: append a HIGH-side zero to reach even size.
+                    # The extra column falls inside the torch conv's own
+                    # right-pad region, so the s2d conv stays exactly equal
+                    # to the classic stem (see test_s2d_stem_odd_inputs).
+                    x = jnp.pad(x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)))
                 x = space_to_depth(x, 2)
             # else: 12 channels — input arrived pre-transformed via
             # ops.image.s2d_stem_input (uint8-domain fused preprocess).
-            # Equivalent to conv 7x7/s2 pad (2,3): taps a=floor((u-2)/2)+1,
-            # block phase bi=(u-2) mod 2, giving a 4x4 kernel, pad (1, 2).
+            # Exactly equivalent to conv 7x7/s2 pad 3 (torch convention):
+            # tap u lands at block floor((u-3)/2)+2, phase (u-3) mod 2 ->
+            # 4x4 kernel, block-space pad (2, 1) (import_weights.stem_to_s2d).
             x = ConvBN(
                 64,
                 (4, 4),
                 (1, 1),
                 act=nn.relu,
-                padding=((1, 2), (1, 2)),
+                padding=((2, 1), (2, 1)),
                 dtype=dt,
                 quant=self.quant,
                 name="stem",
@@ -103,7 +108,9 @@ class ResNet50(nn.Module):
             x = ConvBN(
                 64, (7, 7), (2, 2), act=nn.relu, dtype=dt, quant=self.quant, name="stem"
             )(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        # Torch MaxPool2d(3, stride=2, padding=1) semantics: explicit (1, 1)
+        # pads (flax pads max_pool with -inf, matching torch).
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
         feats = []

@@ -209,8 +209,10 @@ def test_detector_batched_s2d_preprocess_matches_single():
         single_boxes, _ = det(imgs[i])
         n = int(out.count[i])
         assert n == len(single_boxes)
+        # rtol 1e-3: the fused uint8->bf16 preprocess and the f32 staged
+        # path round the stem input differently (same math, one extra cast).
         np.testing.assert_allclose(
-            np.asarray(out.det[i, :n]), single_boxes, rtol=1e-4, atol=1e-3
+            np.asarray(out.det[i, :n]), single_boxes, rtol=1e-3, atol=1e-3
         )
 
 

@@ -117,27 +117,61 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_s2d_stem_equivalence():
-    """space-to-depth 4x4 stem == 7x7/s2 stem with converted weights."""
+    """space-to-depth 4x4 stem == 7x7/s2 pad-3 (torch) stem with converted weights."""
     import flax.linen as nn
 
-    from rs_face_detection_tpu.models.import_weights import stem7x7_to_s2d
+    from rs_face_detection_tpu.models.import_weights import (
+        s2d_stem_padding,
+        stem7x7_to_s2d,
+    )
     from rs_face_detection_tpu.models.layers import space_to_depth
 
     rng = np.random.default_rng(0)
     w7 = rng.normal(0, 0.1, (7, 7, 3, 8)).astype(np.float32)
     x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
 
-    conv7 = nn.Conv(8, (7, 7), strides=(2, 2), padding="SAME", use_bias=False)
+    conv7 = nn.Conv(
+        8, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False
+    )
     ref = conv7.apply({"params": {"kernel": jnp.asarray(w7)}}, jnp.asarray(x))
 
     w4 = stem7x7_to_s2d(w7)
-    conv4 = nn.Conv(8, (4, 4), padding=((1, 2), (1, 2)), use_bias=False)
+    assert s2d_stem_padding(7) == ((2, 1), (2, 1))
+    conv4 = nn.Conv(8, (4, 4), padding=((2, 1), (2, 1)), use_bias=False)
     got = conv4.apply(
         {"params": {"kernel": jnp.asarray(w4)}},
         space_to_depth(jnp.asarray(x), 2),
     )
     assert got.shape == ref.shape == (2, 32, 32, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_stem_matches_torch_conv():
+    """The s2d stem bit-matches an actual torch Conv2d(7, stride=2, padding=3)."""
+    import flax.linen as nn
+
+    torch = pytest.importorskip("torch")
+
+    from rs_face_detection_tpu.models.import_weights import (
+        stem7x7_to_s2d,
+        torch_conv_to_flax,
+    )
+    from rs_face_detection_tpu.models.layers import space_to_depth
+
+    tconv = torch.nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        expected = tconv(torch.from_numpy(x)).numpy()
+
+    w4 = stem7x7_to_s2d(torch_conv_to_flax(tconv.weight.detach().numpy()))
+    conv4 = nn.Conv(8, (4, 4), padding=((2, 1), (2, 1)), use_bias=False)
+    got = conv4.apply(
+        {"params": {"kernel": jnp.asarray(w4)}},
+        space_to_depth(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), 2),
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
 
 def test_resnet50_s2d_stem_shapes_unchanged():
@@ -163,12 +197,14 @@ def test_s2d_stem_equivalence_3x3():
     w3 = rng.normal(0, 0.1, (3, 3, 3, 8)).astype(np.float32)
     x = rng.normal(0, 1, (2, 64, 48, 3)).astype(np.float32)
 
-    conv3 = nn.Conv(8, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)
+    conv3 = nn.Conv(
+        8, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False
+    )
     ref = conv3.apply({"params": {"kernel": jnp.asarray(w3)}}, jnp.asarray(x))
 
     w2 = stem_to_s2d(w3)
     assert w2.shape == (2, 2, 12, 8)
-    conv2 = nn.Conv(8, (2, 2), padding=((0, 1), (0, 1)), use_bias=False)
+    conv2 = nn.Conv(8, (2, 2), padding=((1, 0), (1, 0)), use_bias=False)
     got = conv2.apply(
         {"params": {"kernel": jnp.asarray(w2)}},
         space_to_depth(jnp.asarray(x), 2),
@@ -181,20 +217,28 @@ def test_s2d_stem_odd_inputs_exact():
     """Odd-sized inputs: s2d stems remain exactly equal to the classic convs."""
     import flax.linen as nn
 
-    from rs_face_detection_tpu.models.import_weights import stem_to_s2d
+    from rs_face_detection_tpu.models.import_weights import (
+        s2d_stem_padding,
+        stem_to_s2d,
+    )
     from rs_face_detection_tpu.models.layers import space_to_depth
 
     rng = np.random.default_rng(2)
-    for k, new_pad in ((3, ((0, 1), (0, 1))), (7, ((1, 2), (1, 2)))):
+    for k in (3, 7):
+        p = k // 2
         w = rng.normal(0, 0.1, (k, k, 3, 8)).astype(np.float32)
         x = rng.normal(0, 1, (1, 65, 47, 3)).astype(np.float32)
 
-        conv = nn.Conv(8, (k, k), strides=(2, 2), padding="SAME", use_bias=False)
+        conv = nn.Conv(
+            8, (k, k), strides=(2, 2), padding=((p, p), (p, p)), use_bias=False
+        )
         ref = conv.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
 
-        # Low-side zero pad to even, then the even-case s2d machinery.
-        xp = jnp.pad(jnp.asarray(x), ((0, 0), (1, 0), (1, 0), (0, 0)))
-        conv_s = nn.Conv(8, ((k + 1) // 2,) * 2, padding=new_pad, use_bias=False)
+        # High-side zero pad to even, then the even-case s2d machinery.
+        xp = jnp.pad(jnp.asarray(x), ((0, 0), (0, 1), (0, 1), (0, 0)))
+        conv_s = nn.Conv(
+            8, (2 if k == 3 else 4,) * 2, padding=s2d_stem_padding(k), use_bias=False
+        )
         got = conv_s.apply(
             {"params": {"kernel": jnp.asarray(stem_to_s2d(w))}},
             space_to_depth(xp, 2),
