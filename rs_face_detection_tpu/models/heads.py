@@ -1,17 +1,19 @@
-"""Small classifier/regressor CNNs: face quality, MiniFAS liveness, FQA score.
+"""SmallCNN — a compact classifier used as a TEST DOUBLE.
 
-The reference never ships these architectures — they were opaque Triton
-models; only their I/O contracts are observable and are preserved here:
+The production model families are the real architectures:
+  - MiniFASNetV1/V2(/SE) for the liveness ensemble (models/minifas.py),
+  - ResNet18Classifier for quality / FQA (models/classifiers.py),
+both able to structurally accept their public state_dicts via import maps.
+SmallCNN remains only for fast pipeline-mechanics tests (its strided-conv +
+GAP trunk compiles in seconds at any size) and custom registry injection.
 
+I/O contracts it can stand in for (from the reference):
   - face_quality (face_quality.rs:40-169): 112x112 ImageNet-normalized RGB ->
     (B, 4) class probabilities [Bad, Good, WearingMask, WearingSunGlasses].
   - miniFAS_{4,2_7,2,1} (face_antispoofing.rs): raw 0-255 BGR crops at
     80/80/256/128 px -> (B, 3) probabilities, column 1 = live.
   - face_quality_assetment (face_quality_assessment.rs:40-160): 112x112
     (px-127.5)*0.00784 RGB -> (B, 1) scalar score on a 0-100 scale.
-
-One compact NHWC trunk (strided conv ladder + global average pool) serves all
-three; checkpoints restore real trained weights via the registry.
 """
 
 from __future__ import annotations

@@ -290,10 +290,10 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
         return spec, model, variables
 
     def quality_builder():
-        from .heads import init_small_cnn
+        from .classifiers import init_resnet18_classifier
 
         cfg = FaceQualityConfig()
-        model, variables = init_small_cnn(cfg.num_classes, cfg.image_size)
+        model, variables = init_resnet18_classifier(cfg.num_classes, cfg.image_size)
         w, h = cfg.image_size
         spec = ModelSpec(
             name=cfg.model_name,
@@ -305,10 +305,12 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
         return spec, model, variables
 
     def fqa_builder():
-        from .heads import init_small_cnn
+        from .classifiers import init_resnet18_classifier
 
         cfg = FaceQualityAssessmentConfig()
-        model, variables = init_small_cnn(1, cfg.image_size, softmax=False)
+        model, variables = init_resnet18_classifier(
+            1, cfg.image_size, softmax=False
+        )
         w, h = cfg.image_size
         spec = ModelSpec(
             name=cfg.model_name,
@@ -329,9 +331,10 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
     fas_cfg = FaceAntiSpoofingConfig()
     for model_name, size in zip(fas_cfg.model_names, fas_cfg.image_sizes):
         def fas_builder(model_name=model_name, size=size):
-            from .heads import init_small_cnn
+            from .minifas import default_minifas_spec, init_minifasnet
 
-            model, variables = init_small_cnn(3, size)
+            hw = (size[1], size[0])
+            model, variables = init_minifasnet(default_minifas_spec(hw), hw)
             spec = ModelSpec(
                 name=model_name,
                 input_shape=(size[1], size[0], 3),

@@ -28,3 +28,48 @@ import jax  # noqa: E402  (must configure before backends initialize)
 
 if not os.environ.get("RSFD_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+
+
+def attach_fast_head_builders(registry):
+    """Override quality/FQA/FAS builders with SmallCNN test doubles.
+
+    Pipeline-MECHANICS tests don't need the real MiniFASNet/ResNet18
+    architectures (those have their own import-parity tests:
+    test_minifas.py, test_classifiers.py) — SmallCNN keeps CPU jit compiles
+    to seconds.  Call AFTER _attach_standard_builders and BEFORE any get().
+    """
+    from rs_face_detection_tpu.configs import (
+        FaceAntiSpoofingConfig,
+        FaceQualityAssessmentConfig,
+        FaceQualityConfig,
+    )
+    from rs_face_detection_tpu.models.registry import ModelSpec
+
+    def small(name, outs, size, softmax=True):
+        def builder():
+            from rs_face_detection_tpu.models.heads import init_small_cnn
+
+            model, variables = init_small_cnn(
+                outs, size, softmax=softmax, widths=(8, 16)
+            )
+            return (
+                ModelSpec(name, (size[1], size[0], 3), "test double"),
+                model,
+                variables,
+            )
+
+        return builder
+
+    qcfg = FaceQualityConfig()
+    registry.register_builder(
+        qcfg.model_name, small(qcfg.model_name, qcfg.num_classes, qcfg.image_size)
+    )
+    fqa_cfg = FaceQualityAssessmentConfig()
+    registry.register_builder(
+        fqa_cfg.model_name,
+        small(fqa_cfg.model_name, 1, fqa_cfg.image_size, softmax=False),
+    )
+    fas_cfg = FaceAntiSpoofingConfig()
+    for model_name, size in zip(fas_cfg.model_names, fas_cfg.image_sizes):
+        registry.register_builder(model_name, small(model_name, 3, size))
+    return registry

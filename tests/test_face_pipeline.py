@@ -36,8 +36,11 @@ def _small_pipeline(confidence=0.3, process_on_no_face=False):
             max_detections=16,
         )
     )
+    from conftest import attach_fast_head_builders
+
     reg = ModelRegistry()
     _attach_standard_builders(reg)
+    attach_fast_head_builders(reg)
 
     # Rebuild the detection model at the small size.
     def small_detection_builder():

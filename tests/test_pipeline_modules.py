@@ -13,11 +13,14 @@ from rs_face_detection_tpu.models.registry import ModelRegistry
 from rs_face_detection_tpu.models.registry import _attach_standard_builders
 
 
+from conftest import attach_fast_head_builders
+
+
 @pytest.fixture(scope="module")
 def registry():
     reg = ModelRegistry()
     _attach_standard_builders(reg)
-    return reg
+    return attach_fast_head_builders(reg)
 
 
 def _crops(n, seed=0, size=(112, 112)):
