@@ -80,7 +80,10 @@ class SCRFDDetection:
         image_size: Tuple[int, int] = (640, 640),
         confidence_threshold: float = 0.5,
         iou_threshold: float = 0.45,
-        max_candidates: int = 512,
+        # NMS cost is quadratic in the candidate cap; 256 matches the tuned
+        # RetinaFace path (commit 08410a0) — at conf 0.5, >256 survivors
+        # do not occur on real scenes.
+        max_candidates: int = 256,
         max_detections: int = 100,
         nms_mode: str = "fixpoint",
         model=None,
