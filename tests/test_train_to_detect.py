@@ -20,28 +20,11 @@ from rs_face_detection_tpu.parallel.mesh import data_sharding, make_mesh
 from rs_face_detection_tpu.parallel.train import TrainBatch, Trainer
 from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
-_LANDMARK_T = np.array(
-    [[0.25, 0.35], [0.75, 0.35], [0.5, 0.55], [0.3, 0.8], [0.7, 0.8]]
-)
+from rs_face_detection_tpu.utils.synthetic import synth_batch_arrays
 
 
 def _synth_batch(rng, trainer, batch=8):
-    h = w = 64
-    imgs = rng.uniform(0, 50, (batch, h, w, 3)).astype(np.float32)
-    boxes = np.zeros((batch, 2, 4), np.float32)
-    lms = np.zeros((batch, 2, 5, 2), np.float32)
-    valid = np.zeros((batch, 2), bool)
-    for b in range(batch):
-        for f in range(int(rng.integers(1, 3))):
-            s = int(rng.integers(14, 28))
-            x = int(rng.integers(0, w - s))
-            y = int(rng.integers(0, h - s))
-            imgs[b, y : y + s, x : x + s] = rng.uniform(180, 255)
-            imgs[b, y + s // 4 : y + s // 4 + 2, x + s // 4 : x + s // 4 + 2] = 30
-            imgs[b, y + s // 4 : y + s // 4 + 2, x + 3 * s // 4 : x + 3 * s // 4 + 2] = 30
-            boxes[b, f] = [x, y, x + s - 1, y + s - 1]
-            lms[b, f] = np.array([x, y]) + _LANDMARK_T * s
-            valid[b, f] = True
+    imgs, boxes, lms, valid = synth_batch_arrays(rng, batch)
     sh = data_sharding(trainer.mesh)
     return TrainBatch(
         jax.device_put(imgs, sh),
