@@ -9,10 +9,17 @@ thin gRPC service exposing the same verb families:
 
   rsfd.FacePipeline/Extract        <-> the pipeline's extract() (end-to-end)
   rsfd.FacePipeline/Detect         <-> one ModelInfer round (detection)
+  rsfd.FacePipeline/DetectStream   <-> ModelStreamInfer (grpc_service.proto:89):
+                                       server-streaming detections backed by
+                                       DetectionServer.detect_stream's
+                                       double-buffered batching
   rsfd.FacePipeline/ServerLive     <-> ServerLive
   rsfd.FacePipeline/ServerReady    <-> ServerReady
   rsfd.FacePipeline/ModelReady     <-> ModelReady
+  rsfd.FacePipeline/ModelConfig    <-> ModelConfig (client.rs:113-118)
   rsfd.FacePipeline/RepositoryIndex<-> RepositoryIndex
+  rsfd.FacePipeline/RepositoryModelLoad   <-> repository_model_load (client.rs:127-136)
+  rsfd.FacePipeline/RepositoryModelUnload <-> repository_model_unload (client.rs:138-146)
   rsfd.FacePipeline/ModelStatistics<-> ModelStatistics
 
 Wire format: request = raw JPEG/PNG bytes (Extract/Detect) or a UTF-8 JSON
@@ -51,9 +58,22 @@ def _json_bytes(obj) -> bytes:
 class FacePipelineServicer:
     """Method implementations; independent of the gRPC plumbing for testing."""
 
-    def __init__(self, pipeline, registry) -> None:
+    def __init__(self, pipeline, registry, stream_batch_size: int = 4) -> None:
         self.pipeline = pipeline
         self.registry = registry
+        self._stream_batch_size = stream_batch_size
+        self._stream_server = None
+
+    def _detection_server(self):
+        """Lazy double-buffered batch server for the streaming RPC."""
+        if self._stream_server is None:
+            from ..parallel.serving import DetectionServer
+
+            self._stream_server = DetectionServer(
+                detector=self.pipeline.face_detection,
+                batch_size=self._stream_batch_size,
+            )
+        return self._stream_server
 
     def extract(self, payload: bytes) -> bytes:
         try:
@@ -108,6 +128,58 @@ class FacePipelineServicer:
     def repository_index(self, _: bytes) -> bytes:
         return _json_bytes({"models": self.registry.index()})
 
+    def repository_model_load(self, payload: bytes) -> bytes:
+        """repository_model_load over the wire (client.rs:127-136)."""
+        name = json.loads(payload or b"{}").get("name", "")
+        try:
+            self.registry.load(name)
+        except KeyError as e:
+            return _json_bytes({"name": name, "loaded": False, "error": str(e)})
+        return _json_bytes({"name": name, "loaded": True})
+
+    def repository_model_unload(self, payload: bytes) -> bytes:
+        """repository_model_unload over the wire (client.rs:138-146)."""
+        name = json.loads(payload or b"{}").get("name", "")
+        self.registry.unload(name)
+        return _json_bytes({"name": name, "loaded": False})
+
+    def model_config(self, payload: bytes) -> bytes:
+        """ModelConfig verb (client.rs:113-118): the registered ModelSpec."""
+        name = json.loads(payload or b"{}").get("name", "")
+        try:
+            spec = self.registry.spec(name)
+        except KeyError:
+            return _json_bytes({"error": f"model {name!r} not loaded"})
+        return _json_bytes(
+            {
+                "name": spec.name,
+                "input_shape": list(spec.input_shape),
+                "output_spec": spec.output_spec,
+                "max_batch_size": spec.max_batch_size,
+                "preprocessing": spec.preprocessing,
+            }
+        )
+
+    def detect_stream(self, payload_iter):
+        """Server-streaming detection (ModelStreamInfer analog).
+
+        Consumes a stream of raw image-bytes requests, batches them through
+        DetectionServer.detect_stream (host decode overlaps device compute),
+        and yields one JSON result per input image, in order.
+        """
+        server = self._detection_server()
+        try:
+            for batch in server.detect_stream(payload_iter):
+                for boxes, kps in batch:
+                    yield _json_bytes(
+                        {
+                            "boxes": np.asarray(boxes).tolist(),
+                            "keypoints": np.asarray(kps).tolist(),
+                        }
+                    )
+        except ValueError as e:  # bad payload mid-stream: report, end stream
+            yield _json_bytes({"error": str(e)})
+
     def model_statistics(self, payload: bytes) -> bytes:
         name = json.loads(payload or b"{}").get("name", "")
         try:
@@ -131,7 +203,10 @@ def _handlers(servicer: FacePipelineServicer):
         "ServerLive": servicer.server_live,
         "ServerReady": servicer.server_ready,
         "ModelReady": servicer.model_ready,
+        "ModelConfig": servicer.model_config,
         "RepositoryIndex": servicer.repository_index,
+        "RepositoryModelLoad": servicer.repository_model_load,
+        "RepositoryModelUnload": servicer.repository_model_unload,
         "ModelStatistics": servicer.model_statistics,
     }
     rpcs = {
@@ -142,6 +217,11 @@ def _handlers(servicer: FacePipelineServicer):
         )
         for name, fn in methods.items()
     }
+    rpcs["DetectStream"] = grpc.stream_stream_rpc_method_handler(
+        lambda req_iter, ctx: servicer.detect_stream(req_iter),
+        request_deserializer=_identity,
+        response_serializer=_identity,
+    )
     return grpc.method_handlers_generic_handler(SERVICE, rpcs)
 
 
@@ -204,8 +284,27 @@ class FacePipelineClient:
     def model_ready(self, name: str) -> bool:
         return self._call("ModelReady", _json_bytes({"name": name}))["ready"]
 
+    def model_config(self, name: str) -> dict:
+        return self._call("ModelConfig", _json_bytes({"name": name}))
+
     def repository_index(self) -> list:
         return self._call("RepositoryIndex", b"")["models"]
+
+    def repository_model_load(self, name: str) -> dict:
+        return self._call("RepositoryModelLoad", _json_bytes({"name": name}))
+
+    def repository_model_unload(self, name: str) -> dict:
+        return self._call("RepositoryModelUnload", _json_bytes({"name": name}))
+
+    def detect_stream(self, image_bytes_iter):
+        """Bidirectional-stream Detect: yields one result dict per image."""
+        rpc = self._channel.stream_stream(
+            f"/{SERVICE}/DetectStream",
+            request_serializer=_identity,
+            response_deserializer=_identity,
+        )
+        for chunk in rpc(iter(image_bytes_iter)):
+            yield json.loads(chunk)
 
     def model_statistics(self, name: str) -> dict:
         return self._call("ModelStatistics", _json_bytes({"name": name}))

@@ -18,8 +18,11 @@ from rs_face_detection_tpu.runtime.server import FacePipelineClient, serve
 
 @pytest.fixture(scope="module")
 def server_port():
+    from conftest import attach_fast_head_builders
+
     reg = ModelRegistry()
     _attach_standard_builders(reg)
+    attach_fast_head_builders(reg)
 
     def small_detection_builder():
         from rs_face_detection_tpu.models.retinaface import init_retinaface
@@ -103,3 +106,50 @@ def test_repository_and_statistics(client):
 def test_extract_garbage_bytes_returns_error(client):
     result = client.extract(b"definitely not an image")
     assert "error" in result
+
+
+def test_repository_load_unload_round_trip(client):
+    """RepositoryModelLoad/Unload verbs (client.rs:127-146 parity)."""
+    name = "face_quality"
+    r = client.repository_model_load(name)
+    assert r == {"name": name, "loaded": True}
+    assert client.model_ready(name) is True
+    cfg = client.model_config(name)
+    assert cfg["name"] == name and len(cfg["input_shape"]) == 3
+
+    r = client.repository_model_unload(name)
+    assert r["loaded"] is False
+    assert client.model_ready(name) is False
+    # Re-loadable after unload (builder still registered).
+    assert client.repository_model_load(name)["loaded"] is True
+
+    r = client.repository_model_load("nonexistent")
+    assert r["loaded"] is False and "error" in r
+
+
+def test_detect_stream_round_trip(client):
+    """Server-streaming DetectStream (ModelStreamInfer analog): >= 2 batches
+    (stream_batch_size=4 on the test server, 6 images -> 2 device batches),
+    one in-order result per image."""
+    payloads = [_jpeg(seed) for seed in range(6)]
+    results = list(client.detect_stream(payloads))
+    assert len(results) == len(payloads)
+    for result in results:
+        assert "error" not in result
+        boxes = np.asarray(result["boxes"])
+        if boxes.size:
+            assert boxes.shape[1] == 5
+
+    # Stream results must agree with unary Detect on the same payload.
+    # (The stream path letterboxes with cv2 on host, the unary path with
+    # jax.image.resize on device — sub-pixel rounding differs, which can
+    # reorder near-tied scores; compare as sets with a pixel tolerance.)
+    unary = client.detect(payloads[0])
+    got = np.asarray(results[0]["boxes"], np.float32)
+    want = np.asarray(unary["boxes"], np.float32)
+    assert got.shape == want.shape
+    order_g = np.lexsort((got[:, 1], got[:, 0]))
+    order_w = np.lexsort((want[:, 1], want[:, 0]))
+    np.testing.assert_allclose(
+        got[order_g], want[order_w], rtol=1e-2, atol=0.1
+    )
