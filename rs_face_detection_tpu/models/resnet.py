@@ -76,10 +76,18 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        stem_precomputed: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         dt = self.dtype
-        if self.stem_space_to_depth:
+        if stem_precomputed:
+            # x is the post-stem, post-maxpool (B, H/4, W/4, 64) activation —
+            # the fused Pallas stem (ops/stem_pallas.fused_stem_s2d) computed
+            # conv+BN+ReLU+pool out-of-module; skip straight to stage 0.
+            pass
+        elif self.stem_space_to_depth:
             if x.shape[-1] == 3:
                 b0, h0, w0, _ = x.shape
                 if h0 % 2 or w0 % 2:
@@ -108,9 +116,10 @@ class ResNet50(nn.Module):
             x = ConvBN(
                 64, (7, 7), (2, 2), act=nn.relu, dtype=dt, quant=self.quant, name="stem"
             )(x, train)
-        # Torch MaxPool2d(3, stride=2, padding=1) semantics: explicit (1, 1)
-        # pads (flax pads max_pool with -inf, matching torch).
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if not stem_precomputed:
+            # Torch MaxPool2d(3, stride=2, padding=1) semantics: explicit
+            # (1, 1) pads (flax pads max_pool with -inf, matching torch).
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
         feats = []

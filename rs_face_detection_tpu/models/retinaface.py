@@ -60,7 +60,11 @@ class RetinaFace(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, raw: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        raw: bool = False,
+        stem_precomputed: bool = False,
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         if self.backbone not in _BACKBONES:
             raise ValueError(f"unknown backbone: {self.backbone!r}")
@@ -69,13 +73,15 @@ class RetinaFace(nn.Module):
         s2d = self.uses_s2d_stem()
 
         if self.backbone == "mobilenet025":
+            if stem_precomputed:
+                raise ValueError("stem_precomputed is ResNet-only")
             feats = MobileNetV1_025(
                 dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"
             )(x.astype(dt), train)
         else:
             feats = ResNet50(
                 dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"
-            )(x.astype(dt), train)
+            )(x.astype(dt), train, stem_precomputed=stem_precomputed)
 
         pyramid = FPN(
             channels, negative_slope=slope, dtype=dt, quant=self.quant, name="fpn"

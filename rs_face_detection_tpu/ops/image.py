@@ -106,6 +106,23 @@ def s2d_layout_host(imgs_bgr_u8: np.ndarray) -> np.ndarray:
     return x.reshape(b, h // 2, w // 2, 12)
 
 
+def s4d_layout_host(imgs_bgr_u8: np.ndarray) -> np.ndarray:
+    """Host-side 4x4 space-to-depth reshuffle of (B, H, W, 3) uint8 frames.
+
+    Returns (B, H/4, W/4, 48) uint8 with channel (ry*4 + rx)*3 + c (c in the
+    source BGR order) — the input layout of the dense-stem re-expression
+    (ops/stem_s4d.py): a 3x3 conv on 48 channels replaces the MXU-hostile
+    4x4/s1 conv on 12, with the 2x2 output phases carried in channels.
+    Like `s2d_layout_host`, the reshuffle is memcpy-speed on host and rides
+    the loader threads.
+    """
+    b, h, w, c = imgs_bgr_u8.shape
+    assert c == 3 and h % 4 == 0 and w % 4 == 0, imgs_bgr_u8.shape
+    x = imgs_bgr_u8.reshape(b, h // 4, 4, w // 4, 4, 3)
+    x = np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 4, w // 4, 48)
+
+
 def s2d_stem_input(
     imgs_bgr_u8: jnp.ndarray,
     mean: Tuple[float, float, float],

@@ -281,7 +281,7 @@ class RetinaFaceDetection:
 
     # ---- batched serving path (pre-letterboxed input) --------------------
 
-    def make_batched_fn(self, pre_s2d: bool = False):
+    def make_batched_fn(self, pre_s2d: bool = False, stem: str = "xla"):
         """Jitted (variables, (B, 640, 640, 3) u8, (B,) det_scales) -> PaddedDetections batch.
 
         Serving path: images are letterboxed host-side (or by the native
@@ -296,6 +296,21 @@ class RetinaFaceDetection:
         transpose costs as much as a float one, so the production path moves
         the memcpy-speed reshuffle into the loader and keeps only fusible
         elementwise work on device.
+
+        stem: "xla" (default) | "s4d" | "pallas" | "auto".
+          - "s4d": the production R50 fast path.  Input contract changes to
+            the 4x4 space-to-depth host layout (B, H/4, W/4, 48) uint8
+            (ops.image.s4d_layout_host); the whole stem chain — normalize,
+            stem conv, BN, ReLU, 3x3/s2 max-pool — runs as one dense
+            MXU-shaped 3x3x48->256 conv plus fused phase maxes
+            (ops/stem_s4d.py).  Exact in f32, bf16-rounding-close in
+            serving dtype.
+          - "pallas": fully fused single-kernel stem (ops/stem_pallas.py) on
+            the pre_s2d layout.  Kept opt-in: on current v5e+XLA it profiled
+            slower than the XLA chain (Mosaic lane-pads the 12-channel
+            operands); see the module docstring.
+          - "auto": "s4d"-eligible models still take "xla" here ("s4d"
+            changes the input layout, so callers must opt in explicitly).
         """
         cfg = self.cfg
         width, height = cfg.image_size
@@ -307,6 +322,32 @@ class RetinaFaceDetection:
         if pre_s2d and not s2d_stem:
             raise ValueError(
                 "pre_s2d=True requires an s2d-stem model and even image_size"
+            )
+        from ..ops.stem_pallas import supported_shape
+
+        pallas_ok = (
+            pre_s2d
+            and getattr(self.model, "backbone", None) == "resnet50"
+            and not getattr(self.model, "quant", False)
+            and supported_shape(height // 2, width // 2)
+        )
+        if stem == "pallas" and not pallas_ok:
+            raise ValueError(
+                "stem='pallas' needs pre_s2d=True, a non-quant resnet50 "
+                "model, and a tile-aligned image size "
+                "(ops.stem_pallas.supported_shape)"
+            )
+        use_pallas_stem = stem == "pallas"
+        use_s4d_stem = stem == "s4d"
+        if use_s4d_stem and not (
+            getattr(self.model, "backbone", None) == "resnet50"
+            and not getattr(self.model, "quant", False)
+            and height % 4 == 0
+            and width % 4 == 0
+        ):
+            raise ValueError(
+                "stem='s4d' needs a non-quant resnet50 model and image "
+                "dims divisible by 4"
             )
 
         def decode_one(single, inv_scale):
@@ -320,6 +361,59 @@ class RetinaFaceDetection:
         def batched(variables, imgs_u8, det_scales):
             mean = tuple(m * cfg.pixel_scale for m in cfg.pixel_means)
             scale = tuple(1.0 / s for s in cfg.pixel_stds)
+            if use_s4d_stem:
+                from ..ops.stem_s4d import fold_s4d_params, stem_s4d
+
+                stem_p = variables["params"]["body"]["stem"]
+                stem_s = variables["batch_stats"]["body"]["stem"]["BatchNorm_0"]
+                k4, a256, b256, m48, s48 = fold_s4d_params(
+                    stem_p["Conv_0"]["kernel"].astype(jnp.float32),
+                    stem_p["BatchNorm_0"]["scale"],
+                    stem_p["BatchNorm_0"]["bias"],
+                    stem_s["mean"],
+                    stem_s["var"],
+                    cfg.pixel_means,
+                    cfg.pixel_stds,
+                    cfg.pixel_scale,
+                )
+                dt = getattr(self.model, "dtype", jnp.float32)
+                pooled = stem_s4d(
+                    imgs_u8, k4, a256, b256, m48, s48,
+                    compute_dtype=dt, out_dtype=dt,
+                )
+                net_out = self.model.apply(
+                    variables, pooled, train=False, stem_precomputed=True
+                )
+                return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
+            if use_pallas_stem:
+                from ..ops.stem_pallas import fold_stem_params, fused_stem_s2d
+
+                stem_p = variables["params"]["body"]["stem"]
+                stem_s = variables["batch_stats"]["body"]["stem"]["BatchNorm_0"]
+                w192, bn2, norm2 = fold_stem_params(
+                    stem_p["Conv_0"]["kernel"].astype(jnp.float32),
+                    stem_p["BatchNorm_0"]["scale"],
+                    stem_p["BatchNorm_0"]["bias"],
+                    stem_s["mean"],
+                    stem_s["var"],
+                    cfg.pixel_means,
+                    cfg.pixel_stds,
+                    cfg.pixel_scale,
+                )
+                dt = getattr(self.model, "dtype", jnp.float32)
+                pooled = fused_stem_s2d(
+                    imgs_u8,
+                    w192,
+                    bn2,
+                    norm2,
+                    compute_dtype=dt,
+                    out_dtype=dt,
+                    interpret=jax.default_backend() not in ("tpu",),
+                )
+                net_out = self.model.apply(
+                    variables, pooled, train=False, stem_precomputed=True
+                )
+                return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if s2d_stem:
                 x = s2d_stem_input(
                     imgs_u8,

@@ -33,6 +33,7 @@ def main() -> int:
     parser.add_argument("--pre-s2d", action="store_true")
     parser.add_argument("--approx-topk", action="store_true")
     parser.add_argument("--quant", default=None, choices=[None, "int8"])
+    parser.add_argument("--stem", default="auto", choices=["auto", "xla", "pallas", "s4d"])
     args = parser.parse_args()
 
     import numpy as np
@@ -62,11 +63,15 @@ def main() -> int:
 
         model, variables = quantize_retinaface(model, variables, size)
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
-    fn = det.make_batched_fn(pre_s2d=args.pre_s2d)
+    fn = det.make_batched_fn(pre_s2d=args.pre_s2d, stem=args.stem)
 
     rng = np.random.default_rng(0)
     imgs_np = rng.integers(0, 255, (args.batch, size[1], size[0], 3), dtype=np.uint8)
-    if args.pre_s2d:
+    if args.stem == "s4d":
+        from rs_face_detection_tpu.ops.image import s4d_layout_host
+
+        imgs_np = s4d_layout_host(imgs_np)
+    elif args.pre_s2d:
         from rs_face_detection_tpu.ops.image import s2d_layout_host
 
         imgs_np = s2d_layout_host(imgs_np)
@@ -102,6 +107,30 @@ def main() -> int:
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[: args.top]:
         extra = op_meta(name) if not name.startswith("$") else ""
         print(f"{dur / 1000:9.3f} ms  {name[:34]:36s} {extra}")
+
+    # Aggregate device time by component (op_name path prefix): the long
+    # tail of sub-0.1 ms fusions is where half the graph time hides.
+    groups = defaultdict(float)
+    total = 0.0
+    for name, dur in by_name.items():
+        if name.startswith("$") or name.startswith("jit_") or name.startswith(
+            ("PjitFunction", "ParseArguments")
+        ):
+            continue
+        meta = op_meta(name)
+        total += dur
+        m = re.search(r"RetinaFace/(body/s\d|body|fpn|ssh\d|cls\d|box\d|ldm\d)", meta)
+        if m:
+            groups[m.group(1)] += dur
+        elif "RetinaFace" in meta:
+            groups["model/other"] += dur
+        elif meta:
+            groups["decode/nms/pre"] += dur
+        else:
+            groups["(no-meta: copies, infeed)"] += dur
+    print(f"\n# device time by component (sum {total / 1000:.3f} ms)")
+    for g, dur in sorted(groups.items(), key=lambda kv: -kv[1]):
+        print(f"{dur / 1000:9.3f} ms  {g}")
     shutil.rmtree(trace_dir, ignore_errors=True)
     return 0
 
