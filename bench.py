@@ -111,16 +111,20 @@ def _latency(fn, variables, make_batch, iters=20):
 
 
 def _build(backbone, image_size, nms_mode):
-    """Returns (det, jitted batched fn, pre_s2d flag).
+    """Returns (det, jitted batched fn, host layout tag "none"|"s2d"|"s4d").
 
-    s2d-stem models take host-reshuffled (B, H/2, W/2, 12) uint8 input
-    (ops.image.s2d_layout_host — the layout the native loader emits), which
-    is the production serving path: the memcpy-speed reshuffle rides the
-    loader threads instead of costing ~1.4 ms of TPU relayout copies.
+    Production serving layouts: host-reshuffled space-to-depth uint8 input
+    (ops.image.s2d_layout_host / s4d_layout_host — what the native loader
+    emits); the memcpy-speed reshuffle rides the loader threads instead of
+    costing ~1.4 ms of TPU relayout copies.  R50 additionally takes the
+    dense-stem "s4d" path (ops/stem_s4d.py: the whole stem chain as one
+    MXU-shaped conv + fused pool maxes) and pre-casts conv kernels to bf16
+    (models/precision.py) so serving pays no per-step weight converts.
     """
     import jax.numpy as jnp
 
     from rs_face_detection_tpu.configs import FaceDetectionConfig
+    from rs_face_detection_tpu.models.precision import cast_kernels
     from rs_face_detection_tpu.models.retinaface import init_retinaface
     from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
@@ -130,11 +134,15 @@ def _build(backbone, image_size, nms_mode):
         backbone, cfg.image_size, dtype=jnp.bfloat16, seed=0,
         stem_s2d=even or None,  # host-s2d serving layout when sizes allow
     )
+    variables = cast_kernels(variables)
     det = RetinaFaceDetection(
         cfg, model=model, variables=variables, nms_mode=nms_mode
     )
+    s4d = backbone == "resnet50" and all(s % 4 == 0 for s in image_size)
+    if s4d:
+        return det, det.make_batched_fn(stem="s4d"), "s4d"
     pre_s2d = model.uses_s2d_stem() and even
-    return det, det.make_batched_fn(pre_s2d=pre_s2d), pre_s2d
+    return det, det.make_batched_fn(pre_s2d=pre_s2d), "s2d" if pre_s2d else "none"
 
 
 def main() -> int:
@@ -150,16 +158,18 @@ def main() -> int:
     width, height = image_size
     rng = np.random.default_rng(0)
 
-    from rs_face_detection_tpu.ops.image import s2d_layout_host
+    from rs_face_detection_tpu.ops.image import s2d_layout_host, s4d_layout_host
 
-    def batch_maker(batch, pre_s2d=False):
+    _layouts = {"none": lambda x: x, "s2d": s2d_layout_host, "s4d": s4d_layout_host}
+
+    def batch_maker(batch, layout="none"):
         def make(i):
             imgs = rng.integers(
                 0, 255, size=(batch, height, width, 3), dtype=np.uint8
             )
-            if pre_s2d:
-                imgs = s2d_layout_host(imgs)
-            return jnp.asarray(imgs), jnp.ones((batch,), jnp.float32)
+            return jnp.asarray(_layouts[layout](imgs)), jnp.ones(
+                (batch,), jnp.float32
+            )
 
         return make
 
