@@ -262,7 +262,47 @@ void rsfd_s2d_batch(const uint8_t* src, int n, int h, int w, uint8_t* dst,
   for (auto& t : threads) t.join();
 }
 
+// 4x4 space-to-depth reshuffle: (n, h, w, 3) u8 -> (n, h/4, w/4, 48) u8 with
+// output channel (ry*4 + rx)*3 + c (ry/rx = row/col within the 4x4 block).
+// This is the dense-stem layout (ops/stem_s4d.py: the whole R50 stem chain as
+// one MXU-shaped 3x3x48->256 conv; ops/image.s4d_layout_host is the numpy
+// reference, detection.make_batched_fn(stem="s4d") consumes it).
+void rsfd_s4d_batch(const uint8_t* src, int n, int h, int w, uint8_t* dst,
+                    int num_threads) {
+  if (n <= 0 || h % 4 || w % 4) return;
+  int workers = num_threads > 0
+                    ? num_threads
+                    : static_cast<int>(std::thread::hardware_concurrency());
+  workers = std::max(1, std::min(workers, n));
+  const int h4 = h / 4, w4 = w / 4;
+  const size_t in_frame = static_cast<size_t>(h) * w * 3;
+  const size_t out_frame = static_cast<size_t>(h4) * w4 * 48;
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int img = next.fetch_add(1);
+      if (img >= n) return;
+      const uint8_t* s = src + in_frame * img;
+      uint8_t* d = dst + out_frame * img;
+      for (int i = 0; i < h4; ++i) {
+        const uint8_t* rows[4];
+        for (int ry = 0; ry < 4; ++ry)
+          rows[ry] = s + static_cast<size_t>(4 * i + ry) * w * 3;
+        uint8_t* o = d + static_cast<size_t>(i) * w4 * 48;
+        for (int j = 0; j < w4; ++j) {
+          for (int ry = 0; ry < 4; ++ry)
+            std::memcpy(o + ry * 12, rows[ry] + j * 12, 12);
+          o += 48;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < workers; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+}
+
 // Version tag for the ctypes wrapper to sanity-check the ABI.
-int rsfd_abi_version() { return 2; }
+int rsfd_abi_version() { return 3; }
 
 }  // extern "C"

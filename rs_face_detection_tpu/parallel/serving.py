@@ -78,16 +78,28 @@ class DetectionServer:
             if _native.available():
                 self._native = _native
 
-        # s2d-stem models take the host-reshuffled 12-channel layout (the
-        # native loader / ops.image.s2d_layout_host emit it); see
+        # Host layout: eligible R50 models take the dense-stem 48-channel s4d
+        # layout (ops/stem_s4d.py — the whole stem chain as one MXU-shaped
+        # conv); s2d-stem models take the 12-channel s2d layout.  The native
+        # loader / ops.image.*_layout_host emit both; see
         # detection.make_batched_fn.
         width, height = self.cfg.image_size
-        self._pre_s2d = (
-            getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
+        s4d = (
+            getattr(self.detector.model, "backbone", None) == "resnet50"
+            and not getattr(self.detector.model, "quant", False)
+            and width % 4 == 0
+            and height % 4 == 0
+        )
+        pre_s2d = (
+            not s4d
+            and getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
             and width % 2 == 0
             and height % 2 == 0
         )
-        base_fn = self.detector.make_batched_fn(pre_s2d=self._pre_s2d)
+        self._layout = "s4d" if s4d else ("s2d" if pre_s2d else "none")
+        base_fn = self.detector.make_batched_fn(
+            pre_s2d=pre_s2d, stem="s4d" if s4d else "xla"
+        )
         if mesh is not None:
             if batch_size % mesh.shape["data"]:
                 raise ValueError(
@@ -144,8 +156,16 @@ class DetectionServer:
         return self._maybe_s2d(imgs), scales, n
 
     def _maybe_s2d(self, imgs: np.ndarray) -> np.ndarray:
-        if not self._pre_s2d:
+        if self._layout == "none":
             return imgs
+        if self._layout == "s4d":
+            if self._native is not None:
+                return self._native.s4d_batch(
+                    imgs, num_threads=self._decode_workers
+                )
+            from ..ops.image import s4d_layout_host
+
+            return s4d_layout_host(imgs)
         if self._native is not None:
             return self._native.s2d_batch(imgs, num_threads=self._decode_workers)
         from ..ops.image import s2d_layout_host

@@ -49,7 +49,7 @@ def load(build_if_missing: bool = True):
             return None
 
         lib.rsfd_abi_version.restype = ctypes.c_int
-        if lib.rsfd_abi_version() != 2:
+        if lib.rsfd_abi_version() != 3:
             # Stale build from an older source tree: rebuild once.
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
@@ -58,7 +58,7 @@ def load(build_if_missing: bool = True):
             )
             lib = ctypes.CDLL(_LIB_PATH)
             lib.rsfd_abi_version.restype = ctypes.c_int
-            if lib.rsfd_abi_version() != 2:
+            if lib.rsfd_abi_version() != 3:
                 raise RuntimeError("rsfd_native ABI mismatch; rebuild native/")
 
         lib.rsfd_nms.restype = ctypes.c_int
@@ -98,6 +98,8 @@ def load(build_if_missing: bool = True):
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
         ]
+        lib.rsfd_s4d_batch.restype = None
+        lib.rsfd_s4d_batch.argtypes = list(lib.rsfd_s2d_batch.argtypes)
         _lib = lib
         return _lib
 
@@ -160,6 +162,30 @@ def s2d_batch(imgs: np.ndarray, num_threads: int = 0) -> np.ndarray:
     assert c == 3 and h % 2 == 0 and w % 2 == 0, imgs.shape
     out = np.empty((n, h // 2, w // 2, 12), dtype=np.uint8)
     lib.rsfd_s2d_batch(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        h,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    return out
+
+
+def s4d_batch(imgs: np.ndarray, num_threads: int = 0) -> np.ndarray:
+    """Threaded 4x4 space-to-depth: (N, H, W, 3) u8 -> (N, H/4, W/4, 48) u8.
+
+    Same layout as ops.image.s4d_layout_host — the dense-stem serving input
+    for detection.make_batched_fn(stem="s4d") (ops/stem_s4d.py).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; run ensure_built()")
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    n, h, w, c = imgs.shape
+    assert c == 3 and h % 4 == 0 and w % 4 == 0, imgs.shape
+    out = np.empty((n, h // 4, w // 4, 48), dtype=np.uint8)
+    lib.rsfd_s4d_batch(
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n,
         h,

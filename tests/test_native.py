@@ -99,3 +99,15 @@ def test_native_s2d_batch_matches_numpy():
         pytest.skip("native library unavailable")
     imgs = np.random.default_rng(0).integers(0, 256, (3, 8, 6, 3), dtype=np.uint8)
     np.testing.assert_array_equal(native.s2d_batch(imgs), s2d_layout_host(imgs))
+
+
+def test_native_s4d_batch_matches_numpy():
+    from rs_face_detection_tpu.ops.image import s4d_layout_host
+    from rs_face_detection_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    imgs = np.random.default_rng(1).integers(0, 256, (3, 16, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(native.s4d_batch(imgs), s4d_layout_host(imgs))

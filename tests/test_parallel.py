@@ -105,7 +105,10 @@ def test_detection_server_pre_s2d_matches_detector():
     model, variables = init_retinaface("resnet50", cfg.image_size, seed=0)
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
     server = DetectionServer(det, batch_size=2, use_native_loader=False)
-    assert server._pre_s2d
+    # Eligible R50 takes the dense-stem s4d host layout (falls back to s2d
+    # for other s2d-stem models); either way results must match the
+    # single-image detector path.
+    assert server._layout == "s4d"
 
     rng = np.random.default_rng(4)
     imgs = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8) for _ in range(2)]
