@@ -34,6 +34,8 @@ def main() -> int:
     parser.add_argument("--approx-topk", action="store_true")
     parser.add_argument("--quant", default=None, choices=[None, "int8"])
     parser.add_argument("--stem", default="auto", choices=["auto", "xla", "pallas", "s4d"])
+    parser.add_argument("--cast-bf16", action="store_true",
+                        help="pre-cast conv kernels to bf16 (bench parity)")
     args = parser.parse_args()
 
     import numpy as np
@@ -62,6 +64,10 @@ def main() -> int:
         from rs_face_detection_tpu.ops.quantize import quantize_retinaface
 
         model, variables = quantize_retinaface(model, variables, size)
+    if args.cast_bf16:
+        from rs_face_detection_tpu.models.precision import cast_kernels
+
+        variables = cast_kernels(variables)
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
     fn = det.make_batched_fn(pre_s2d=args.pre_s2d, stem=args.stem)
 
