@@ -1,0 +1,63 @@
+"""`python -m rs_face_detection_tpu.runtime` — run the serving facade.
+
+Production entrypoint for the gRPC facade (runtime/server.py), the external
+surface that mirrors the reference's Triton client verb families
+(/root/reference/src/triton_client/client.rs:26-200).  Where the reference
+CONNECTS to a Triton server, this process IS the server: models execute
+in-process on the local TPU through the fused jit graphs.
+
+    python -m rs_face_detection_tpu.runtime --port 8001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="rs_face_detection_tpu.runtime",
+        description="gRPC serving facade for the TPU face pipeline",
+    )
+    parser.add_argument("--port", type=int, default=8001)
+    parser.add_argument("--max-workers", type=int, default=8)
+    parser.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run one synthetic extract before accepting traffic "
+        "(compiles the detect/extract graphs up front)",
+    )
+    args = parser.parse_args(argv)
+
+    from .server import serve
+
+    server = serve(port=args.port, max_workers=args.max_workers)
+    port = getattr(server, "_rsfd_port", args.port)
+    if args.warmup:
+        import cv2
+        import numpy as np
+
+        from .server import FacePipelineClient
+
+        img = np.zeros((480, 640, 3), np.uint8)
+        img[120:260, 200:330] = 180
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        client = FacePipelineClient(port=port)
+        t0 = time.perf_counter()
+        client.extract(enc.tobytes())
+        client.close()
+        print(f"warmup extract done in {time.perf_counter() - t0:.1f}s")
+    print(f"rs_face_detection_tpu serving on :{port}")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop(grace=2.0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
