@@ -147,6 +147,8 @@ def detection_loss(
     box_weight: float = 2.0,
     lm_weight: float = 1.0,
     ohem_ratio: float = 3.0,
+    pos_iou: float = 0.5,
+    neg_iou: float = 0.3,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """RetinaFace multi-task loss for one image (vmap over batch).
 
@@ -154,7 +156,9 @@ def detection_loss(
     `ohem_ratio` negatives per positive (RetinaFace paper training recipe) —
     static-shape via rank thresholding instead of a dynamic top-k.
     """
-    labels, best_gt, _ = match_anchors(anchors, gt_boxes, gt_valid)
+    labels, best_gt, _ = match_anchors(
+        anchors, gt_boxes, gt_valid, pos_iou=pos_iou, neg_iou=neg_iou
+    )
     pos = labels == 1
     neg = labels == 0
     num_pos = jnp.maximum(jnp.sum(pos), 1)
@@ -258,8 +262,17 @@ class Trainer:
         cfg: Optional[FaceDetectionConfig] = None,
         learning_rate: float = 1e-3,
         dtype: Any = jnp.float32,
+        pos_iou: float = 0.5,
+        neg_iou: float = 0.3,
     ) -> None:
+        # pos/neg_iou: anchor-match thresholds (detection_loss).  The default
+        # 0.5/0.3 is the RetinaFace recipe; datasets whose face sizes fall in
+        # the anchor ladder's sqrt(2) coverage gaps (e.g. ~22 px between the
+        # 16 and 32 anchors) can end up with a single force-matched positive
+        # per face, which starves both heads — lower the thresholds there.
         self.mesh = mesh
+        self.pos_iou = pos_iou
+        self.neg_iou = neg_iou
         self.cfg = cfg or FaceDetectionConfig()
         anchors, level_info = full_anchor_table(
             self.cfg.image_size,
@@ -319,6 +332,8 @@ class Trainer:
                     batch.gt_boxes[i],
                     batch.gt_lms[i],
                     batch.gt_valid[i],
+                    pos_iou=self.pos_iou,
+                    neg_iou=self.neg_iou,
                 )
 
             losses, metrics = jax.vmap(per_image)(
