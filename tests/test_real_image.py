@@ -90,3 +90,37 @@ def test_real_face_through_detection_server():
     # the top detection must agree to the pixel.
     assert len(boxes) >= 1 and len(ref_boxes) >= 1
     np.testing.assert_allclose(boxes[0], ref_boxes[0], rtol=5e-2, atol=3.0)
+
+
+def test_real_face_through_full_pipeline():
+    """Align/quality/embed run on the REAL detected face: the trained
+    detector's landmarks drive the Umeyama alignment and the 512-d embedding
+    (random downstream weights — semantics live in their own import tests;
+    here the full extract flow must execute on real pixels and select the
+    real face)."""
+    import cv2
+
+    from rs_face_detection_tpu.configs import FacePipelineConfig, FaceDetectionConfig
+    from rs_face_detection_tpu.ops.box_decode import bbox_overlaps
+    from rs_face_detection_tpu.pipeline.face_pipeline import FacePipeline
+    from rs_face_detection_tpu.utils.fixtures import load_trained_detector
+
+    det_cfg = FaceDetectionConfig(
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=64,
+        max_detections=8,
+    )
+    pipe = FacePipeline(config=FacePipelineConfig(detection=det_cfg))
+    pipe.face_detection = load_trained_detector(CKPT, det_cfg)
+
+    res = pipe.extract(open(JPG, "rb").read())
+    assert res.face_count >= 1
+    assert res.selected_face_box is not None
+    gold = np.load(GOLD)
+    sel = np.asarray(res.selected_face_box, np.float32)[:4]
+    iou = float(bbox_overlaps(sel[None], gold["face_box"][None])[0, 0])
+    assert iou >= 0.5, f"pipeline selected a non-face region: IoU {iou:.3f}"
+    feat = np.asarray(res.facial_feature)
+    assert feat.shape == (512,) and np.isfinite(feat).all()
+    assert abs(np.linalg.norm(feat) - 1.0) < 1e-3  # L2-normalized embedding
