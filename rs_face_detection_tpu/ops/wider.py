@@ -4,8 +4,8 @@ The reference's accuracy context is WIDER-FACE-trained RetinaFace models
 (SURVEY.md §6 / BASELINE.md north star: WIDER val AP parity).  The dataset
 itself is unreachable from this build environment (zero egress), so this
 module ships the *protocol* — users with a local WIDER tree point
-`evaluate_wider` at it and get easy/medium/hard-style AP from the same
-ops/eval machinery the fixture gates use; tests validate the parser and the
+`evaluate_wider` at it and get overall AP from the same ops/eval machinery
+the fixture gates use; tests validate the parser and the
 end-to-end runner on a generated WIDER-format directory built from the
 repo's own fixtures.
 
@@ -20,9 +20,10 @@ i.e. a relative image path, a face count, then per face
 `x y w h blur expression illumination invalid occlusion pose`.  A count of 0
 is followed by one all-zero placeholder row (the official files do this).
 Faces with invalid=1 are excluded from scoring, like the official toolkit's
-preprocessing.  The official easy/medium/hard split files are MATLAB .mat
-(unparseable without scipy.io loadmat — which IS available, so the split
-files are honored when present).
+preprocessing.  NOT implemented: the official easy/medium/hard difficulty
+split (MATLAB .mat side files) — `evaluate_wider` reports one overall AP
+over all scored faces, which is comparable across runs of this framework
+but not directly against published per-difficulty numbers.
 """
 
 from __future__ import annotations

@@ -86,6 +86,7 @@ class DetectionServer:
         width, height = self.cfg.image_size
         s4d = (
             getattr(self.detector.model, "backbone", None) == "resnet50"
+            and getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
             and not getattr(self.detector.model, "quant", False)
             and width % 4 == 0
             and height % 4 == 0
@@ -189,6 +190,19 @@ class DetectionServer:
         of batch k (double buffering via a bounded queue + worker thread)."""
         batches: "queue.Queue" = queue.Queue(maxsize=prefetch)
         sentinel = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded put that gives up when the consumer is gone (a gRPC
+            # client cancelling DetectStream closes this generator mid-queue;
+            # a plain blocking put would leak the producer thread forever).
+            while not abandoned.is_set():
+                try:
+                    batches.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # The sentinel/error MUST reach the queue even when a payload
@@ -196,41 +210,50 @@ class DetectionServer:
             try:
                 chunk: List = []
                 for payload in payload_iter:
+                    if abandoned.is_set():
+                        return
                     chunk.append(payload)
                     if len(chunk) == self.batch_size:
-                        batches.put(self._prepare_batch(chunk))
+                        if not put(self._prepare_batch(chunk)):
+                            return
                         chunk = []
                 if chunk:
-                    batches.put(self._prepare_batch(chunk))
+                    put(self._prepare_batch(chunk))
             except BaseException as e:  # re-raised on the consumer side
-                batches.put(e)
+                put(e)
             finally:
-                batches.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
 
-        pending: List[Tuple[PaddedDetections, int]] = []
-        while True:
-            item = batches.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                # Drain pending device work, then surface the producer error.
-                for out, n_prev in pending:
+        try:
+            pending: List[Tuple[PaddedDetections, int]] = []
+            while True:
+                item = batches.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    # Drain pending device work, then surface the producer error.
+                    for out, n_prev in pending:
+                        yield self._unpack(out, n_prev)
+                    thread.join()
+                    raise item
+                imgs, scales, n = item
+                # Async dispatch: _run returns device futures immediately, so
+                # the producer thread prepares the next batch while this one
+                # computes.
+                pending.append((self._run(imgs, scales), n))
+                if len(pending) > 1:
+                    out, n_prev = pending.pop(0)
                     yield self._unpack(out, n_prev)
-                thread.join()
-                raise item
-            imgs, scales, n = item
-            # Async dispatch: _run returns device futures immediately, so the
-            # producer thread prepares the next batch while this one computes.
-            pending.append((self._run(imgs, scales), n))
-            if len(pending) > 1:
-                out, n_prev = pending.pop(0)
+            for out, n_prev in pending:
                 yield self._unpack(out, n_prev)
-        for out, n_prev in pending:
-            yield self._unpack(out, n_prev)
-        thread.join()
+            thread.join()
+        finally:
+            # Runs on normal exhaustion AND on generator close (client
+            # cancel/abandon): release the producer.
+            abandoned.set()
 
     def _run(self, imgs: np.ndarray, scales: np.ndarray) -> PaddedDetections:
         imgs_d = jnp.asarray(imgs)

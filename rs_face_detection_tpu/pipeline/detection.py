@@ -341,13 +341,15 @@ class RetinaFaceDetection:
         use_s4d_stem = stem == "s4d"
         if use_s4d_stem and not (
             getattr(self.model, "backbone", None) == "resnet50"
+            and getattr(self.model, "uses_s2d_stem", lambda: False)()
             and not getattr(self.model, "quant", False)
             and height % 4 == 0
             and width % 4 == 0
         ):
             raise ValueError(
-                "stem='s4d' needs a non-quant resnet50 model and image "
-                "dims divisible by 4"
+                "stem='s4d' needs a non-quant resnet50 model with the s2d "
+                "stem (its (4,4,12,64) kernel is what fold_s4d_params "
+                "re-expresses) and image dims divisible by 4"
             )
 
         def decode_one(single, inv_scale):

@@ -133,7 +133,8 @@ class FacePipelineServicer:
         name = json.loads(payload or b"{}").get("name", "")
         try:
             self.registry.load(name)
-        except KeyError as e:
+        except Exception as e:  # unknown name, builder/compile failure, OOM:
+            # keep the JSON error contract instead of a raw gRPC UNKNOWN.
             return _json_bytes({"name": name, "loaded": False, "error": str(e)})
         return _json_bytes({"name": name, "loaded": True})
 

@@ -38,7 +38,7 @@ def load_trained_detector(ckpt_path: str, cfg=None):
             for k in data.files
         }
     variables = jax.tree.map(np.asarray, _unflatten(flat))
-    model, _ = init_retinaface("mobilenet025", cfg.image_size, seed=0)
+    model, _ = init_retinaface(cfg.backbone, cfg.image_size, seed=0)
     return RetinaFaceDetection(cfg, model=model, variables=variables)
 
 

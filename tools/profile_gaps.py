@@ -1,6 +1,18 @@
+"""Device-idle gap analysis for the chained detect graph.
+
+Traces a scan-chained run of batched detect (the bench's device-saturated
+shape) and reports TPU busy/idle from the merged timeline intervals — the
+tool that established there are NO device bubbles between chained batches
+(the residual wall-clock gap is the dev harness's ~29 ms relay round trip;
+see bench.py and the axon-relay notes in CLAUDE.md).  Companion to
+tools/profile_detect.py, which attributes per-op time; this one measures
+what per-op sums cannot show.
+"""
+
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import collections
 import glob
 import gzip
