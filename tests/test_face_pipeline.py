@@ -175,3 +175,59 @@ def test_extract_batch_degenerate_landmarks_fallback(pipeline, monkeypatch):
         if sr.facial_feature is not None:
             assert br.facial_feature is not None
             assert br.selected_face_box is not None
+
+
+def test_extract_batch_r50_s4d_detect_path():
+    """R50 pipelines route extract_batch's detect through the s4d fast path;
+    detections (and thus the whole result schema) must match the single-image
+    extract, which letterboxes + detects through the stem='xla' chain."""
+    import jax.numpy as jnp
+
+    from rs_face_detection_tpu.configs import (
+        FaceDetectionConfig,
+        FacePipelineConfig,
+    )
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+    from rs_face_detection_tpu.models.registry import (
+        _attach_standard_builders,
+    )
+    from rs_face_detection_tpu.pipeline.face_pipeline import FacePipeline
+    from tests.conftest import attach_fast_head_builders
+
+    det_cfg = FaceDetectionConfig(
+        backbone="resnet50",
+        model_name="face_detection_retina_r50_test",
+        image_size=(64, 64),
+        confidence_threshold=0.3,
+        max_candidates=32,
+        max_detections=8,
+    )
+    registry = ModelRegistry()
+    _attach_standard_builders(registry)
+    attach_fast_head_builders(registry)
+    from rs_face_detection_tpu.models.registry import ModelSpec
+    from rs_face_detection_tpu.models.retinaface import init_retinaface
+
+    def _build_r50():
+        model, variables = init_retinaface(
+            "resnet50", det_cfg.image_size, seed=0, stem_s2d=True
+        )
+        return (
+            ModelSpec(det_cfg.model_name, (64, 64, 3), "retinaface maps"),
+            model,
+            variables,
+        )
+
+    registry.register_builder(det_cfg.model_name, _build_r50)
+    pipe = FacePipeline(
+        config=FacePipelineConfig(detection=det_cfg), registry=registry
+    )
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    batch_results = pipe.extract_batch(imgs)
+    assert pipe._detect_layout == "s4d"
+    for img, br in zip(imgs, batch_results):
+        sr = pipe.extract_image(img)
+        assert br.face_count == sr.face_count
