@@ -153,3 +153,49 @@ def test_detect_stream_round_trip(client):
     np.testing.assert_allclose(
         got[order_g], want[order_w], rtol=1e-2, atol=0.1
     )
+
+
+def test_runtime_entrypoint_serves():
+    """`python -m rs_face_detection_tpu.runtime` must come up and answer the
+    health verbs (no warmup: liveness needs no model compile)."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    grpc = pytest.importorskip("grpc")  # noqa: F841
+
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "rs_face_detection_tpu.runtime", "--port", "0"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            m = re.search(r"serving on :(\d+)", line or "")
+            if m:
+                port = int(m.group(1))
+                break
+            if proc.poll() is not None:
+                raise AssertionError(f"server exited early: {line}")
+        assert port, "server never announced its port"
+
+        from rs_face_detection_tpu.runtime.server import FacePipelineClient
+
+        client = FacePipelineClient(port=port)
+        try:
+            assert client.server_live() is True
+            assert client.server_ready() is True
+        finally:
+            client.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
