@@ -2,9 +2,12 @@
 
     python examples/demo.py [path/to/face.jpg]
 
-Without an image argument, a synthetic test image is used (random weights —
-outputs are structurally correct but semantically arbitrary until trained /
-imported checkpoints are loaded via models.registry / models.import_weights).
+Without an image argument, the committed real photograph
+(tests/fixtures/real_face.jpg) is used, and the real-trained fixture
+detector (tests/fixtures/trained_real64.npz) demonstrates an actual face
+detection first; the FacePipeline stages then run with random weights —
+structurally correct, semantically arbitrary until trained / imported
+checkpoints are loaded via models.registry / models.import_weights.
 """
 
 import os
@@ -27,12 +30,28 @@ def main() -> int:
         FaceQualityAssessment,
     )
 
+    fixtures = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+    real_jpg = os.path.join(fixtures, "real_face.jpg")
+    real_ckpt = os.path.join(fixtures, "trained_real64.npz")
     if len(sys.argv) > 1:
         payload = open(sys.argv[1], "rb").read()
+    elif os.path.exists(real_jpg):
+        payload = open(real_jpg, "rb").read()
     else:
         rng = np.random.default_rng(0)
         img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
         payload = cv2.imencode(".jpg", img)[1].tobytes()
+
+    if os.path.exists(real_ckpt) and len(sys.argv) <= 1 and os.path.exists(real_jpg):
+        from rs_face_detection_tpu.utils.fixtures import load_trained_detector
+        from rs_face_detection_tpu.utils.image_io import decode_image_bytes
+
+        print("== Real-face detection (trained fixture weights) ==")
+        det = load_trained_detector(real_ckpt)
+        boxes, kps = det(decode_image_bytes(payload))
+        for b in boxes:
+            print(f"  face @ ({b[0]:.0f},{b[1]:.0f})-({b[2]:.0f},{b[3]:.0f}) "
+                  f"score {b[4]:.3f}")
 
     registry = default_registry()
     pipeline = FacePipeline(registry=registry)
