@@ -245,11 +245,27 @@ def main() -> int:
     if flops_b8:
         # MFU vs v5e bf16 peak, from XLA's own per-graph FLOP estimate — the
         # ceiling context for vs_baseline (100% MFU == peak_img_s).
+        # NOTE (advisor r2): with the s4d stem, cost_analysis counts the
+        # densified stem kernel's zero-embedded taps (~2.3x nominal stem
+        # FLOPs), inflating graph FLOPs vs the round-1 s2d graph.  We
+        # report BOTH: raw graph MFU, and a nominal MFU with the analytic
+        # zero-tap overhead subtracted — the nominal figure is the
+        # cross-round-comparable one.
+        w, h = image_size
+        # s4d stem conv FLOPs: (H/4 x W/4 x 256) outputs x 9*48 MACs x 2.
+        s4d_stem_flops = (h // 4) * (w // 4) * 256 * (9 * 48) * 2
+        # nominal 7x7/s2 stem: (H/2 x W/2 x 64) outputs x 7*7*3 MACs x 2.
+        nominal_stem_flops = (h // 2) * (w // 2) * 64 * (7 * 7 * 3) * 2
+        zero_tap_overhead = 8.0 * (s4d_stem_flops - nominal_stem_flops)
+        nominal_b8 = max(flops_b8 - zero_tap_overhead, 1.0)
         mfu = (flops_b8 / 8.0) * r50_b8 / (PEAK_TFLOPS_BF16 * 1e12)
-        result["r50_b8_mfu"] = round(mfu, 4)
-        result["r50_gflops_per_image"] = round(flops_b8 / 8.0 / 1e9, 2)
+        result["r50_b8_mfu_raw_graph"] = round(mfu, 4)
+        result["r50_b8_mfu"] = round(
+            (nominal_b8 / 8.0) * r50_b8 / (PEAK_TFLOPS_BF16 * 1e12), 4
+        )
+        result["r50_gflops_per_image"] = round(nominal_b8 / 8.0 / 1e9, 2)
         result["r50_peak_img_s_at_100pct_mfu"] = round(
-            PEAK_TFLOPS_BF16 * 1e12 / (flops_b8 / 8.0), 1
+            PEAK_TFLOPS_BF16 * 1e12 / (nominal_b8 / 8.0), 1
         )
 
     # Detector-quality gate (VERDICT r1 #8): AP of the committed trained-

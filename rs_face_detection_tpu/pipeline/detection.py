@@ -312,6 +312,10 @@ class RetinaFaceDetection:
           - "auto": "s4d"-eligible models still take "xla" here ("s4d"
             changes the input layout, so callers must opt in explicitly).
         """
+        if stem not in ("xla", "auto", "s4d", "pallas"):
+            raise ValueError(
+                f"stem={stem!r} not in ('xla', 'auto', 's4d', 'pallas')"
+            )
         cfg = self.cfg
         width, height = cfg.image_size
         s2d_stem = (

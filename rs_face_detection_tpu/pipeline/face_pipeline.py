@@ -20,6 +20,7 @@ restores the reference behavior).
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from typing import Optional
 
@@ -231,7 +232,14 @@ class FacePipeline:
                     if _native.available()
                     else s4d_layout_host(canvases)
                 )
-            except Exception:
+            except (ImportError, OSError, RuntimeError) as e:
+                # Expected native-loader failure modes (missing .so, ABI
+                # mismatch); anything else should surface, not be hidden.
+                warnings.warn(
+                    f"native s4d loader failed ({e!r}); numpy fallback",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 det_in = s4d_layout_host(canvases)
             det_in = jnp.asarray(det_in)
         else:

@@ -167,6 +167,11 @@ class FacePipelineServicer:
         Consumes a stream of raw image-bytes requests, batches them through
         DetectionServer.detect_stream (host decode overlaps device compute),
         and yields one JSON result per input image, in order.
+
+        Error contract (matches the unary verbs): any mid-stream failure —
+        bad payload, cv2 decode error, device-path RuntimeError — is
+        reported as a final JSON `{"error": ...}` message and the stream
+        terminates; results queued after the failing payload are dropped.
         """
         server = self._detection_server()
         try:
@@ -178,7 +183,7 @@ class FacePipelineServicer:
                             "keypoints": np.asarray(kps).tolist(),
                         }
                     )
-        except ValueError as e:  # bad payload mid-stream: report, end stream
+        except Exception as e:  # failure mid-stream: report, end stream
             yield _json_bytes({"error": str(e)})
 
     def model_statistics(self, payload: bytes) -> bytes:
