@@ -1,0 +1,369 @@
+"""Public-checkpoint import + registry serving plumbing (VERDICT r2 #4).
+
+The reference obtained every trained network from a Triton model repository
+(/root/reference/src/pipeline/face_pipeline/pipeline.rs:89-116); its "load a
+model" story was `repository_model_load` against files Triton owned.  Here
+the equivalent last mile is:
+
+    tools/import_checkpoint.py downloaded.pth out.npz      # one-time convert
+    export RSFD_CHECKPOINT_DIR=/path/to/npz/dir            # registry pickup
+
+This module owns that path end to end:
+
+  - `detect_kind`: fingerprint a torch state_dict (biubug6 RetinaFace
+    mnet025/R50, insightface arcface `backbone.pth`, Silent-Face MiniFASNet,
+    torchvision resnet18) from its key set.
+  - `import_state_dict`: dispatch to the proven layout maps
+    (models/checkpoint_maps, models/minifas, models/classifiers) and return
+    (model, variables, meta) where `meta` records how to rebuild the exact
+    architecture later.
+  - `save_imported` / `load_imported`: registry `.npz` with an embedded
+    `__meta__` JSON entry, so a checkpoint file is self-describing.
+  - `build_from_meta`: reconstruct (model, variables) from a loaded file.
+  - `maybe_serve_checkpoint(name)`: what registry builders call — if
+    `$RSFD_CHECKPOINT_DIR/<model_name>.npz` exists, serve it (architecture
+    rebuilt from its meta) instead of seeded random weights.
+
+Layout fidelity of every map is proven against torch mirror networks in
+tests/test_checkpoint_maps.py; this module's CLI round trip is proven in
+tests/test_import_checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .registry import _flatten, _unflatten
+
+#: Environment variable naming the directory the registry scans for
+#: `<model_name>.npz` checkpoints.
+CHECKPOINT_DIR_ENV = "RSFD_CHECKPOINT_DIR"
+
+KINDS = (
+    "retinaface_mnet025",
+    "retinaface_resnet50",
+    "iresnet",
+    "minifas",
+    "resnet18",
+)
+
+
+# ---------------------------------------------------------------------------
+# layout fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def detect_kind(state_dict: Mapping[str, Any]) -> str:
+    """Identify which supported public layout a state_dict carries.
+
+    Fingerprints (all on 'module.'-stripped keys):
+      - biubug6 RetinaFace: `ssh1.conv3X3.0.weight` + either
+        `body.stage1.0.0.weight` (mnet025) or `body.layer1.0.conv1.weight`
+        (torchvision R50 under IntermediateLayerGetter).
+      - insightface iresnet (`backbone.pth`): top-level `prelu.weight` +
+        `features.weight` (the affine feature BN).
+      - Silent-Face MiniFASNet: `conv_6_sep.conv.weight` + `prob.weight`.
+      - torchvision resnet18: `conv1.weight` + `layer1.0.conv1.weight` with
+        2-conv basic blocks (no `layer1.0.conv3.weight`) and no `prelu`.
+    """
+    from .checkpoint_maps import strip_module_prefix
+
+    keys = set(strip_module_prefix(state_dict))
+    if "ssh1.conv3X3.0.weight" in keys:
+        if "body.stage1.0.0.weight" in keys:
+            return "retinaface_mnet025"
+        if "body.layer1.0.conv1.weight" in keys:
+            return "retinaface_resnet50"
+        raise ValueError(
+            "RetinaFace-layout state_dict with unrecognized backbone keys"
+        )
+    if "conv_6_sep.conv.weight" in keys and "prob.weight" in keys:
+        return "minifas"
+    if "prelu.weight" in keys and "features.weight" in keys:
+        return "iresnet"
+    if (
+        "conv1.weight" in keys
+        and "layer1.0.conv1.weight" in keys
+        and "layer1.0.conv3.weight" not in keys
+        and "fc.weight" in keys
+    ):
+        return "resnet18"
+    sample = sorted(keys)[:6]
+    raise ValueError(
+        f"unrecognized state_dict layout (first keys: {sample}); pass an "
+        f"explicit kind from {KINDS}"
+    )
+
+
+def iresnet_depth_from_state_dict(state_dict: Mapping[str, Any]) -> str:
+    """Derive iresnet18/34/50/100 from per-stage block counts."""
+    from .checkpoint_maps import _IRESNET_STAGES, strip_module_prefix
+
+    keys = strip_module_prefix(state_dict)
+    counts = []
+    for s in range(1, 5):
+        b = 0
+        while f"layer{s}.{b}.bn1.weight" in keys:
+            b += 1
+        counts.append(b)
+    for depth, stages in _IRESNET_STAGES.items():
+        if tuple(counts) == tuple(stages):
+            return depth
+    raise ValueError(f"iresnet stage block counts {counts} match no known depth")
+
+
+# ---------------------------------------------------------------------------
+# import dispatch
+# ---------------------------------------------------------------------------
+
+
+def import_state_dict(
+    state_dict: Mapping[str, Any],
+    kind: str = "auto",
+    image_size: Optional[Tuple[int, int]] = None,
+    softmax: bool = True,
+    stem_s2d: Optional[bool] = None,
+    strict: bool = True,
+) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Convert a supported public state_dict into (model, variables, meta).
+
+    image_size is (width, height) where applicable; minifas derives its
+    input size from the checkpoint's conv6 kernel unless overridden (pass
+    image_size for non-multiple-of-16 training sizes).
+    """
+    from .checkpoint_maps import strip_module_prefix
+
+    sd = {k: np.asarray(v) for k, v in strip_module_prefix(state_dict).items()}
+    if kind == "auto":
+        kind = detect_kind(sd)
+    if kind not in KINDS:
+        raise ValueError(f"unknown kind {kind!r}; expected one of {KINDS}")
+
+    if kind in ("retinaface_mnet025", "retinaface_resnet50"):
+        from .checkpoint_maps import load_retinaface_state_dict
+        from .retinaface import init_retinaface
+
+        backbone = "mobilenet025" if kind.endswith("mnet025") else "resnet50"
+        size = image_size or (640, 640)
+        model, variables = init_retinaface(backbone, size, stem_s2d=stem_s2d)
+        s2d = model.uses_s2d_stem()
+        variables = load_retinaface_state_dict(
+            variables, sd, backbone, stem_s2d=s2d, strict=strict
+        )
+        meta = {
+            "family": "retinaface",
+            "backbone": backbone,
+            "stem_s2d": bool(s2d),
+            "image_size": list(size),
+        }
+    elif kind == "iresnet":
+        from .arcface import init_arcface
+        from .checkpoint_maps import load_iresnet_state_dict
+
+        depth = iresnet_depth_from_state_dict(sd)
+        dim = int(sd["fc.weight"].shape[0])
+        size = image_size or (112, 112)
+        model, variables = init_arcface(depth, dim, size)
+        variables = load_iresnet_state_dict(variables, sd, depth, strict=strict)
+        meta = {
+            "family": "iresnet",
+            "depth": depth,
+            "embedding_dim": dim,
+            "image_size": list(size),
+        }
+    elif kind == "minifas":
+        from .minifas import (
+            conv6_kernel_for,
+            load_minifasnet_state_dict,
+            minifasnet_spec_from_state_dict,
+        )
+
+        spec = minifasnet_spec_from_state_dict(sd)
+        if image_size is not None:
+            input_hw = (image_size[1], image_size[0])
+            if conv6_kernel_for(input_hw) != spec.conv6_kernel:
+                raise ValueError(
+                    f"--image-size {image_size} incompatible with checkpoint "
+                    f"conv6 kernel {spec.conv6_kernel}"
+                )
+        else:
+            input_hw = (spec.conv6_kernel[0] * 16, spec.conv6_kernel[1] * 16)
+        model, variables = load_minifasnet_state_dict(
+            sd, input_hw, softmax=softmax, strict=strict
+        )
+        meta = {
+            "family": "minifas",
+            "spec": dataclasses.asdict(spec),
+            "input_hw": list(input_hw),
+            "softmax": bool(softmax),
+        }
+    elif kind == "resnet18":
+        from .classifiers import load_resnet18_classifier_state_dict
+
+        size = image_size or (112, 112)
+        model, variables = load_resnet18_classifier_state_dict(
+            sd, softmax=softmax, image_size=size, strict=strict
+        )
+        meta = {
+            "family": "resnet18",
+            "num_outputs": int(sd["fc.weight"].shape[0]),
+            "softmax": bool(softmax),
+            "image_size": list(size),
+        }
+    else:  # pragma: no cover - guarded above
+        raise AssertionError(kind)
+    return model, variables, meta
+
+
+# ---------------------------------------------------------------------------
+# self-describing .npz files
+# ---------------------------------------------------------------------------
+
+
+def save_imported(path: str, variables: Any, meta: Mapping[str, Any]) -> None:
+    """Write variables + architecture meta to a registry checkpoint .npz."""
+    flat = _flatten(jax.tree.map(np.asarray, variables))
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(dict(meta)).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(path, **flat)
+
+
+def load_imported(path: str) -> Tuple[Dict[str, Any], Optional[Dict[str, Any]]]:
+    """Read an .npz checkpoint -> (variables tree, meta-or-None).
+
+    Accepts both self-describing files (save_imported) and plain
+    registry.save_variables files (meta is None).
+    """
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    raw = flat.pop("__meta__", None)
+    meta = (
+        json.loads(bytes(raw.tobytes()).decode("utf-8")) if raw is not None else None
+    )
+    return _unflatten(flat), meta
+
+
+def build_from_meta(
+    meta: Mapping[str, Any], **overrides: Any
+) -> Tuple[Any, Any]:
+    """Reconstruct (model, template_variables) from checkpoint meta.
+
+    overrides replace meta fields before the build (serving roles tweak e.g.
+    softmax without touching the stored weights — the variables are identical
+    across those options).
+    """
+    m = {**meta, **overrides}
+    family = m["family"]
+    if family == "retinaface":
+        from .retinaface import init_retinaface
+
+        return init_retinaface(
+            m["backbone"], tuple(m["image_size"]), stem_s2d=m["stem_s2d"]
+        )
+    if family == "iresnet":
+        from .arcface import init_arcface
+
+        return init_arcface(
+            m["depth"], m["embedding_dim"], tuple(m["image_size"])
+        )
+    if family == "minifas":
+        from .minifas import DWSpec, MiniFASNetSpec, init_minifasnet
+
+        def dw(d):
+            return DWSpec(**{**d, "kernel": tuple(d["kernel"])})
+
+        s = m["spec"]
+        spec = MiniFASNetSpec(
+            conv1_out=s["conv1_out"],
+            conv2_out=s["conv2_out"],
+            conv2_groups=s["conv2_groups"],
+            conv_23=dw(s["conv_23"]),
+            conv_3=tuple(dw(d) for d in s["conv_3"]),
+            conv_34=dw(s["conv_34"]),
+            conv_4=tuple(dw(d) for d in s["conv_4"]),
+            conv_45=dw(s["conv_45"]),
+            conv_5=tuple(dw(d) for d in s["conv_5"]),
+            conv6_sep_out=s["conv6_sep_out"],
+            conv6_out=s["conv6_out"],
+            conv6_groups=s["conv6_groups"],
+            conv6_kernel=tuple(s["conv6_kernel"]),
+            embedding_size=s["embedding_size"],
+            num_classes=s["num_classes"],
+        )
+        return init_minifasnet(spec, tuple(m["input_hw"]), softmax=m["softmax"])
+    if family == "resnet18":
+        from .classifiers import init_resnet18_classifier
+
+        return init_resnet18_classifier(
+            m["num_outputs"], tuple(m["image_size"]), softmax=m["softmax"]
+        )
+    raise ValueError(f"unknown checkpoint family {family!r}")
+
+
+# ---------------------------------------------------------------------------
+# registry pickup
+# ---------------------------------------------------------------------------
+
+
+def registry_checkpoint_path(name: str) -> Optional[str]:
+    """`$RSFD_CHECKPOINT_DIR/<name>.npz` if the env var and file exist."""
+    root = os.environ.get(CHECKPOINT_DIR_ENV)
+    if not root:
+        return None
+    path = os.path.join(root, f"{name}.npz")
+    return path if os.path.exists(path) else None
+
+
+def _assert_tree_compatible(template: Any, loaded: Any, name: str) -> None:
+    t_flat = _flatten(jax.tree.map(np.asarray, template))
+    l_flat = _flatten(jax.tree.map(np.asarray, loaded))
+    missing = sorted(set(t_flat) - set(l_flat))
+    extra = sorted(set(l_flat) - set(t_flat))
+    if missing or extra:
+        raise ValueError(
+            f"checkpoint for {name!r} does not match the model structure "
+            f"(missing {missing[:4]}, extra {extra[:4]})"
+        )
+    for k, v in t_flat.items():
+        if tuple(np.shape(v)) != tuple(np.shape(l_flat[k])):
+            raise ValueError(
+                f"checkpoint for {name!r}: {k} shape "
+                f"{np.shape(l_flat[k])} != model {np.shape(v)}"
+            )
+
+
+def maybe_serve_checkpoint(
+    name: str, expect_family: Optional[str] = None, **overrides: Any
+) -> Optional[Tuple[Any, Any]]:
+    """Registry-builder hook: serve `<name>.npz` from RSFD_CHECKPOINT_DIR.
+
+    Returns (model, variables) with the architecture rebuilt from the file's
+    meta (or None when no checkpoint is present).  Files without meta cannot
+    reconstruct an architecture and raise — re-import them through
+    tools/import_checkpoint.py.
+    """
+    path = registry_checkpoint_path(name)
+    if path is None:
+        return None
+    loaded, meta = load_imported(path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no __meta__ entry; re-create it with "
+            f"tools/import_checkpoint.py so the architecture is recoverable"
+        )
+    if expect_family is not None and meta.get("family") != expect_family:
+        raise ValueError(
+            f"{path} holds a {meta.get('family')!r} model but "
+            f"{name!r} expects {expect_family!r}"
+        )
+    model, template = build_from_meta(meta, **overrides)
+    _assert_tree_compatible(template, loaded, name)
+    return model, jax.tree.map(jnp.asarray, loaded)

@@ -259,11 +259,17 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
         FaceQualityConfig,
     )
 
+    from .checkpoint_io import maybe_serve_checkpoint
+
     def detection_builder():
         from .retinaface import init_retinaface
 
         cfg = FaceDetectionConfig()
-        model, variables = init_retinaface(cfg.backbone, cfg.image_size)
+        served = maybe_serve_checkpoint(cfg.model_name, expect_family="retinaface")
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_retinaface(cfg.backbone, cfg.image_size)
         w, h = cfg.image_size
         spec = ModelSpec(
             name=cfg.model_name,
@@ -278,7 +284,13 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
         from .arcface import init_arcface
 
         cfg = FaceIdentificationConfig()
-        model, variables = init_arcface(cfg.backbone, cfg.embedding_dim, cfg.image_size)
+        served = maybe_serve_checkpoint(cfg.model_name, expect_family="iresnet")
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_arcface(
+                cfg.backbone, cfg.embedding_dim, cfg.image_size
+            )
         w, h = cfg.image_size
         spec = ModelSpec(
             name=cfg.model_name,
@@ -293,7 +305,15 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
         from .classifiers import init_resnet18_classifier
 
         cfg = FaceQualityConfig()
-        model, variables = init_resnet18_classifier(cfg.num_classes, cfg.image_size)
+        served = maybe_serve_checkpoint(
+            cfg.model_name, expect_family="resnet18", softmax=True
+        )
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_resnet18_classifier(
+                cfg.num_classes, cfg.image_size
+            )
         w, h = cfg.image_size
         spec = ModelSpec(
             name=cfg.model_name,
@@ -308,9 +328,15 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
         from .classifiers import init_resnet18_classifier
 
         cfg = FaceQualityAssessmentConfig()
-        model, variables = init_resnet18_classifier(
-            1, cfg.image_size, softmax=False
+        served = maybe_serve_checkpoint(
+            cfg.model_name, expect_family="resnet18", softmax=False
         )
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_resnet18_classifier(
+                1, cfg.image_size, softmax=False
+            )
         w, h = cfg.image_size
         spec = ModelSpec(
             name=cfg.model_name,
@@ -334,7 +360,21 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
             from .minifas import default_minifas_spec, init_minifasnet
 
             hw = (size[1], size[0])
-            model, variables = init_minifasnet(default_minifas_spec(hw), hw)
+            served = maybe_serve_checkpoint(
+                model_name, expect_family="minifas", softmax=True
+            )
+            if served is not None:
+                from .minifas import conv6_kernel_for
+
+                model, variables = served
+                if model.spec.conv6_kernel != conv6_kernel_for(hw):
+                    raise ValueError(
+                        f"checkpoint for {model_name!r} has conv6 kernel "
+                        f"{model.spec.conv6_kernel}, incompatible with the "
+                        f"configured input {hw}"
+                    )
+            else:
+                model, variables = init_minifasnet(default_minifas_spec(hw), hw)
             spec = ModelSpec(
                 name=model_name,
                 input_shape=(size[1], size[0], 3),
@@ -387,10 +427,19 @@ def _attach_ekyc_builders(registry: ModelRegistry) -> None:
         )
 
     def attribute_builder():
-        from .heads import init_small_cnn
+        from .checkpoint_io import maybe_serve_checkpoint
+        from .classifiers import init_resnet18_classifier
 
         cfg = EkycFaceAttributeConfig()
-        model, variables = init_small_cnn(2, (cfg.imsize, cfg.imsize))
+        served = maybe_serve_checkpoint(
+            cfg.model_name, expect_family="resnet18", softmax=True
+        )
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_resnet18_classifier(
+                2, (cfg.imsize, cfg.imsize)
+            )
         return (
             ModelSpec(
                 cfg.model_name,
@@ -402,10 +451,19 @@ def _attach_ekyc_builders(registry: ModelRegistry) -> None:
         )
 
     def quality_vp_builder():
-        from .heads import init_small_cnn
+        from .checkpoint_io import maybe_serve_checkpoint
+        from .classifiers import init_resnet18_classifier
 
         cfg = EkycFaceQualityConfig()
-        model, variables = init_small_cnn(2, (cfg.imsize, cfg.imsize))
+        served = maybe_serve_checkpoint(
+            cfg.model_name, expect_family="resnet18", softmax=True
+        )
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_resnet18_classifier(
+                2, (cfg.imsize, cfg.imsize)
+            )
         return (
             ModelSpec(
                 cfg.model_name,
