@@ -12,7 +12,7 @@ This module owns that path end to end:
 
   - `detect_kind`: fingerprint a torch state_dict (biubug6 RetinaFace
     mnet025/R50, insightface arcface `backbone.pth`, Silent-Face MiniFASNet,
-    torchvision resnet18) from its key set.
+    torchvision resnet18, OpenAI CLIP visual towers) from its key set.
   - `import_state_dict`: dispatch to the proven layout maps
     (models/checkpoint_maps, models/minifas, models/classifiers) and return
     (model, variables, meta) where `meta` records how to rebuild the exact
@@ -52,6 +52,7 @@ KINDS = (
     "iresnet",
     "minifas",
     "resnet18",
+    "clip_visual",
 )
 
 
@@ -76,6 +77,8 @@ def detect_kind(state_dict: Mapping[str, Any]) -> str:
     from .checkpoint_maps import strip_module_prefix
 
     keys = set(strip_module_prefix(state_dict))
+    if "visual.conv1.weight" in keys and "visual.proj" in keys:
+        return "clip_visual"
     if "ssh1.conv3X3.0.weight" in keys:
         if "body.stage1.0.0.weight" in keys:
             return "retinaface_mnet025"
@@ -217,6 +220,20 @@ def import_state_dict(
             "softmax": bool(softmax),
             "image_size": list(size),
         }
+    elif kind == "clip_visual":
+        from .clip_import import import_clip_visual
+
+        size = image_size or (224, 224)
+        num_classes = (
+            int(sd["head.weight"].shape[0]) if "head.weight" in sd else 2
+        )
+        model, variables, meta = import_clip_visual(
+            sd,
+            num_classes=num_classes,
+            image_size=size,
+            softmax=softmax,
+            strict=strict,
+        )
     else:  # pragma: no cover - guarded above
         raise AssertionError(kind)
     return model, variables, meta
@@ -305,6 +322,17 @@ def build_from_meta(
         return init_resnet18_classifier(
             m["num_outputs"], tuple(m["image_size"]), softmax=m["softmax"]
         )
+    if family == "clip_vit":
+        from .vit import ViT, init_vit
+
+        model, variables = init_vit(
+            m["config"], m["num_classes"], tuple(m["image_size"])
+        )
+        if not m["softmax"]:
+            model = ViT(
+                config=m["config"], num_classes=m["num_classes"], softmax=False
+            )
+        return model, variables
     raise ValueError(f"unknown checkpoint family {family!r}")
 
 

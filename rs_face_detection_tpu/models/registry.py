@@ -475,9 +475,19 @@ def _attach_ekyc_builders(registry: ModelRegistry) -> None:
         )
 
     def fas_vit_builder(cfg):
+        from .checkpoint_io import maybe_serve_checkpoint
         from .vit import init_vit
 
-        model, variables = init_vit("vit_l14", 2, (cfg.imsize, cfg.imsize))
+        # CLIP-structured ViT-L/14 (the reference names CLIP L14 FAS models,
+        # ekyc config.rs:95-138): a public OpenAI CLIP visual tower loads
+        # structurally via models/clip_import.py.
+        served = maybe_serve_checkpoint(
+            cfg.model_name, expect_family="clip_vit", softmax=True
+        )
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_vit("clip_l14", 2, (cfg.imsize, cfg.imsize))
         return (
             ModelSpec(
                 cfg.model_name,

@@ -8,35 +8,66 @@ blocks, CLS token, classification head.  Attention and MLP are pure einsum/
 matmul — exactly the shapes XLA maps onto the MXU; bf16 compute, f32
 params/softmax.
 
-`vit_l14` builds the full-size config; smaller named configs exist for tests
-and lighter deployments.
+The `clip_*` configs reproduce the OpenAI CLIP visual-encoder structure
+(ln_pre after the embeddings, QuickGELU MLPs, ln_post on the class token
+followed by the embedding projection) so a public CLIP state_dict loads
+structurally via models/clip_import.py; the plain `vit_*` configs are the
+lighter test/deployment variants.  LayerNorm epsilon follows torch (1e-5)
+so imported weights reproduce torch outputs.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+
+class ViTConfig(NamedTuple):
+    patch: int
+    width: int
+    depth: int
+    heads: int
+    # CLIP-structure options (OpenAI visual tower):
+    pre_ln: bool = False  # ln_pre after cls+pos embedding
+    quick_gelu: bool = False  # x * sigmoid(1.702 x) instead of exact GELU
+    proj_dim: int = 0  # embedding projection after ln_post (0 = none)
+
+
 _CONFIGS = {
-    # name: (patch, width, depth, heads)
-    "vit_tiny_test": (16, 64, 2, 2),
-    "vit_b16": (16, 768, 12, 12),
-    "vit_l14": (14, 1024, 24, 16),
+    "vit_tiny_test": ViTConfig(16, 64, 2, 2),
+    "vit_b16": ViTConfig(16, 768, 12, 12),
+    "vit_l14": ViTConfig(14, 1024, 24, 16),
+    # OpenAI CLIP visual encoders (proj_dim = shared embedding width).
+    "clip_tiny_test": ViTConfig(16, 64, 2, 2, pre_ln=True, quick_gelu=True,
+                                proj_dim=32),
+    "clip_b16": ViTConfig(16, 768, 12, 12, pre_ln=True, quick_gelu=True,
+                          proj_dim=512),
+    "clip_l14": ViTConfig(14, 1024, 24, 16, pre_ln=True, quick_gelu=True,
+                          proj_dim=768),
 }
+
+
+def _gelu(x: jnp.ndarray, quick: bool) -> jnp.ndarray:
+    if quick:
+        return x * jax.nn.sigmoid(1.702 * x)
+    return nn.gelu(x)
 
 
 class _Block(nn.Module):
     width: int
     heads: int
+    quick_gelu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln1")(x)
+        y = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln1"
+        )(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             dtype=self.dtype,
@@ -44,15 +75,17 @@ class _Block(nn.Module):
             name="attn",
         )(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln2")(x)
+        y = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln2"
+        )(x)
         y = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
-        y = nn.gelu(y)
+        y = _gelu(y, self.quick_gelu)
         y = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(y)
         return x + y
 
 
 class ViT(nn.Module):
-    """Patchify -> CLS + pos embed -> transformer -> head probabilities."""
+    """Patchify -> CLS + pos embed [-> ln_pre] -> transformer -> head."""
 
     config: str = "vit_l14"
     num_classes: int = 2
@@ -61,13 +94,15 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        patch, width, depth, heads = _CONFIGS[self.config]
+        cfg = _CONFIGS[self.config]
+        patch, width = cfg.patch, cfg.width
         b, h, w, _ = x.shape
         x = nn.Conv(
             width,
             (patch, patch),
             strides=(patch, patch),
             padding="VALID",
+            use_bias=not cfg.pre_ln,  # CLIP's conv1 has no bias
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="patchify",
@@ -85,13 +120,31 @@ class ViT(nn.Module):
             jnp.float32,
         )
         x = x + pos.astype(x.dtype)
+        if cfg.pre_ln:
+            x = nn.LayerNorm(
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="ln_pre",
+            )(x.astype(jnp.float32)).astype(self.dtype)
 
-        for i in range(depth):
-            x = _Block(width, heads, dtype=self.dtype, name=f"block{i}")(x)
+        for i in range(cfg.depth):
+            x = _Block(
+                width,
+                cfg.heads,
+                quick_gelu=cfg.quick_gelu,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
 
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_final")(
-            x[:, 0].astype(jnp.float32)
-        )
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_final"
+        )(x[:, 0].astype(jnp.float32))
+        if cfg.proj_dim:
+            # CLIP embedding projection (visual.proj, no bias).
+            x = nn.Dense(
+                cfg.proj_dim, use_bias=False, param_dtype=jnp.float32, name="proj"
+            )(x)
         logits = nn.Dense(self.num_classes, param_dtype=jnp.float32, name="head")(x)
         return jax.nn.softmax(logits, axis=-1) if self.softmax else logits
 

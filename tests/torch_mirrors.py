@@ -548,3 +548,69 @@ def randomize_state_dict(module: nn.Module, seed: int = 0):
     module.load_state_dict(sd)
     module.eval()
     return module
+
+
+# ---------------------------------------------------------------------------
+# OpenAI-CLIP-layout visual tower
+# ---------------------------------------------------------------------------
+
+
+class CLIPResblockMirror(nn.Module):
+    """CLIP transformer resblock: pre-LN attention + QuickGELU MLP."""
+
+    def __init__(self, width, heads):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(width)
+        self.attn = nn.MultiheadAttention(width, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(width)
+        self.mlp = nn.Sequential()
+        self.mlp.add_module("c_fc", nn.Linear(width, width * 4))
+        self.mlp.add_module("c_proj", nn.Linear(width * 4, width))
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        y, _ = self.attn(y, y, y, need_weights=False)
+        x = x + y
+        y = self.mlp.c_fc(self.ln_2(x))
+        y = y * torch.sigmoid(1.702 * y)  # QuickGELU
+        return x + self.mlp.c_proj(y)
+
+
+class CLIPVisualMirror(nn.Module):
+    """OpenAI CLIP visual tower layout (keys under `visual.`), plus an
+    optional fine-tuned classifier `head` on the projected embedding --
+    the structure rs_face_detection_tpu.models.vit's clip_* configs mirror.
+    """
+
+    def __init__(self, patch=16, width=64, depth=2, heads=2, proj_dim=32,
+                 input_res=224, num_classes=2):
+        super().__init__()
+        visual = nn.Module()
+        visual.conv1 = nn.Conv2d(3, width, patch, patch, bias=False)
+        n = (input_res // patch) ** 2
+        visual.class_embedding = nn.Parameter(torch.zeros(width))
+        visual.positional_embedding = nn.Parameter(torch.zeros(n + 1, width))
+        visual.ln_pre = nn.LayerNorm(width)
+        transformer = nn.Module()
+        transformer.resblocks = nn.ModuleList(
+            [CLIPResblockMirror(width, heads) for _ in range(depth)]
+        )
+        visual.transformer = transformer
+        visual.ln_post = nn.LayerNorm(width)
+        visual.proj = nn.Parameter(torch.zeros(width, proj_dim))
+        self.visual = visual
+        self.head = nn.Linear(proj_dim, num_classes)
+
+    def forward(self, x):
+        v = self.visual
+        x = v.conv1(x)  # (B, W, H/P, W/P)
+        b, w = x.shape[0], x.shape[1]
+        x = x.reshape(b, w, -1).permute(0, 2, 1)  # (B, N, W)
+        cls = v.class_embedding.expand(b, 1, -1)
+        x = torch.cat([cls, x], dim=1) + v.positional_embedding
+        x = v.ln_pre(x)
+        for blk in v.transformer.resblocks:
+            x = blk(x)
+        x = v.ln_post(x[:, 0])
+        x = x @ v.proj
+        return self.head(x)

@@ -18,6 +18,8 @@ Supported layouts (autodetected from state_dict keys; --kind to force):
   - insightface arcface_torch   backbone.pth (iresnet18/34/50/100)
   - Silent-Face-Anti-Spoofing   MiniFASNet V1/V2(/SE) .pth
   - torchvision                 resnet18 classifier state_dicts
+  - OpenAI CLIP                 visual tower (ViT-B/16, ViT-L/14), with an
+                                optional fine-tuned `head.*` classifier
 
 The heavy lifting (layout maps, architecture derivation, meta embedding)
 lives in rs_face_detection_tpu.models.checkpoint_io; layout fidelity is
@@ -66,7 +68,7 @@ def main(argv=None) -> int:
         "--kind",
         default="auto",
         choices=("auto", "retinaface_mnet025", "retinaface_resnet50",
-                 "iresnet", "minifas", "resnet18"),
+                 "iresnet", "minifas", "resnet18", "clip_visual"),
         help="checkpoint layout (default: autodetect from keys)",
     )
     parser.add_argument(
