@@ -144,16 +144,20 @@ def _build(backbone, image_size, nms_mode):
 
     cfg = FaceDetectionConfig(backbone=backbone, image_size=image_size)
     even = all(s % 2 == 0 for s in image_size)
+    div4 = all(s % 4 == 0 for s in image_size)
+    # mnet's dense s4d front folds the STANDARD 3x3 stem kernel
+    # (ops/mnet_s4d.py), so the model keeps its default stem when the s4d
+    # path applies; R50's folds the (4,4,12,64) s2d kernel.
+    mnet_s4d = backbone == "mobilenet025" and div4
     model, variables = init_retinaface(
         backbone, cfg.image_size, dtype=jnp.bfloat16, seed=0,
-        stem_s2d=even or None,  # host-s2d serving layout when sizes allow
+        stem_s2d=None if mnet_s4d else (even or None),
     )
     variables = cast_kernels(variables)
     det = RetinaFaceDetection(
         cfg, model=model, variables=variables, nms_mode=nms_mode
     )
-    s4d = backbone == "resnet50" and all(s % 4 == 0 for s in image_size)
-    if s4d:
+    if (backbone == "resnet50" and div4) or mnet_s4d:
         return det, det.make_batched_fn(stem="s4d"), "s4d"
     pre_s2d = model.uses_s2d_stem() and even
     return det, det.make_batched_fn(pre_s2d=pre_s2d), "s2d" if pre_s2d else "none"

@@ -213,18 +213,23 @@ class DepthwiseSeparable(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        in_ch = x.shape[-1]
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, skip_dw: bool = False
+    ) -> jnp.ndarray:
         act = leaky_relu(self.negative_slope)
-        x = ConvBN(
-            in_ch,
-            (3, 3),
-            self.strides,
-            groups=in_ch,
-            act=act,
-            dtype=self.dtype,
-            name="dw",
-        )(x, train)
+        if not skip_dw:
+            # skip_dw: x is the depthwise stage's output, precomputed by a
+            # fused front (ops/mnet_s4d.py) — only the pointwise conv runs.
+            in_ch = x.shape[-1]
+            x = ConvBN(
+                in_ch,
+                (3, 3),
+                self.strides,
+                groups=in_ch,
+                act=act,
+                dtype=self.dtype,
+                name="dw",
+            )(x, train)
         x = ConvBN(
             self.features,
             (1, 1),

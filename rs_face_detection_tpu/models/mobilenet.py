@@ -34,10 +34,33 @@ class MobileNetV1_025(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        front_precomputed: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         act = leaky_relu(self.negative_slope)
         dt = self.dtype
+
+        if front_precomputed:
+            # x is the ds2.dw output (B, H/4, W/4, 16), computed by the
+            # dense s4d front (ops/mnet_s4d.py); resume at ds2.pw.
+            x = DepthwiseSeparable(
+                32, (2, 2), dtype=dt, quant=self.quant, name="ds2"
+            )(x.astype(dt), train, skip_dw=True)
+            x = DepthwiseSeparable(32, (1, 1), dtype=dt, quant=self.quant, name="ds3")(x, train)
+            x = DepthwiseSeparable(64, (2, 2), dtype=dt, quant=self.quant, name="ds4")(x, train)
+            x = DepthwiseSeparable(64, (1, 1), dtype=dt, quant=self.quant, name="ds5")(x, train)
+            c3 = x
+            x = DepthwiseSeparable(128, (2, 2), dtype=dt, quant=self.quant, name="ds6")(x, train)
+            for i in range(5):
+                x = DepthwiseSeparable(
+                    128, (1, 1), dtype=dt, quant=self.quant, name=f"ds{7 + i}"
+                )(x, train)
+            c4 = x
+            x = DepthwiseSeparable(256, (2, 2), dtype=dt, quant=self.quant, name="ds12")(x, train)
+            x = DepthwiseSeparable(256, (1, 1), dtype=dt, quant=self.quant, name="ds13")(x, train)
+            return c3, c4, x
 
         # Stage 1 -> stride 8, 64 channels.
         if self.stem_space_to_depth:

@@ -73,11 +73,11 @@ class RetinaFace(nn.Module):
         s2d = self.uses_s2d_stem()
 
         if self.backbone == "mobilenet025":
-            if stem_precomputed:
-                raise ValueError("stem_precomputed is ResNet-only")
+            # stem_precomputed: x is the dense s4d front's output
+            # (ops/mnet_s4d.py, the ds2.dw tensor); resume at ds2.pw.
             feats = MobileNetV1_025(
                 dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"
-            )(x.astype(dt), train)
+            )(x.astype(dt), train, front_precomputed=stem_precomputed)
         else:
             feats = ResNet50(
                 dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"

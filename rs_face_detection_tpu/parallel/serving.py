@@ -84,9 +84,15 @@ class DetectionServer:
         # loader / ops.image.*_layout_host emit both; see
         # detection.make_batched_fn.
         width, height = self.cfg.image_size
+        backbone = getattr(self.detector.model, "backbone", None)
+        uses_s2d = getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
         s4d = (
-            getattr(self.detector.model, "backbone", None) == "resnet50"
-            and getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
+            (
+                (backbone == "resnet50" and uses_s2d)
+                # mnet: the dense front fold needs the standard 3x3 stem
+                # (ops/mnet_s4d.py).
+                or (backbone == "mobilenet025" and not uses_s2d)
+            )
             and not getattr(self.detector.model, "quant", False)
             and width % 4 == 0
             and height % 4 == 0

@@ -298,13 +298,15 @@ class RetinaFaceDetection:
         elementwise work on device.
 
         stem: "xla" (default) | "s4d" | "pallas" | "auto".
-          - "s4d": the production R50 fast path.  Input contract changes to
-            the 4x4 space-to-depth host layout (B, H/4, W/4, 48) uint8
-            (ops.image.s4d_layout_host); the whole stem chain — normalize,
-            stem conv, BN, ReLU, 3x3/s2 max-pool — runs as one dense
-            MXU-shaped 3x3x48->256 conv plus fused phase maxes
-            (ops/stem_s4d.py).  Exact in f32, bf16-rounding-close in
-            serving dtype.
+          - "s4d": the production fast path for both backbones.  Input
+            contract changes to the 4x4 space-to-depth host layout
+            (B, H/4, W/4, 48) uint8 (ops.image.s4d_layout_host).  R50: the
+            whole stem chain — normalize, stem conv, BN, ReLU, 3x3/s2
+            max-pool — runs as one dense MXU-shaped 3x3x48->256 conv plus
+            fused phase maxes (ops/stem_s4d.py).  MobileNet0.25: the whole
+            conv1..ds2.dw front runs as four dense phase-packed convs
+            (ops/mnet_s4d.py; needs the standard 3x3 stem).  Exact in f32,
+            bf16-rounding-close in serving dtype.
           - "pallas": fully fused single-kernel stem (ops/stem_pallas.py) on
             the pre_s2d layout.  Kept opt-in: on current v5e+XLA it profiled
             slower than the XLA chain (Mosaic lane-pads the 12-channel
@@ -342,18 +344,28 @@ class RetinaFaceDetection:
                 "(ops.stem_pallas.supported_shape)"
             )
         use_pallas_stem = stem == "pallas"
+        backbone = getattr(self.model, "backbone", None)
+        r50_s4d_ok = (
+            backbone == "resnet50"
+            and getattr(self.model, "uses_s2d_stem", lambda: False)()
+        )
+        mnet_s4d_ok = (
+            backbone == "mobilenet025"
+            and not getattr(self.model, "uses_s2d_stem", lambda: True)()
+        )
         use_s4d_stem = stem == "s4d"
         if use_s4d_stem and not (
-            getattr(self.model, "backbone", None) == "resnet50"
-            and getattr(self.model, "uses_s2d_stem", lambda: False)()
+            (r50_s4d_ok or mnet_s4d_ok)
             and not getattr(self.model, "quant", False)
             and height % 4 == 0
             and width % 4 == 0
         ):
             raise ValueError(
-                "stem='s4d' needs a non-quant resnet50 model with the s2d "
-                "stem (its (4,4,12,64) kernel is what fold_s4d_params "
-                "re-expresses) and image dims divisible by 4"
+                "stem='s4d' needs a non-quant model with image dims "
+                "divisible by 4: resnet50 with the s2d stem (its (4,4,12,64) "
+                "kernel is what fold_s4d_params re-expresses) or "
+                "mobilenet025 with the standard 3x3 stem (ops/mnet_s4d.py "
+                "re-expresses the whole conv1..ds2.dw front)"
             )
 
         def decode_one(single, inv_scale):
@@ -367,6 +379,20 @@ class RetinaFaceDetection:
         def batched(variables, imgs_u8, det_scales):
             mean = tuple(m * cfg.pixel_scale for m in cfg.pixel_means)
             scale = tuple(1.0 / s for s in cfg.pixel_stds)
+            if use_s4d_stem and mnet_s4d_ok:
+                from ..ops.mnet_s4d import fold_mnet_s4d_params, mnet_s4d_front
+
+                folded = fold_mnet_s4d_params(
+                    variables, cfg.pixel_means, cfg.pixel_stds, cfg.pixel_scale
+                )
+                dt = getattr(self.model, "dtype", jnp.float32)
+                front = mnet_s4d_front(
+                    imgs_u8, folded, compute_dtype=dt, out_dtype=dt
+                )
+                net_out = self.model.apply(
+                    variables, front, train=False, stem_precomputed=True
+                )
+                return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if use_s4d_stem:
                 from ..ops.stem_s4d import fold_s4d_params, stem_s4d
 

@@ -99,10 +99,13 @@ def test_detector_s4d_stem_matches_xla_path():
     )
 
 
-def test_s4d_guard_rejects_quant_and_mnet():
-    cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=(64, 64))
+def test_s4d_guard_rejects_odd_size():
+    # mnet with the STANDARD stem is s4d-eligible since round 3
+    # (ops/mnet_s4d.py; see test_mnet_s4d.py); rejection cases now are
+    # non-multiple-of-4 sizes and s2d-stem mnet models.
+    cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=(66, 66))
     model, variables = init_retinaface(
-        "mobilenet025", (64, 64), dtype=jnp.float32, seed=0
+        "mobilenet025", (66, 66), dtype=jnp.float32, seed=0
     )
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
     with pytest.raises(ValueError):
