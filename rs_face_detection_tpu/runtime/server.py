@@ -21,6 +21,11 @@ thin gRPC service exposing the same verb families:
   rsfd.FacePipeline/RepositoryModelLoad   <-> repository_model_load (client.rs:127-136)
   rsfd.FacePipeline/RepositoryModelUnload <-> repository_model_unload (client.rs:138-146)
   rsfd.FacePipeline/ModelStatistics<-> ModelStatistics
+  rsfd.FacePipeline/ServerMetadata <-> ServerMetadata (client.rs:91-97)
+  rsfd.FacePipeline/ModelMetadata  <-> ModelMetadata (client.rs:99-103)
+  rsfd.FacePipeline/TraceSetting   <-> TraceSetting (client.rs:188-195):
+                                       starts/stops a server-side
+                                       jax.profiler trace, returns its dir
 
 Wire format: request = raw JPEG/PNG bytes (Extract/Detect) or a UTF-8 JSON
 body (control verbs); response = UTF-8 JSON.  Embeddings travel as float
@@ -63,6 +68,7 @@ class FacePipelineServicer:
         self.registry = registry
         self._stream_batch_size = stream_batch_size
         self._stream_server = None
+        self._trace_dir = None
 
     def _detection_server(self):
         """Lazy double-buffered batch server for the streaming RPC."""
@@ -186,6 +192,90 @@ class FacePipelineServicer:
         except Exception as e:  # failure mid-stream: report, end stream
             yield _json_bytes({"error": str(e)})
 
+    def server_metadata(self, _: bytes) -> bytes:
+        """ServerMetadata verb (client.rs:91-97): name/version/extensions."""
+        import jax
+
+        from .. import __version__
+
+        return _json_bytes(
+            {
+                "name": "rs_face_detection_tpu",
+                "version": __version__,
+                "extensions": ["model_repository", "statistics", "trace"],
+                "backend": jax.default_backend(),
+                "device_count": jax.device_count(),
+            }
+        )
+
+    def model_metadata(self, payload: bytes) -> bytes:
+        """ModelMetadata verb (client.rs:99-103): I/O contract per model.
+
+        Mirrors Triton's ModelMetadataResponse shape (name, versions,
+        platform, inputs, outputs) from the registry's ModelSpec.
+        """
+        name = json.loads(payload or b"{}").get("name", "")
+        try:
+            spec = self.registry.spec(name)
+        except KeyError:
+            return _json_bytes({"error": f"model {name!r} not loaded"})
+        return _json_bytes(
+            {
+                "name": spec.name,
+                "versions": ["1"],
+                "platform": "jax_xla",
+                "inputs": [
+                    {
+                        "name": "input",
+                        "datatype": "UINT8",
+                        "shape": [-1, *spec.input_shape],
+                    }
+                ],
+                "outputs": [{"name": "output", "spec": spec.output_spec}],
+            }
+        )
+
+    def trace_setting(self, payload: bytes) -> bytes:
+        """TraceSetting analog (client.rs:188-195): server-side jax.profiler.
+
+        {"action": "start", "dir": optional} begins a profiler trace on the
+        serving process and returns its directory; {"action": "stop"} ends
+        it (the trace becomes readable); {"action": "status"} reports state.
+        """
+        import tempfile
+
+        import jax
+
+        req = json.loads(payload or b"{}")
+        action = req.get("action", "status")
+        if action == "start":
+            if getattr(self, "_trace_dir", None):
+                return _json_bytes(
+                    {"error": "trace already active", "dir": self._trace_dir}
+                )
+            trace_dir = req.get("dir") or tempfile.mkdtemp(prefix="rsfd_trace_")
+            try:
+                jax.profiler.start_trace(trace_dir)
+            except Exception as e:
+                return _json_bytes({"error": str(e)})
+            self._trace_dir = trace_dir
+            return _json_bytes({"active": True, "dir": trace_dir})
+        if action == "stop":
+            if not getattr(self, "_trace_dir", None):
+                return _json_bytes({"error": "no active trace"})
+            trace_dir, self._trace_dir = self._trace_dir, None
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:
+                return _json_bytes({"error": str(e), "dir": trace_dir})
+            return _json_bytes({"active": False, "dir": trace_dir})
+        if action == "status":
+            active = bool(getattr(self, "_trace_dir", None))
+            return _json_bytes(
+                {"active": active, "dir": getattr(self, "_trace_dir", None)}
+            )
+        return _json_bytes({"error": f"unknown action {action!r}"})
+
     def model_statistics(self, payload: bytes) -> bytes:
         name = json.loads(payload or b"{}").get("name", "")
         try:
@@ -214,6 +304,9 @@ def _handlers(servicer: FacePipelineServicer):
         "RepositoryModelLoad": servicer.repository_model_load,
         "RepositoryModelUnload": servicer.repository_model_unload,
         "ModelStatistics": servicer.model_statistics,
+        "ServerMetadata": servicer.server_metadata,
+        "ModelMetadata": servicer.model_metadata,
+        "TraceSetting": servicer.trace_setting,
     }
     rpcs = {
         name: grpc.unary_unary_rpc_method_handler(
@@ -314,6 +407,18 @@ class FacePipelineClient:
 
     def model_statistics(self, name: str) -> dict:
         return self._call("ModelStatistics", _json_bytes({"name": name}))
+
+    def server_metadata(self) -> dict:
+        return self._call("ServerMetadata", b"")
+
+    def model_metadata(self, name: str) -> dict:
+        return self._call("ModelMetadata", _json_bytes({"name": name}))
+
+    def trace_setting(self, action: str = "status", trace_dir: str = None) -> dict:
+        body = {"action": action}
+        if trace_dir:
+            body["dir"] = trace_dir
+        return self._call("TraceSetting", _json_bytes(body))
 
     def close(self) -> None:
         self._channel.close()

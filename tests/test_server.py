@@ -199,3 +199,40 @@ def test_runtime_entrypoint_serves():
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_server_and_model_metadata(client):
+    meta = client.server_metadata()
+    assert meta["name"] == "rs_face_detection_tpu"
+    assert meta["version"]
+    assert "trace" in meta["extensions"]
+    assert meta["device_count"] >= 1
+
+    mm = client.model_metadata("face_detection_retina")
+    assert mm["name"] == "face_detection_retina"
+    assert mm["platform"] == "jax_xla"
+    assert mm["inputs"][0]["shape"] == [-1, 64, 64, 3]
+    assert mm["outputs"][0]["spec"]
+    assert "error" in client.model_metadata("nonexistent")
+
+
+def test_trace_setting_round_trip(client, tmp_path):
+    assert client.trace_setting("status")["active"] is False
+    started = client.trace_setting("start", trace_dir=str(tmp_path / "tr"))
+    assert started["active"] is True and started["dir"]
+    # Double-start reports the active trace instead of clobbering it.
+    again = client.trace_setting("start")
+    assert "error" in again and again["dir"] == started["dir"]
+    assert client.trace_setting("status")["active"] is True
+    # Traffic lands inside the trace window, then stop makes it readable.
+    client.detect(_jpeg(11))
+    stopped = client.trace_setting("stop")
+    assert stopped["active"] is False and stopped["dir"] == started["dir"]
+    import glob as _glob
+    import os as _os
+
+    assert _glob.glob(
+        _os.path.join(stopped["dir"], "**", "*.xplane.pb"), recursive=True
+    ), "profiler trace produced no xplane file"
+    assert "error" in client.trace_setting("stop")  # nothing active now
+    assert "error" in client.trace_setting("bogus")
