@@ -53,6 +53,7 @@ KINDS = (
     "minifas",
     "resnet18",
     "clip_visual",
+    "scrfd",
 )
 
 
@@ -79,6 +80,10 @@ def detect_kind(state_dict: Mapping[str, Any]) -> str:
     keys = set(strip_module_prefix(state_dict))
     if "visual.conv1.weight" in keys and "visual.proj" in keys:
         return "clip_visual"
+    if "bbox_head.cls_convs.0.0.conv.weight" in keys and (
+        "neck.lateral_convs.0.conv.weight" in keys
+    ):
+        return "scrfd"
     if "ssh1.conv3X3.0.weight" in keys:
         if "body.stage1.0.0.weight" in keys:
             return "retinaface_mnet025"
@@ -234,6 +239,18 @@ def import_state_dict(
             softmax=softmax,
             strict=strict,
         )
+    elif kind == "scrfd":
+        from .scrfd_import import load_scrfd_state_dict
+
+        size = image_size or (640, 640)
+        model, variables, spec = load_scrfd_state_dict(
+            sd, image_size=size, strict=strict
+        )
+        meta = {
+            "family": "scrfd",
+            "spec": dataclasses.asdict(spec),
+            "image_size": list(size),
+        }
     else:  # pragma: no cover - guarded above
         raise AssertionError(kind)
     return model, variables, meta
@@ -321,6 +338,18 @@ def build_from_meta(
 
         return init_resnet18_classifier(
             m["num_outputs"], tuple(m["image_size"]), softmax=m["softmax"]
+        )
+    if family == "scrfd":
+        from .scrfd_import import (
+            SCRFDImportSpec,
+            init_scrfd_imported,
+        )
+
+        s = dict(m["spec"])
+        for key in ("stem_channels", "stage_blocks", "stage_planes", "strides"):
+            s[key] = tuple(s[key])
+        return init_scrfd_imported(
+            SCRFDImportSpec(**s), tuple(m["image_size"])
         )
     if family == "clip_vit":
         from .vit import ViT, init_vit

@@ -401,9 +401,21 @@ def _attach_ekyc_builders(registry: ModelRegistry) -> None:
     )
 
     def scrfd_builder():
+        from .checkpoint_io import maybe_serve_checkpoint
         from .scrfd import init_scrfd
 
-        model, variables = init_scrfd((640, 640))
+        served = maybe_serve_checkpoint(
+            EkycFaceDetectionConfig().model_name, expect_family="scrfd"
+        )
+        if served is not None:
+            model, variables = served
+            if model.spec.num_anchors != 2:
+                raise ValueError(
+                    f"imported SCRFD has {model.spec.num_anchors} anchors/cell; "
+                    "the eKYC decode expects 2 (scrfd_anchor_centers)"
+                )
+        else:
+            model, variables = init_scrfd((640, 640))
         return (
             ModelSpec(
                 EkycFaceDetectionConfig().model_name,

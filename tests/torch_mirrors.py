@@ -614,3 +614,175 @@ class CLIPVisualMirror(nn.Module):
         x = v.ln_post(x[:, 0])
         x = x @ v.proj
         return self.head(x)
+
+
+# ---------------------------------------------------------------------------
+# mmdet-layout SCRFD (insightface training fork conventions)
+# ---------------------------------------------------------------------------
+
+
+class MMBasicBlock(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes, eps=1e-5)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes, eps=1e-5)
+        self.downsample = downsample
+        self.relu = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(identity + y)
+
+
+class MMConvModule(nn.Module):
+    """mmdet ConvModule: conv (+bias iff no norm) + optional GN + ReLU."""
+
+    def __init__(self, inp, oup, k=3, stride=1, gn_groups=None, relu=True):
+        super().__init__()
+        self.conv = nn.Conv2d(inp, oup, k, stride, k // 2, bias=gn_groups is None)
+        self.gn = nn.GroupNorm(gn_groups, oup, eps=1e-5) if gn_groups else None
+        self.act = nn.ReLU(inplace=True) if relu else None
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self.gn is not None:
+            x = self.gn(x)
+        return self.act(x) if self.act is not None else x
+
+
+class MMScale(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.scale = nn.Parameter(torch.ones(()))
+
+    def forward(self, x):
+        return x * self.scale
+
+
+class SCRFDMirror(nn.Module):
+    """mmdet-layout SCRFD: deep-stem ResNet + PAFPN + shared GN head.
+
+    Key naming matches the insightface mmdet fork conventions documented in
+    rs_face_detection_tpu/models/scrfd_import.py (backbone.stem.*,
+    backbone.layer*.*, neck.{lateral,fpn,downsample,pafpn}_convs.*,
+    bbox_head.{cls,reg}_convs.0.*, bbox_head.stride_{cls,reg,kps}.*,
+    bbox_head.scales.*); widths are parameterized so the shape-derived
+    importer is exercised on arbitrary configs.
+    """
+
+    def __init__(self, width=8, stage_blocks=(2, 2, 2, 2), neck_out=16,
+                 stacked_convs=2, num_anchors=2, use_kps=True,
+                 stride_key_style="plain"):
+        super().__init__()
+        w = width
+        backbone = nn.Module()
+        backbone.stem = nn.Sequential(
+            nn.Conv2d(3, w // 2, 3, 2, 1, bias=False),
+            nn.BatchNorm2d(w // 2, eps=1e-5), nn.ReLU(inplace=True),
+            nn.Conv2d(w // 2, w // 2, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(w // 2, eps=1e-5), nn.ReLU(inplace=True),
+            nn.Conv2d(w // 2, w, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(w, eps=1e-5), nn.ReLU(inplace=True),
+        )
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        planes = [w, w * 2, w * 4, w * 8]
+        inplanes = w
+        for s, blocks in enumerate(stage_blocks):
+            layers = []
+            for b in range(blocks):
+                stride = 2 if (b == 0 and s > 0) else 1
+                down = None
+                if stride != 1 or inplanes != planes[s]:
+                    down = nn.Sequential(
+                        nn.Conv2d(inplanes, planes[s], 1, stride, bias=False),
+                        nn.BatchNorm2d(planes[s], eps=1e-5),
+                    )
+                layers.append(MMBasicBlock(inplanes, planes[s], stride, down))
+                inplanes = planes[s]
+            setattr(backbone, f"layer{s + 1}", nn.Sequential(*layers))
+        self.backbone = backbone
+        self.stage_blocks = stage_blocks
+
+        neck = nn.Module()
+        ins = planes[1:]
+        neck.lateral_convs = nn.ModuleList(
+            [MMConvModule(c, neck_out, 1, relu=False) for c in ins]
+        )
+        neck.fpn_convs = nn.ModuleList(
+            [MMConvModule(neck_out, neck_out, 3, relu=False) for _ in ins]
+        )
+        neck.downsample_convs = nn.ModuleList(
+            [MMConvModule(neck_out, neck_out, 3, 2, relu=False) for _ in ins[1:]]
+        )
+        neck.pafpn_convs = nn.ModuleList(
+            [MMConvModule(neck_out, neck_out, 3, relu=False) for _ in ins[1:]]
+        )
+        self.neck = neck
+
+        head = nn.Module()
+        gn = 16 if neck_out % 16 == 0 else 4  # mmdet SCRFD convention (16)
+        head.cls_convs = nn.ModuleList([nn.ModuleList(
+            [MMConvModule(neck_out, neck_out, 3, gn_groups=gn)
+             for _ in range(stacked_convs)])])
+        head.reg_convs = nn.ModuleList([nn.ModuleList(
+            [MMConvModule(neck_out, neck_out, 3, gn_groups=gn)
+             for _ in range(stacked_convs)])])
+        strides = (8, 16, 32)
+        keyfmt = (lambda s: str(s)) if stride_key_style == "plain" else (
+            lambda s: f"({s}, {s})")
+        head.stride_cls = nn.ModuleDict(
+            {keyfmt(s): nn.Conv2d(neck_out, num_anchors, 3, 1, 1) for s in strides}
+        )
+        head.stride_reg = nn.ModuleDict(
+            {keyfmt(s): nn.Conv2d(neck_out, num_anchors * 4, 3, 1, 1) for s in strides}
+        )
+        if use_kps:
+            head.stride_kps = nn.ModuleDict(
+                {keyfmt(s): nn.Conv2d(neck_out, num_anchors * 10, 3, 1, 1)
+                 for s in strides}
+            )
+        head.scales = nn.ModuleList([MMScale() for _ in strides])
+        self.bbox_head = head
+        self.strides = strides
+        self.use_kps = use_kps
+        self.keyfmt = keyfmt
+
+    def forward(self, x):
+        x = self.maxpool(self.backbone.stem(x))
+        feats = []
+        for s in range(len(self.stage_blocks)):
+            x = getattr(self.backbone, f"layer{s + 1}")(x)
+            feats.append(x)
+        inputs = feats[1:]
+
+        laterals = [l(f) for l, f in zip(self.neck.lateral_convs, inputs)]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = F.interpolate(laterals[i], scale_factor=2, mode="nearest")
+            laterals[i - 1] = laterals[i - 1] + up[
+                ..., : laterals[i - 1].shape[2], : laterals[i - 1].shape[3]
+            ]
+        inter = [c(l) for c, l in zip(self.neck.fpn_convs, laterals)]
+        for i in range(len(inter) - 1):
+            inter[i + 1] = inter[i + 1] + self.neck.downsample_convs[i](inter[i])
+        outs = [inter[0]] + [
+            self.neck.pafpn_convs[i](inter[i + 1]) for i in range(len(inter) - 1)
+        ]
+
+        results = []
+        for i, (stride, feat) in enumerate(zip(self.strides, outs)):
+            c = feat
+            for mod in self.bbox_head.cls_convs[0]:
+                c = mod(c)
+            r = feat
+            for mod in self.bbox_head.reg_convs[0]:
+                r = mod(r)
+            key = self.keyfmt(stride)
+            score = torch.sigmoid(self.bbox_head.stride_cls[key](c))
+            bbox = self.bbox_head.scales[i](self.bbox_head.stride_reg[key](r))
+            kps = self.bbox_head.stride_kps[key](r) if self.use_kps else None
+            results.append((score, bbox, kps))
+        return results
