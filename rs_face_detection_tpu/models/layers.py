@@ -120,6 +120,59 @@ class Int8Conv(nn.Module):
         return (y.astype(jnp.float32) * (sx * ks)).astype(self.dtype)
 
 
+class S2DStride2Conv(nn.Module):
+    """3x3/s2 conv re-expressed as a dense 2x2/s1 conv on a 2x2 s2d layout.
+
+    TPU stride-2 convs profile ~3.4x off peak (Mosaic/XLA lack an efficient
+    strided-window access path), while stride-1 convs run near peak.  The
+    identity: output (i, j) of a 3x3/s2 pad-1 conv reads input rows
+    2i-1..2i+1 = s2d block rows {i-1 (phase 1), i (phase 0 and 1)}, so on
+    the (H/2, W/2, 4C) space-to-depth layout the same map is a 2x2/s1 conv
+    with block-space pad (1, 0): tap (by, qy) covers dy = 2*(by-1) + qy + 1,
+    with the (by=0, qy=0) slot zero.  9 of 16 tap-slots carry the original
+    taps (16/9 nominal FLOP inflation), but the conv becomes MXU-shaped —
+    the same algebra that won for the stem (ops/stem_s4d.py).
+
+    The parameter stays in the original (3, 3, C, F) layout under the same
+    "kernel" name, so checkpoints trained or imported for the plain conv
+    load unchanged; the kernel transform is a tiny in-graph scatter.
+    f32 mode is exact vs the strided conv (zero-embedded taps contribute
+    exact zeros).  Opt-in via ResNet50(s2d_boundary=True).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (
+            "s2d stride-2 path needs even spatial dims",
+            x.shape,
+        )
+        k3 = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, c, self.features),
+            jnp.float32,
+        )
+        # (by, qy) -> dy tap index (dy+1), the (0, 0) slot stays zero.
+        taps = [(0, 1, 0), (1, 0, 1), (1, 1, 2)]
+        k2 = jnp.zeros((2, 2, 4 * c, self.features), jnp.float32)
+        for by, qy, ty in taps:
+            for bx, qx, tx in taps:
+                g = qy * 2 + qx
+                k2 = k2.at[by, bx, g * c : (g + 1) * c, :].set(k3[ty, tx])
+        xs = space_to_depth(x, 2)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype),
+            k2.astype(self.dtype),
+            (1, 1),
+            ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 def torch_padding(kernel: Tuple[int, int]):
     """Symmetric k//2 padding — the torch Conv2d `padding=k//2` convention.
 
@@ -145,6 +198,9 @@ class ConvBN(nn.Module):
     convs are bandwidth-bound, int8 buys them nothing).  Calibration state
     (per-layer activation amax) lives in the "quant_stats" collection and is
     recorded whenever that collection is mutable in `apply`.
+
+    s2d_stride2=True swaps a 3x3/s2 conv for the dense space-to-depth
+    re-expression (S2DStride2Conv) — same params, same math, MXU-shaped.
     """
 
     features: int
@@ -155,6 +211,7 @@ class ConvBN(nn.Module):
     padding: Any = "TORCH"
     dtype: Dtype = jnp.float32
     quant: bool = False
+    s2d_stride2: bool = False
 
     def _padding(self):
         if isinstance(self.padding, str) and self.padding == "TORCH":
@@ -163,7 +220,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.quant and self.groups == 1:
+        if self.s2d_stride2 and not self.quant:
+            assert (
+                self.kernel == (3, 3)
+                and self.strides == (2, 2)
+                and self.groups == 1
+            ), (self.kernel, self.strides, self.groups)
+            x = S2DStride2Conv(self.features, dtype=self.dtype, name="Conv_0")(x)
+        elif self.quant and self.groups == 1:
             amax_v = self.variable(
                 "quant_stats", "amax", lambda: jnp.zeros((), jnp.float32)
             )

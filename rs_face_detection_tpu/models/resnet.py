@@ -21,12 +21,18 @@ class Bottleneck(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
     quant: bool = False
+    #: re-express the stage-boundary 3x3/s2 conv as a dense 2x2/s1 conv on a
+    #: space-to-depth layout (layers.S2DStride2Conv) and the 1x1/s2 proj as
+    #: subsample + 1x1/s1 — exact, strided-access-free, MXU-shaped.
+    s2d_boundary: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         residual = x
         out_ch = self.features * 4
         q = self.quant
+        strided = self.strides == (2, 2)
+        s2d = self.s2d_boundary and strided and not q
         y = ConvBN(
             self.features, (1, 1), act=nn.relu, dtype=self.dtype, quant=q, name="c1"
         )(x, train)
@@ -37,21 +43,25 @@ class Bottleneck(nn.Module):
             act=nn.relu,
             dtype=self.dtype,
             quant=q,
+            s2d_stride2=s2d,
             name="c2",
         )(y, train)
         y = ConvBN(out_ch, (1, 1), act=None, dtype=self.dtype, quant=q, name="c3")(
             y, train
         )
         if residual.shape != y.shape:
+            # A 1x1/s2 conv reads only the even grid: subsampling first is
+            # exactly equivalent and keeps the conv itself stride-1.
+            proj_in = x[:, ::2, ::2, :] if s2d else x
             residual = ConvBN(
                 out_ch,
                 (1, 1),
-                self.strides,
+                (1, 1) if s2d else self.strides,
                 act=None,
                 dtype=self.dtype,
                 quant=q,
                 name="proj",
-            )(x, train)
+            )(proj_in, train)
         return nn.relu(y + residual)
 
 
@@ -73,6 +83,9 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     stem_space_to_depth: bool = True
     quant: bool = False
+    #: dense re-expression of the three stage-boundary stride-2 convs
+    #: (see Bottleneck.s2d_boundary) — param-layout-identical opt-in.
+    s2d_boundary: bool = False
 
     @nn.compact
     def __call__(
@@ -127,7 +140,12 @@ class ResNet50(nn.Module):
             for block in range(blocks):
                 strides = (2, 2) if block == 0 and stage > 0 else (1, 1)
                 x = Bottleneck(
-                    width, strides, dtype=dt, quant=self.quant, name=f"s{stage}b{block}"
+                    width,
+                    strides,
+                    dtype=dt,
+                    quant=self.quant,
+                    s2d_boundary=self.s2d_boundary,
+                    name=f"s{stage}b{block}",
                 )(x, train)
             feats.append(x)
         # feats strides: [4, 8, 16, 32] -> return C3..C5.

@@ -46,6 +46,9 @@ class RetinaFace(nn.Module):
     stem_s2d: Any = None
     #: int8 serving mode (ops.quantize.quantize_retinaface builds the variables).
     quant: bool = False
+    #: R50 only: dense re-expression of stage-boundary stride-2 convs
+    #: (models.resnet.ResNet50.s2d_boundary) — param-layout-identical opt-in.
+    s2d_boundary: bool = False
 
     def uses_s2d_stem(self) -> bool:
         """Whether the backbone stem consumes the 2x2 space-to-depth layout.
@@ -80,7 +83,11 @@ class RetinaFace(nn.Module):
             )(x.astype(dt), train, front_precomputed=stem_precomputed)
         else:
             feats = ResNet50(
-                dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"
+                dtype=dt,
+                stem_space_to_depth=s2d,
+                quant=self.quant,
+                s2d_boundary=self.s2d_boundary,
+                name="body",
             )(x.astype(dt), train, stem_precomputed=stem_precomputed)
 
         pyramid = FPN(
@@ -126,6 +133,7 @@ def init_retinaface(
     dtype: Any = jnp.float32,
     seed: int = 0,
     stem_s2d: Any = None,
+    s2d_boundary: bool = False,
 ):
     """Build a RetinaFace module and initialize variables for a static size.
 
@@ -133,8 +141,14 @@ def init_retinaface(
     stem_s2d overrides the backbone's space-to-depth stem default (serving
     paths that feed host-reshuffled 12-channel input want True even for the
     MobileNet backbone, whose device-side-s2d default is False).
+    s2d_boundary (R50): dense stage-boundary stride-2 convs — same params.
     """
-    model = RetinaFace(backbone=backbone, dtype=dtype, stem_s2d=stem_s2d)
+    model = RetinaFace(
+        backbone=backbone,
+        dtype=dtype,
+        stem_s2d=stem_s2d,
+        s2d_boundary=s2d_boundary,
+    )
     width, height = image_size
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(
