@@ -37,19 +37,27 @@ class MobileNetV1_025(nn.Module):
         self,
         x: jnp.ndarray,
         train: bool = False,
-        front_precomputed: bool = False,
+        front_precomputed: Any = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         act = leaky_relu(self.negative_slope)
         dt = self.dtype
 
         if front_precomputed:
-            # x is the ds2.dw output (B, H/4, W/4, 16), computed by the
-            # dense s4d front (ops/mnet_s4d.py); resume at ds2.pw.
-            x = DepthwiseSeparable(
-                32, (2, 2), dtype=dt, quant=self.quant, name="ds2"
-            )(x.astype(dt), train, skip_dw=True)
-            x = DepthwiseSeparable(32, (1, 1), dtype=dt, quant=self.quant, name="ds3")(x, train)
-            x = DepthwiseSeparable(64, (2, 2), dtype=dt, quant=self.quant, name="ds4")(x, train)
+            # front_precomputed=True: x is the ds2.dw output (B, H/4, W/4,
+            # 16) from the dense s4d front (ops/mnet_s4d.py); resume at
+            # ds2.pw.  front_precomputed="ds4.pw": x is the ds4.dw output
+            # (B, H/8, W/8, 32) from front + packed mid (mnet_s4d_mid);
+            # resume at ds4.pw.
+            if front_precomputed == "ds4.pw":
+                x = DepthwiseSeparable(
+                    64, (2, 2), dtype=dt, quant=self.quant, name="ds4"
+                )(x.astype(dt), train, skip_dw=True)
+            else:
+                x = DepthwiseSeparable(
+                    32, (2, 2), dtype=dt, quant=self.quant, name="ds2"
+                )(x.astype(dt), train, skip_dw=True)
+                x = DepthwiseSeparable(32, (1, 1), dtype=dt, quant=self.quant, name="ds3")(x, train)
+                x = DepthwiseSeparable(64, (2, 2), dtype=dt, quant=self.quant, name="ds4")(x, train)
             x = DepthwiseSeparable(64, (1, 1), dtype=dt, quant=self.quant, name="ds5")(x, train)
             c3 = x
             x = DepthwiseSeparable(128, (2, 2), dtype=dt, quant=self.quant, name="ds6")(x, train)

@@ -67,7 +67,7 @@ class RetinaFace(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         raw: bool = False,
-        stem_precomputed: bool = False,
+        stem_precomputed: Any = False,
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         if self.backbone not in _BACKBONES:
             raise ValueError(f"unknown backbone: {self.backbone!r}")

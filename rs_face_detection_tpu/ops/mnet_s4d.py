@@ -42,6 +42,26 @@ Exactness vs the standard chain is proven in tests/test_mnet_s4d.py
 (f32 exact, bf16 rounding-close), wired into the serving graph via
 pipeline.detection.make_batched_fn(stem="s4d") for the MobileNet backbone.
 
+The MID extension (`mnet_s4d_mid`) continues the same algebra one stage
+deeper: the ds2.pw / ds3.dw / ds3.pw / ds4.dw chain still runs at 160^2
+with 32 channels — a quarter of the 128 MXU lanes, so its tensors occupy
+(and move) 4x their logical bytes in lane-padded HBM tiles.  Re-packed on
+the 80^2 grid carrying the 2x2 phases of 160^2 (one in-graph
+space-to-depth of the 160^2 x 16 front output), the chain becomes
+
+    E: (1,1,64,128)             ds2.pw, block-diagonal over phases
+    F: (3,3,128,128) pad (1,1)  ds3.dw as a phase-structured dense conv
+    G: (1,1,128,128)            ds3.pw, block-diagonal
+    H: (2,2,128,32)  pad (1,0)  ds4.dw; the stride consumes the packing
+                                and emits the NATURAL 80^2 x 32 tensor
+
+— every tensor exactly 128 lanes wide.  The dense F embeds dw(32) with
+zeros (~2 GFLOP/img nominal inflation at 640^2, ~80 us/batch-8 at peak —
+bought back many times over in HBM traffic).  The packed kernels reuse
+_pw_kernel_packed / _dw_kernel_packed unchanged: their derivation depends
+only on the packing block (2) and torch pad-1 conventions, not on which
+grid level is being packed.
+
 Reference lineage: the reference treats the detector as an opaque Triton
 model (face_detection.rs:254-284); this transform is TPU-first algebra with
 no reference counterpart.
@@ -215,6 +235,96 @@ def fold_mnet_s4d_params(
         k_c, tile4(a3), tile4(b3),
         k_d, a4.astype(jnp.float32), b4.astype(jnp.float32),
     )
+
+
+class MnetS4DMidParams(NamedTuple):
+    """Folded constants for the packed mid chain (see fold_mnet_s4d_mid_params)."""
+
+    k_e: jnp.ndarray  # (1, 1, 64, 128) ds2.pw block-diagonal
+    a_e: jnp.ndarray
+    b_e: jnp.ndarray
+    k_f: jnp.ndarray  # (3, 3, 128, 128) ds3.dw phase-dense
+    a_f: jnp.ndarray
+    b_f: jnp.ndarray
+    k_g: jnp.ndarray  # (1, 1, 128, 128) ds3.pw block-diagonal
+    a_g: jnp.ndarray
+    b_g: jnp.ndarray
+    k_h: jnp.ndarray  # (2, 2, 128, 32) ds4.dw, consumes the packing
+    a_h: jnp.ndarray
+    b_h: jnp.ndarray
+
+
+def fold_mnet_s4d_mid_params(variables, eps: float = 1e-5) -> MnetS4DMidParams:
+    """Fold ds2.pw + ds3(dw,pw) + ds4.dw into packed-phase dense constants."""
+    p = variables["params"]["body"]
+    s = variables["batch_stats"]["body"]
+
+    def bn(mod, sub):
+        pp, ss = p[mod][sub], s[mod][sub]
+        return _bn_affine(
+            pp["BatchNorm_0"]["scale"],
+            pp["BatchNorm_0"]["bias"],
+            ss["BatchNorm_0"]["mean"],
+            ss["BatchNorm_0"]["var"],
+            eps,
+        )
+
+    def tile4(v):
+        return jnp.tile(v, 4).astype(jnp.float32)
+
+    k_e = _pw_kernel_packed(p["ds2"]["pw"]["Conv_0"]["kernel"].astype(jnp.float32))
+    a_e, b_e = bn("ds2", "pw")
+    k_f = _dw_kernel_packed(
+        p["ds3"]["dw"]["Conv_0"]["kernel"].astype(jnp.float32), stride_out=1
+    )
+    a_f, b_f = bn("ds3", "dw")
+    k_g = _pw_kernel_packed(p["ds3"]["pw"]["Conv_0"]["kernel"].astype(jnp.float32))
+    a_g, b_g = bn("ds3", "pw")
+    k_h = _dw_kernel_packed(
+        p["ds4"]["dw"]["Conv_0"]["kernel"].astype(jnp.float32), stride_out=2
+    )
+    a_h, b_h = bn("ds4", "dw")
+    return MnetS4DMidParams(
+        k_e, tile4(a_e), tile4(b_e),
+        k_f, tile4(a_f), tile4(b_f),
+        k_g, tile4(a_g), tile4(b_g),
+        k_h, a_h.astype(jnp.float32), b_h.astype(jnp.float32),
+    )
+
+
+def mnet_s4d_mid(
+    y16: jnp.ndarray,
+    mp: MnetS4DMidParams,
+    negative_slope: float = 0.1,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """(B, H/4, W/4, 16) front output -> (B, H/8, W/8, 32) ds4.dw output.
+
+    Equivalent to ds2.pw + ds3(dw,pw) + ds4.dw (each BN + leaky) of
+    MobileNetV1_025; the result feeds ds4.pw (front_precomputed="ds4.pw").
+    """
+    b, h, w, c = y16.shape
+    assert h % 2 == 0 and w % 2 == 0, y16.shape
+
+    def bn_leaky(y, a, bb):
+        y = y.astype(jnp.float32) * a + bb
+        return jnp.maximum(y, negative_slope * y).astype(compute_dtype)
+
+    # space_to_depth(2): channel (qi*2 + qj)*C + c — the packed kernels'
+    # phase-major convention.
+    y = y16.reshape(b, h // 2, 2, w // 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    y = y.astype(compute_dtype)
+    y = _conv(y, mp.k_e.astype(compute_dtype), ((0, 0), (0, 0)))
+    y = bn_leaky(y, mp.a_e, mp.b_e)
+    y = _conv(y, mp.k_f.astype(compute_dtype), ((1, 1), (1, 1)))
+    y = bn_leaky(y, mp.a_f, mp.b_f)
+    y = _conv(y, mp.k_g.astype(compute_dtype), ((0, 0), (0, 0)))
+    y = bn_leaky(y, mp.a_g, mp.b_g)
+    y = _conv(y, mp.k_h.astype(compute_dtype), ((1, 0), (1, 0)))
+    y = bn_leaky(y, mp.a_h, mp.b_h)
+    return y.astype(out_dtype)
 
 
 def _conv(x, k, pad):

@@ -281,7 +281,9 @@ class RetinaFaceDetection:
 
     # ---- batched serving path (pre-letterboxed input) --------------------
 
-    def make_batched_fn(self, pre_s2d: bool = False, stem: str = "xla"):
+    def make_batched_fn(
+        self, pre_s2d: bool = False, stem: str = "xla", s4d_mid=None
+    ):
         """Jitted (variables, (B, 640, 640, 3) u8, (B,) det_scales) -> PaddedDetections batch.
 
         Serving path: images are letterboxed host-side (or by the native
@@ -313,6 +315,11 @@ class RetinaFaceDetection:
             operands); see the module docstring.
           - "auto": "s4d"-eligible models still take "xla" here ("s4d"
             changes the input layout, so callers must opt in explicitly).
+
+        s4d_mid (MobileNet s4d path only): continue the dense packing one
+        stage deeper (ds2.pw..ds4.dw on the 80^2 grid at 128 lanes —
+        ops.mnet_s4d.mnet_s4d_mid).  None (default) = on when the image
+        dims divide by 8; pass False to opt out.
         """
         if stem not in ("xla", "auto", "s4d", "pallas"):
             raise ValueError(
@@ -367,6 +374,15 @@ class RetinaFaceDetection:
                 "mobilenet025 with the standard 3x3 stem (ops/mnet_s4d.py "
                 "re-expresses the whole conv1..ds2.dw front)"
             )
+        mid_eligible = (
+            use_s4d_stem and mnet_s4d_ok and height % 8 == 0 and width % 8 == 0
+        )
+        if s4d_mid and not mid_eligible:
+            raise ValueError(
+                "s4d_mid=True needs stem='s4d' on a mobilenet025 model with "
+                "image dims divisible by 8"
+            )
+        use_s4d_mid = mid_eligible if s4d_mid is None else bool(s4d_mid)
 
         def decode_one(single, inv_scale):
             padded = topk_decode_and_nms(
@@ -380,7 +396,12 @@ class RetinaFaceDetection:
             mean = tuple(m * cfg.pixel_scale for m in cfg.pixel_means)
             scale = tuple(1.0 / s for s in cfg.pixel_stds)
             if use_s4d_stem and mnet_s4d_ok:
-                from ..ops.mnet_s4d import fold_mnet_s4d_params, mnet_s4d_front
+                from ..ops.mnet_s4d import (
+                    fold_mnet_s4d_mid_params,
+                    fold_mnet_s4d_params,
+                    mnet_s4d_front,
+                    mnet_s4d_mid,
+                )
 
                 folded = fold_mnet_s4d_params(
                     variables, cfg.pixel_means, cfg.pixel_stds, cfg.pixel_scale
@@ -389,8 +410,18 @@ class RetinaFaceDetection:
                 front = mnet_s4d_front(
                     imgs_u8, folded, compute_dtype=dt, out_dtype=dt
                 )
+                # Packed mid chain (ds2.pw..ds4.dw at 128 lanes): on by
+                # default when the grid divides; s4d_mid=False opts out.
+                if use_s4d_mid:
+                    mid = fold_mnet_s4d_mid_params(variables)
+                    front = mnet_s4d_mid(
+                        front, mid, compute_dtype=dt, out_dtype=dt
+                    )
                 net_out = self.model.apply(
-                    variables, front, train=False, stem_precomputed=True
+                    variables,
+                    front,
+                    train=False,
+                    stem_precomputed="ds4.pw" if use_s4d_mid else True,
                 )
                 return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if use_s4d_stem:

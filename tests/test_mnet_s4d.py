@@ -16,8 +16,10 @@ from rs_face_detection_tpu.configs import FaceDetectionConfig
 from rs_face_detection_tpu.models.retinaface import init_retinaface
 from rs_face_detection_tpu.ops.image import s4d_layout_host
 from rs_face_detection_tpu.ops.mnet_s4d import (
+    fold_mnet_s4d_mid_params,
     fold_mnet_s4d_params,
     mnet_s4d_front,
+    mnet_s4d_mid,
 )
 from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
@@ -88,6 +90,55 @@ def test_mnet_front_exact_f32(hw):
     )
 
 
+def _reference_mid(front, variables):
+    """ds2.pw + ds3(dw,pw) + ds4.dw, op for op, on the (B, H/4, W/4, 16) front."""
+    p = variables["params"]["body"]
+    s = variables["batch_stats"]["body"]
+
+    def conv(x, kernel, strides, pad, groups=1):
+        return jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(kernel, jnp.float32),
+            strides,
+            pad,
+            feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    x = jnp.asarray(front, jnp.float32)
+    x = conv(x, p["ds2"]["pw"]["Conv_0"]["kernel"], (1, 1), ((0, 0), (0, 0)))
+    x = _leaky(_bn(x, p["ds2"]["pw"]["BatchNorm_0"], s["ds2"]["pw"]["BatchNorm_0"]))
+    x = conv(
+        x, p["ds3"]["dw"]["Conv_0"]["kernel"], (1, 1), ((1, 1), (1, 1)), groups=32
+    )
+    x = _leaky(_bn(x, p["ds3"]["dw"]["BatchNorm_0"], s["ds3"]["dw"]["BatchNorm_0"]))
+    x = conv(x, p["ds3"]["pw"]["Conv_0"]["kernel"], (1, 1), ((0, 0), (0, 0)))
+    x = _leaky(_bn(x, p["ds3"]["pw"]["BatchNorm_0"], s["ds3"]["pw"]["BatchNorm_0"]))
+    x = conv(
+        x, p["ds4"]["dw"]["Conv_0"]["kernel"], (2, 2), ((1, 1), (1, 1)), groups=32
+    )
+    x = _leaky(_bn(x, p["ds4"]["dw"]["BatchNorm_0"], s["ds4"]["dw"]["BatchNorm_0"]))
+    return x  # (B, H/8, W/8, 32)
+
+
+@pytest.mark.parametrize("hw", [(32, 32), (32, 64)])
+def test_mnet_mid_exact_f32(hw):
+    h, w = hw
+    model, variables = init_retinaface("mobilenet025", (w, h), seed=5)
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (2, h, w, 3), np.uint8)
+
+    front = _reference_front(imgs, variables)
+    ref = _reference_mid(front, variables)
+    mid = fold_mnet_s4d_mid_params(variables)
+    got = mnet_s4d_mid(
+        front, mid, compute_dtype=jnp.float32, out_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_detector_mnet_s4d_matches_xla_path():
     cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=(64, 64))
     model, variables = init_retinaface(
@@ -95,20 +146,25 @@ def test_detector_mnet_s4d_matches_xla_path():
     )
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
     fn_x = det.make_batched_fn(stem="xla")
-    fn_4 = det.make_batched_fn(stem="s4d")
 
     rng = np.random.RandomState(2)
     imgs = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)
     scales = jnp.ones((2,), jnp.float32)
     ox = fn_x(variables, jnp.asarray(imgs), scales)
-    o4 = fn_4(variables, jnp.asarray(s4d_layout_host(imgs)), scales)
-    np.testing.assert_array_equal(np.asarray(ox.count), np.asarray(o4.count))
-    np.testing.assert_allclose(
-        np.asarray(ox.det), np.asarray(o4.det), rtol=1e-4, atol=1e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(ox.kps), np.asarray(o4.kps), rtol=1e-4, atol=1e-3
-    )
+    # Default (s4d_mid=None) packs the mid chain at 64x64; False covers the
+    # front-only path.
+    for s4d_mid in (None, False):
+        fn_4 = det.make_batched_fn(stem="s4d", s4d_mid=s4d_mid)
+        o4 = fn_4(variables, jnp.asarray(s4d_layout_host(imgs)), scales)
+        np.testing.assert_array_equal(
+            np.asarray(ox.count), np.asarray(o4.count)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ox.det), np.asarray(o4.det), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ox.kps), np.asarray(o4.kps), rtol=1e-4, atol=1e-3
+        )
 
 
 def test_mnet_s4d_guard_rejects_s2d_stem_model():
