@@ -240,8 +240,8 @@ def main() -> int:
     best_b8 = max(r50_b8, mnet_b8)
     best_name = "RetinaFace-R50" if r50_b8 >= mnet_b8 else "RetinaFace-MobileNet0.25"
     result = {
-        "metric": "640x640 images/sec/chip (best fused detect incl NMS @ "
-        f"batch 8: {best_name}; device-saturated)",
+        "metric": f"{width}x{height} images/sec/chip (best fused detect incl "
+        f"NMS @ batch 8: {best_name}; device-saturated)",
         "value": round(best_b8, 2),
         "unit": "images/sec",
         "vs_baseline": round(best_b8 / BASELINE_IMGS_PER_SEC, 4),

@@ -18,13 +18,19 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 # Persistent compilation cache: amortizes CPU jit compiles across test runs.
+# NOTE: env vars are NOT enough here — the environment's sitecustomize imports
+# jax at interpreter start, so jax._src.config already snapshotted the
+# environment before this file runs.  The cache dir must be set through
+# jax.config.update (in-process, before first compile) or it silently stays
+# None and every ~20s model-init compile is paid on every run.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 os.makedirs(_cache_dir, exist_ok=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402  (must configure before backends initialize)
+
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 if not os.environ.get("RSFD_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
