@@ -36,6 +36,7 @@ proto-free (the environment ships grpcio but no grpc_tools codegen).
 from __future__ import annotations
 
 import json
+import threading
 from concurrent import futures
 from typing import Optional
 
@@ -64,11 +65,30 @@ class FacePipelineServicer:
     """Method implementations; independent of the gRPC plumbing for testing."""
 
     def __init__(self, pipeline, registry, stream_batch_size: int = 4) -> None:
-        self.pipeline = pipeline
+        self._pipeline = pipeline  # None -> built lazily on first inference
+        self._pipeline_lock = threading.Lock()
         self.registry = registry
         self._stream_batch_size = stream_batch_size
         self._stream_server = None
         self._trace_dir = None
+
+    @property
+    def pipeline(self):
+        """The FacePipeline, built on first inference verb.
+
+        Liveness/metadata verbs must answer before any model is built (the
+        reference's Triton server is live before repository models load,
+        client.rs:71-89) — eager construction would stall startup for the
+        detector compile (~30 s through the remote-TPU tunnel).  Use the
+        entrypoint's --warmup flag to pre-pay the build.
+        """
+        if self._pipeline is None:
+            with self._pipeline_lock:
+                if self._pipeline is None:
+                    from ..pipeline.face_pipeline import FacePipeline
+
+                    self._pipeline = FacePipeline(registry=self.registry)
+        return self._pipeline
 
     def _detection_server(self):
         """Lazy double-buffered batch server for the streaming RPC."""
@@ -337,10 +357,8 @@ def serve(
         from ..models.registry import default_registry
 
         registry = default_registry()
-    if pipeline is None:
-        from ..pipeline.face_pipeline import FacePipeline
-
-        pipeline = FacePipeline(registry=registry)
+    # pipeline=None stays None: the servicer builds it lazily on the first
+    # inference verb so the port opens (and health answers) immediately.
 
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
     server.add_generic_rpc_handlers(

@@ -13,9 +13,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("RSFD_TEST_TPU") and "xla_backend_optimization_level" not in flags:
+    # CPU-backend test compiles don't need LLVM -O3: level 1 compiles the
+    # deep model graphs ~3x faster (SCRFD init 21.7s -> 6.6s) with identical
+    # op semantics — the parity/exactness suite passes at either level.
+    # Real-TPU runs (RSFD_TEST_TPU=1) keep the default level.
+    flags = (flags + " --xla_backend_optimization_level=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # Persistent compilation cache: amortizes CPU jit compiles across test runs.
 # NOTE: env vars are NOT enough here — the environment's sitecustomize imports
