@@ -10,8 +10,10 @@ double-buffered production loop achieves).  Also reported: pipelined per-call
 dispatch (`*_pipelined_*` fields), which in THIS environment additionally
 pays the tunneled-relay's ~5 ms/dispatch overhead that a locally attached
 TPU does not have.  (Distinct inputs matter: the relay serves repeated
-identical executions from cache; and per-call sync would bill the ~29 ms
-relay round-trip latency that a real deployment doesn't pay.)
+identical executions from cache — and that cache persists ACROSS processes,
+so the input rng must be entropy-seeded, never fixed; and per-call sync
+would bill the ~29 ms relay round-trip latency that a real deployment
+doesn't pay.)
 
 Headline: the flagship RetinaFace-R50 batch 8 @ 640x640 fused detect
 (BASELINE.json config 2) — preprocess, backbone/FPN/SSH forward, anchor
@@ -33,12 +35,29 @@ BASELINE_IMGS_PER_SEC = 2000.0
 PEAK_TFLOPS_BF16 = 197.0
 
 
+def _resolve_aux(fn, variables):
+    """Resolve make_batched_fn's hoisted-fold protocol.
+
+    Returns (inner, aux): inner(variables, aux, imgs, scales) with the
+    dense-front constants pre-folded ONCE, so jit harnesses wrapped around
+    `inner` (the scan mega-graph, cost analysis) don't re-trace the fold
+    into the per-batch graph.  Plain callables pass through with aux=().
+    """
+    if hasattr(fn, "jitted"):
+        import jax
+
+        aux = jax.block_until_ready(fn.fold(variables))
+        return fn.jitted, aux
+    return (lambda v, a, imgs, sc: fn(v, imgs, sc)), ()
+
+
 def _graph_flops(fn, variables, example_args):
     """XLA's own FLOP estimate for one jitted call (for the MFU field)."""
     import jax
 
     try:
-        compiled = jax.jit(fn).lower(variables, *example_args).compile()
+        inner, aux = _resolve_aux(fn, variables)
+        compiled = jax.jit(inner).lower(variables, aux, *example_args).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, list):  # older jax returns one dict per device
             analysis = analysis[0]
@@ -79,19 +98,21 @@ def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
         imgs, scales = zip(*(make_batch(i) for i in range(lo, hi)))
         return jnp.stack(imgs), jnp.stack(scales)
 
-    def mega_fn(v, xs, ss):
+    inner, aux = _resolve_aux(fn, variables)
+
+    def mega_fn(v, a, xs, ss):
         # scan with unroll removes per-iteration loop bookkeeping; profiled
         # timelines show the chained graphs execute back-to-back with zero
         # device idle between batches.
         def body(carry, t):
-            return carry, fn(v, t[0], t[1])
+            return carry, inner(v, a, t[0], t[1])
 
         _, out = jax.lax.scan(body, 0, (xs, ss), unroll=min(4, n_batches))
         return out
 
     mega = jax.jit(mega_fn)
     warm = stack(n_reps * n_batches, (n_reps + 1) * n_batches)
-    jax.block_until_ready(mega(variables, *warm))  # compile
+    jax.block_until_ready(mega(variables, aux, *warm))  # compile
     reps = [
         stack(i * n_batches, (i + 1) * n_batches) for i in range(n_reps)
     ]
@@ -103,7 +124,7 @@ def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
     # attached chip does not pay.
     jax.block_until_ready(reps)
     t0 = time.perf_counter()
-    outs = [mega(variables, xs, ss) for xs, ss in reps]
+    outs = [mega(variables, aux, xs, ss) for xs, ss in reps]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / (n_batches * len(reps))
     return batch / dt, dt
@@ -179,7 +200,13 @@ def main() -> int:
 
     image_size = (128, 128) if args.smoke else (640, 640)
     width, height = image_size
-    rng = np.random.default_rng(0)
+    # OS-entropy seed, deliberately NOT fixed: the relay's execution cache
+    # persists ACROSS processes, so a re-run with a fixed seed replays
+    # byte-identical (executable, input) pairs and gets them served from
+    # cache — observed as physically impossible walls (b1 "0.102 ms"
+    # through a ~29 ms round trip).  Throughput on uniform-random frames
+    # does not depend on the data values, so entropy costs nothing.
+    rng = np.random.default_rng()
 
     from rs_face_detection_tpu.ops.image import s2d_layout_host, s4d_layout_host
 

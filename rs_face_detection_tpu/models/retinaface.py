@@ -50,6 +50,10 @@ class RetinaFace(nn.Module):
     #: (models.resnet.ResNet50.s2d_boundary) — param-layout-identical opt-in.
     s2d_boundary: bool = False
 
+    def negative_slope(self) -> float:
+        """The backbone family's leaky-ReLU slope (0.0 = plain ReLU)."""
+        return _BACKBONES[self.backbone][1]
+
     def uses_s2d_stem(self) -> bool:
         """Whether the backbone stem consumes the 2x2 space-to-depth layout.
 
@@ -68,7 +72,13 @@ class RetinaFace(nn.Module):
         train: bool = False,
         raw: bool = False,
         stem_precomputed: Any = False,
+        skip_level0_head: bool = False,
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
+        """skip_level0_head: serving fast path (ops/ssh_packed.py) — don't
+        run ssh0/cls0/box0/ldm0 here; return out[8] = {"feat": P3} so the
+        caller can run the packed re-expression on the half-resolution grid.
+        The level-0 params still exist (init always builds them); they feed
+        the packed kernels via fold_ssh0_heads_packed."""
         if self.backbone not in _BACKBONES:
             raise ValueError(f"unknown backbone: {self.backbone!r}")
         channels, slope, _ = _BACKBONES[self.backbone]
@@ -94,7 +104,9 @@ class RetinaFace(nn.Module):
             channels, negative_slope=slope, dtype=dt, quant=self.quant, name="fpn"
         )(feats, train)
         contexts = [
-            SSH(
+            None
+            if (skip_level0_head and i == 0)
+            else SSH(
                 channels,
                 negative_slope=slope,
                 dtype=dt,
@@ -107,6 +119,9 @@ class RetinaFace(nn.Module):
         a = self.num_anchors
         out: Dict[int, Dict[str, jnp.ndarray]] = {}
         for i, (stride, feat) in enumerate(zip((8, 16, 32), contexts)):
+            if feat is None:
+                out[stride] = {"feat": pyramid[i]}
+                continue
             cls = nn.Conv(
                 a * 2, (1, 1), dtype=dt, param_dtype=jnp.float32, name=f"cls{i}"
             )(feat).astype(jnp.float32)

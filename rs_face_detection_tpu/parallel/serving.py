@@ -115,13 +115,22 @@ class DetectionServer:
                 )
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
+            # Fold the dense-front constants ONCE (see make_batched_fn's
+            # aux protocol) and replicate them; folding inside the sharded
+            # graph would re-run it on every batch.
+            self._aux = jax.device_put(
+                base_fn.fold(self.detector.variables), repl
+            )
             self._fn = jax.jit(
-                lambda variables, imgs, scales: base_fn(variables, imgs, scales),
-                in_shardings=(repl, data, data),
+                lambda variables, aux, imgs, scales: base_fn.jitted(
+                    variables, aux, imgs, scales
+                ),
+                in_shardings=(repl, repl, data, data),
             )
             self._in_sharding = data
         else:
             self._fn = base_fn
+            self._aux = None
             self._in_sharding = None
 
     # -- host preprocessing ------------------------------------------------
@@ -267,6 +276,9 @@ class DetectionServer:
         if self._in_sharding is not None:
             imgs_d = jax.device_put(imgs_d, self._in_sharding)
             scales_d = jax.device_put(scales_d, self._in_sharding)
+            return self._fn(
+                self.detector.variables, self._aux, imgs_d, scales_d
+            )
         return self._fn(self.detector.variables, imgs_d, scales_d)
 
     def _unpack(

@@ -115,7 +115,12 @@ def topk_decode_and_nms(
         k = fh * fw * a
         scores_l.append(out["score"].reshape(k))
         bbox_l.append(out["bbox"].reshape(k, 4))
-        lm_l.append(out["landmark"].reshape(k, 5, 2))
+        # Keep landmarks flat (k, 10) until after the top-k gather: a
+        # (16800, 5, 2) layout tiles as T(2, 128) on TPU — 2 of 128 lanes
+        # live — and its full-grid concat copy alone profiled ~0.2 ms of
+        # the mnet b8 graph.  The (5, 2) split is exact element-order-
+        # preserving, so deferring it to the 256 gathered rows is free.
+        lm_l.append(out["landmark"].reshape(k, 10))
     scores = jnp.concatenate(scores_l)
     bbox_raw = jnp.concatenate(bbox_l, axis=0)
     lm_raw = jnp.concatenate(lm_l, axis=0)
@@ -138,7 +143,8 @@ def topk_decode_and_nms(
     anchor_sel = anchors[top_idx]
     deltas = bbox_raw[top_idx] * bbox_stds
     top_boxes = clip_boxes(bbox_pred(anchor_sel, deltas), (height, width))
-    top_lms = landmark_pred(anchor_sel, lm_raw[top_idx] * cfg.landmark_std)
+    lm_sel = lm_raw[top_idx].reshape(k, 5, 2)
+    top_lms = landmark_pred(anchor_sel, lm_sel * cfg.landmark_std)
 
     keep = nms_mask(top_boxes, valid, cfg.iou_threshold, mode=nms_mode)
 
@@ -282,7 +288,8 @@ class RetinaFaceDetection:
     # ---- batched serving path (pre-letterboxed input) --------------------
 
     def make_batched_fn(
-        self, pre_s2d: bool = False, stem: str = "xla", s4d_mid=None
+        self, pre_s2d: bool = False, stem: str = "xla", s4d_mid=None,
+        packed_head0=None,
     ):
         """Jitted (variables, (B, 640, 640, 3) u8, (B,) det_scales) -> PaddedDetections batch.
 
@@ -320,6 +327,12 @@ class RetinaFaceDetection:
         stage deeper (ds2.pw..ds4.dw on the 80^2 grid at 128 lanes —
         ops.mnet_s4d.mnet_s4d_mid).  None (default) = on when the image
         dims divide by 8; pass False to opt out.
+
+        packed_head0 (MobileNet s4d path only): run the stride-8 SSH context
+        module and detection heads on the half-resolution grid at 4x
+        channels (ops/ssh_packed.py), consuming their packed-order output
+        maps through a permuted anchor table.  None (default) = on when the
+        level-0 grid is even (image dims divide by 16); False opts out.
         """
         if stem not in ("xla", "auto", "s4d", "pallas"):
             raise ValueError(
@@ -383,62 +396,139 @@ class RetinaFaceDetection:
                 "image dims divisible by 8"
             )
         use_s4d_mid = mid_eligible if s4d_mid is None else bool(s4d_mid)
+        head0_eligible = (
+            use_s4d_stem
+            and mnet_s4d_ok
+            and (height // 8) % 2 == 0
+            and (width // 8) % 2 == 0
+        )
+        if packed_head0 and not head0_eligible:
+            raise ValueError(
+                "packed_head0=True needs stem='s4d' on a mobilenet025 model "
+                "with image dims divisible by 16 (even level-0 grid)"
+            )
+        use_packed_head0 = (
+            head0_eligible if packed_head0 is None else bool(packed_head0)
+        )
+
+        anchors_decode = self.anchors
+        if use_packed_head0:
+            # The packed head maps flatten as (by, bx, phase, a); pair them
+            # with anchor rows permuted to that order (decode is
+            # order-agnostic past the anchor lookup) — no relayout copies.
+            from ..ops.ssh_packed import packed_anchor_perm
+
+            anchors_np = np.asarray(self.anchors)
+            parts, offset = [], 0
+            for stride, fh, fw, a in self.level_info:
+                k = fh * fw * a
+                sl = anchors_np[offset : offset + k]
+                if stride == 8:
+                    sl = sl[packed_anchor_perm(fh, fw, a)]
+                parts.append(sl)
+                offset += k
+            anchors_decode = jnp.asarray(np.concatenate(parts, axis=0))
 
         def decode_one(single, inv_scale):
             padded = topk_decode_and_nms(
-                single, self.anchors, self.level_info, cfg, self.nms_mode
+                single, anchors_decode, self.level_info, cfg, self.nms_mode
             )
             det = padded.det.at[:, :4].multiply(inv_scale)
             kps = padded.kps * inv_scale
             return PaddedDetections(det, kps, padded.count)
 
-        def batched(variables, imgs_u8, det_scales):
-            mean = tuple(m * cfg.pixel_scale for m in cfg.pixel_means)
-            scale = tuple(1.0 / s for s in cfg.pixel_stds)
+        def fold_aux(variables):
+            """Fold the dense-front constants for `batched`'s `aux` argument.
+
+            The BN folds and kernel re-packings (ops/mnet_s4d.py,
+            ops/stem_s4d.py) are pure functions of the weights.  Traced
+            inside the per-call graph they cost real device time per batch —
+            profiled ~0.1 ms of converts plus conv fusions whose kernel
+            operands are dynamic-update-slice packing chains — so the
+            returned wrapper computes them ONCE per weights object and
+            passes the folded arrays in as plain jit inputs.
+            """
             if use_s4d_stem and mnet_s4d_ok:
                 from ..ops.mnet_s4d import (
                     fold_mnet_s4d_mid_params,
                     fold_mnet_s4d_params,
-                    mnet_s4d_front,
-                    mnet_s4d_mid,
                 )
 
-                folded = fold_mnet_s4d_params(
-                    variables, cfg.pixel_means, cfg.pixel_stds, cfg.pixel_scale
-                )
+                aux = {
+                    "front": fold_mnet_s4d_params(
+                        variables,
+                        cfg.pixel_means,
+                        cfg.pixel_stds,
+                        cfg.pixel_scale,
+                    )
+                }
+                if use_s4d_mid:
+                    aux["mid"] = fold_mnet_s4d_mid_params(variables)
+                if use_packed_head0:
+                    from ..ops.ssh_packed import fold_ssh0_heads_packed
+
+                    aux["head0"] = fold_ssh0_heads_packed(variables)
+                return aux
+            if use_s4d_stem or use_pallas_stem:
+                if use_s4d_stem:
+                    from ..ops.stem_s4d import fold_s4d_params as _fold
+                else:
+                    from ..ops.stem_pallas import fold_stem_params as _fold
+                stem_p = variables["params"]["body"]["stem"]
+                stem_s = variables["batch_stats"]["body"]["stem"]["BatchNorm_0"]
+                return {
+                    "stem": _fold(
+                        stem_p["Conv_0"]["kernel"].astype(jnp.float32),
+                        stem_p["BatchNorm_0"]["scale"],
+                        stem_p["BatchNorm_0"]["bias"],
+                        stem_s["mean"],
+                        stem_s["var"],
+                        cfg.pixel_means,
+                        cfg.pixel_stds,
+                        cfg.pixel_scale,
+                    )
+                }
+            return {}
+
+        def batched(variables, aux, imgs_u8, det_scales):
+            mean = tuple(m * cfg.pixel_scale for m in cfg.pixel_means)
+            scale = tuple(1.0 / s for s in cfg.pixel_stds)
+            if use_s4d_stem and mnet_s4d_ok:
+                from ..ops.mnet_s4d import mnet_s4d_front, mnet_s4d_mid
+
                 dt = getattr(self.model, "dtype", jnp.float32)
                 front = mnet_s4d_front(
-                    imgs_u8, folded, compute_dtype=dt, out_dtype=dt
+                    imgs_u8, aux["front"], compute_dtype=dt, out_dtype=dt
                 )
                 # Packed mid chain (ds2.pw..ds4.dw at 128 lanes): on by
                 # default when the grid divides; s4d_mid=False opts out.
                 if use_s4d_mid:
-                    mid = fold_mnet_s4d_mid_params(variables)
                     front = mnet_s4d_mid(
-                        front, mid, compute_dtype=dt, out_dtype=dt
+                        front, aux["mid"], compute_dtype=dt, out_dtype=dt
                     )
                 net_out = self.model.apply(
                     variables,
                     front,
                     train=False,
                     stem_precomputed="ds4.pw" if use_s4d_mid else True,
+                    skip_level0_head=use_packed_head0,
                 )
+                if use_packed_head0:
+                    from ..ops.ssh_packed import ssh0_heads_packed
+
+                    net_out = dict(net_out)
+                    net_out[8] = ssh0_heads_packed(
+                        net_out[8]["feat"],
+                        aux["head0"],
+                        self.model.num_anchors,
+                        negative_slope=self.model.negative_slope(),
+                        compute_dtype=dt,
+                    )
                 return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if use_s4d_stem:
-                from ..ops.stem_s4d import fold_s4d_params, stem_s4d
+                from ..ops.stem_s4d import stem_s4d
 
-                stem_p = variables["params"]["body"]["stem"]
-                stem_s = variables["batch_stats"]["body"]["stem"]["BatchNorm_0"]
-                k4, a256, b256, m48, s48 = fold_s4d_params(
-                    stem_p["Conv_0"]["kernel"].astype(jnp.float32),
-                    stem_p["BatchNorm_0"]["scale"],
-                    stem_p["BatchNorm_0"]["bias"],
-                    stem_s["mean"],
-                    stem_s["var"],
-                    cfg.pixel_means,
-                    cfg.pixel_stds,
-                    cfg.pixel_scale,
-                )
+                k4, a256, b256, m48, s48 = aux["stem"]
                 dt = getattr(self.model, "dtype", jnp.float32)
                 pooled = stem_s4d(
                     imgs_u8, k4, a256, b256, m48, s48,
@@ -449,20 +539,9 @@ class RetinaFaceDetection:
                 )
                 return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if use_pallas_stem:
-                from ..ops.stem_pallas import fold_stem_params, fused_stem_s2d
+                from ..ops.stem_pallas import fused_stem_s2d
 
-                stem_p = variables["params"]["body"]["stem"]
-                stem_s = variables["batch_stats"]["body"]["stem"]["BatchNorm_0"]
-                w192, bn2, norm2 = fold_stem_params(
-                    stem_p["Conv_0"]["kernel"].astype(jnp.float32),
-                    stem_p["BatchNorm_0"]["scale"],
-                    stem_p["BatchNorm_0"]["bias"],
-                    stem_s["mean"],
-                    stem_s["var"],
-                    cfg.pixel_means,
-                    cfg.pixel_stds,
-                    cfg.pixel_scale,
-                )
+                w192, bn2, norm2 = aux["stem"]
                 dt = getattr(self.model, "dtype", jnp.float32)
                 pooled = fused_stem_s2d(
                     imgs_u8,
@@ -492,4 +571,32 @@ class RetinaFaceDetection:
             net_out = self.model.apply(variables, x, train=False)  # batched maps
             return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
 
-        return jax.jit(batched)
+        jitted = jax.jit(batched)
+        jit_fold = jax.jit(fold_aux)
+        fold_cache: list = []  # [(variables, folded aux)], identity-keyed
+
+        def fn(variables, imgs_u8, det_scales):
+            leaves = jax.tree_util.tree_leaves(variables)
+            if leaves and isinstance(leaves[0], jax.core.Tracer):
+                # Re-traced under an outer transform (an enclosing jit/scan):
+                # inline the fold — semantics identical, hoisting is the
+                # outer caller's job (use fn.jitted + fn.fold, below).
+                return batched(variables, fold_aux(variables), imgs_u8, det_scales)
+            aux = None
+            for v, a in fold_cache:
+                if v is variables:
+                    aux = a
+                    break
+            if aux is None:
+                aux = jit_fold(variables)
+                fold_cache.append((variables, aux))
+                del fold_cache[:-2]
+            return jitted(variables, aux, imgs_u8, det_scales)
+
+        # Advanced protocol for callers that wrap the graph themselves
+        # (bench's scan harness, DetectionServer's sharded jit): fold once
+        # with fn.fold(variables), then call fn.jitted(variables, aux, ...)
+        # with aux as a plain argument so the fold stays out of the loop.
+        fn.jitted = jitted
+        fn.fold = jit_fold
+        return fn

@@ -1,0 +1,133 @@
+"""Exactness of the packed level-0 SSH + heads (ops/ssh_packed.py).
+
+The packed re-expression must be f32-exact vs the natural ssh0/head chain
+(models/retinaface.py, models/layers.SSH): same nonzero products contracted
+in the same relative order.  Covers the kernel packer in isolation, the
+folded head maps against the model's own level-0 outputs, the permuted
+anchor table, and the end-to-end batched detect graph.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_face_detection_tpu.configs import FaceDetectionConfig
+from rs_face_detection_tpu.models.retinaface import init_retinaface
+from rs_face_detection_tpu.ops.image import s4d_layout_host
+from rs_face_detection_tpu.ops.ssh_packed import (
+    dense_kernel_packed,
+    fold_ssh0_heads_packed,
+    packed_anchor_perm,
+    space_to_depth2,
+    ssh0_heads_packed,
+)
+from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
+
+SIZE = (64, 64)  # level-0 grid 8x8: even, s4d/mid/head0 all eligible
+
+
+def _depth_from_packed(y_packed, c):
+    """(B, H/2, W/2, 4C) phase-major -> (B, H, W, C) natural grid."""
+    b, h2, w2, c4 = y_packed.shape
+    assert c4 == 4 * c
+    y = y_packed.reshape(b, h2, w2, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c)
+
+
+def test_dense_kernel_packed_exact():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(3, 3, 6, 10)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+
+    nat = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    kp = dense_kernel_packed(w)
+    assert kp.shape == (3, 3, 24, 40)
+    packed = jax.lax.conv_general_dilated(
+        space_to_depth2(x), kp, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # Not bitwise: XLA blocks the (3,3,24,40) contraction differently from
+    # the (3,3,6,10) one, reassociating the f32 sums.  Same products, tiny
+    # rounding spread.
+    np.testing.assert_allclose(
+        np.asarray(_depth_from_packed(packed, 10)),
+        np.asarray(nat),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+@pytest.fixture(scope="module")
+def mnet():
+    model, variables = init_retinaface(
+        "mobilenet025", SIZE, dtype=jnp.float32, seed=3, stem_s2d=False
+    )
+    return model, variables
+
+
+def test_packed_head_maps_match_model(mnet):
+    model, variables = mnet
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, SIZE[1], SIZE[0], 3)).astype(np.float32))
+
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    p3 = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, skip_level0_head=True)
+    )(variables, x)[8]["feat"]
+
+    sp = fold_ssh0_heads_packed(variables)
+    out = jax.jit(
+        lambda p3: ssh0_heads_packed(
+            p3, sp, model.num_anchors,
+            negative_slope=model.negative_slope(),
+            compute_dtype=jnp.float32,
+        )
+    )(p3)
+
+    fh, fw, a = SIZE[1] // 8, SIZE[0] // 8, model.num_anchors
+    perm = packed_anchor_perm(fh, fw, a)
+    for key, per_anchor in (("score", 1), ("bbox", 4), ("landmark", 10)):
+        nat = np.asarray(ref[8][key]).reshape(2, fh * fw * a, per_anchor)
+        got = np.asarray(out[key]).reshape(2, fh * fw * a, per_anchor)
+        np.testing.assert_allclose(
+            got, nat[:, perm], rtol=0, atol=1e-6, err_msg=key
+        )
+
+
+def test_batched_graph_parity(mnet):
+    model, variables = mnet
+    cfg = FaceDetectionConfig(
+        backbone="mobilenet025", image_size=SIZE, confidence_threshold=0.02
+    )
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+    base = det.make_batched_fn(stem="s4d", packed_head0=False)
+    packed = det.make_batched_fn(stem="s4d", packed_head0=True)
+
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, size=(2, SIZE[1], SIZE[0], 3), dtype=np.uint8)
+    x = jnp.asarray(s4d_layout_host(imgs))
+    scales = jnp.ones((2,), jnp.float32)
+
+    a = base(variables, x, scales)
+    b = packed(variables, x, scales)
+    # Pixel-coordinate rounding spread: the packed convs reassociate f32
+    # sums, and decode's exp() amplifies ~1e-6 deltas to ~1e-4 px.
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_allclose(
+        np.asarray(a.det), np.asarray(b.det), rtol=0, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.kps), np.asarray(b.kps), rtol=0, atol=1e-3
+    )
+
+
+def test_packed_head0_validation(mnet):
+    model, variables = mnet
+    cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=SIZE)
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+    with pytest.raises(ValueError):
+        det.make_batched_fn(stem="xla", packed_head0=True)

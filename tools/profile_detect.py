@@ -89,7 +89,17 @@ def main() -> int:
     with trace(trace_dir):
         jax.block_until_ready(fn(det.variables, imgs, scales))
 
-    hlo = fn.lower(det.variables, imgs, scales).compile().as_text()
+    # make_batched_fn's aux protocol: the profiled executable is fn.jitted
+    # with the dense-front constants folded once outside the graph.
+    if hasattr(fn, "jitted"):
+        aux = fn.fold(det.variables)
+        hlo = (
+            fn.jitted.lower(det.variables, aux, imgs, scales)
+            .compile()
+            .as_text()
+        )
+    else:
+        hlo = fn.lower(det.variables, imgs, scales).compile().as_text()
 
     def op_meta(name: str) -> str:
         m = re.search(rf"^\s*%?{re.escape(name)} = .*$", hlo, re.M)

@@ -44,19 +44,21 @@ batches = [
 imgs = jnp.stack([b[0] for b in batches])
 ss = jnp.stack([b[1] for b in batches])
 
-def mega(v, xs, ss):
+aux = fn.fold(variables)
+
+def mega(v, a, xs, ss):
     def body(c, t):
-        return c, fn(v, t[0], t[1])
+        return c, fn.jitted(v, a, t[0], t[1])
     _, out = jax.lax.scan(body, 0, (xs, ss), unroll=2)
     return out
 
 mega = jax.jit(mega)
-jax.block_until_ready(mega(variables, imgs, ss))
+jax.block_until_ready(mega(variables, aux, imgs, ss))
 
 trace_dir = "/tmp/gap_trace"
 shutil.rmtree(trace_dir, ignore_errors=True)
 with jax.profiler.trace(trace_dir):
-    jax.block_until_ready(mega(variables, imgs, ss))
+    jax.block_until_ready(mega(variables, aux, imgs, ss))
 
 paths = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
 with gzip.open(paths[-1], "rt") as f:
