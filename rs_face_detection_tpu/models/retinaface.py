@@ -72,13 +72,14 @@ class RetinaFace(nn.Module):
         train: bool = False,
         raw: bool = False,
         stem_precomputed: Any = False,
-        skip_level0_head: bool = False,
+        skip_head_levels: Sequence[int] = (),
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
-        """skip_level0_head: serving fast path (ops/ssh_packed.py) — don't
-        run ssh0/cls0/box0/ldm0 here; return out[8] = {"feat": P3} so the
-        caller can run the packed re-expression on the half-resolution grid.
-        The level-0 params still exist (init always builds them); they feed
-        the packed kernels via fold_ssh0_heads_packed."""
+        """skip_head_levels: serving fast path (ops/ssh_packed.py) — for each
+        listed pyramid level i, don't run ssh{i}/cls{i}/box{i}/ldm{i} here;
+        return out[stride] = {"feat": P} so the caller can run the packed
+        re-expression on the half-resolution grid.  The skipped levels'
+        params still exist (init always builds them); they feed the packed
+        kernels via fold_ssh_heads_packed."""
         if self.backbone not in _BACKBONES:
             raise ValueError(f"unknown backbone: {self.backbone!r}")
         channels, slope, _ = _BACKBONES[self.backbone]
@@ -105,7 +106,7 @@ class RetinaFace(nn.Module):
         )(feats, train)
         contexts = [
             None
-            if (skip_level0_head and i == 0)
+            if i in skip_head_levels
             else SSH(
                 channels,
                 negative_slope=slope,

@@ -1,4 +1,4 @@
-"""Packed level-0 SSH context + detection heads on the half-resolution grid.
+"""Packed per-level SSH context + detection heads on the half-resolution grid.
 
 The stride-8 detection level dominates what's left of the mnet b8 graph
 after the dense s4d front (ops/mnet_s4d.py): profiled on v5e, ssh0 alone is
@@ -6,7 +6,9 @@ after the dense s4d front (ops/mnet_s4d.py): profiled on v5e, ssh0 alone is
 The cause is layout, not FLOPs: every ssh0/head conv runs on the 80^2 grid
 at 16-64 channels — a quarter to a half of the 128 MXU lanes — and the
 16-channel branch tensors occupy 8x their logical bytes in lane-padded HBM
-tiles.
+tiles.  The same lane starvation applies (on 1/4 and 1/16 of the spatial
+work) to the stride-16/32 levels, so the transform is level-parameterized;
+eligibility per level is just an even feature grid.
 
 The fix is the same algebra the front uses, applied at the pyramid level:
 space-to-depth the (B, 80, 80, 64) P3 feature to (B, 40, 40, 256)
@@ -115,9 +117,9 @@ def packed_anchor_perm(fh: int, fw: int, a: int) -> np.ndarray:
     return ((y * fw + x) * a + aa).reshape(-1)
 
 
-class SSH0PackedParams(NamedTuple):
-    """Folded constants for the packed level-0 SSH + heads
-    (see fold_ssh0_heads_packed)."""
+class SSHPackedParams(NamedTuple):
+    """Folded constants for one packed SSH level + its heads
+    (see fold_ssh_heads_packed)."""
 
     k3: jnp.ndarray  # (3, 3, 4C, 4*C/2) conv3
     a3: jnp.ndarray
@@ -166,9 +168,9 @@ def _head_kernel_packed(w, b, half: int, quarter: int):
     return k.reshape(1, 1, 4 * cin, 4 * cout), jnp.tile(b, 4)
 
 
-def fold_ssh0_heads_packed(
+def fold_ssh_heads_packed(
     variables, level: int = 0, eps: float = 1e-5
-) -> SSH0PackedParams:
+) -> SSHPackedParams:
     """Fold ssh{level} + cls/box/ldm{level} params into packed constants.
 
     `variables` is the RetinaFace variables tree (models/retinaface.py);
@@ -209,7 +211,7 @@ def fold_ssh0_heads_packed(
     k_cls, b_cls = head(f"cls{level}")
     k_box, b_box = head(f"box{level}")
     k_ldm, b_ldm = head(f"ldm{level}")
-    return SSH0PackedParams(
+    return SSHPackedParams(
         k3, a3, b3,
         k5_1, a5_1, b5_1,
         k5_2, a5_2, b5_2,
@@ -225,9 +227,9 @@ def _conv(x, k, pad):
     )
 
 
-def ssh0_heads_packed(
+def ssh_heads_packed(
     feat: jnp.ndarray,
-    sp: SSH0PackedParams,
+    sp: SSHPackedParams,
     num_anchors: int,
     negative_slope: float = 0.1,
     compute_dtype=jnp.bfloat16,

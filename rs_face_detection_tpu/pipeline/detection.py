@@ -289,7 +289,7 @@ class RetinaFaceDetection:
 
     def make_batched_fn(
         self, pre_s2d: bool = False, stem: str = "xla", s4d_mid=None,
-        packed_head0=None,
+        packed_heads=None,
     ):
         """Jitted (variables, (B, 640, 640, 3) u8, (B,) det_scales) -> PaddedDetections batch.
 
@@ -328,11 +328,14 @@ class RetinaFaceDetection:
         ops.mnet_s4d.mnet_s4d_mid).  None (default) = on when the image
         dims divide by 8; pass False to opt out.
 
-        packed_head0 (MobileNet s4d path only): run the stride-8 SSH context
-        module and detection heads on the half-resolution grid at 4x
-        channels (ops/ssh_packed.py), consuming their packed-order output
-        maps through a permuted anchor table.  None (default) = on when the
-        level-0 grid is even (image dims divide by 16); False opts out.
+        packed_heads (MobileNet s4d path only): run SSH context modules and
+        detection heads on the half-resolution grid at 4x channels
+        (ops/ssh_packed.py), consuming their packed-order output maps
+        through a permuted anchor table.  Accepts an iterable of pyramid
+        levels (0=stride 8, 1=16, 2=32), True (all eligible levels), False
+        (none), or None (default) = every level whose feature grid is even.
+        The stride-8 level carries 16x the spatial work of stride-32, so
+        level 0 is where the win is; 1-2 ride along when eligible.
         """
         if stem not in ("xla", "auto", "s4d", "pallas"):
             raise ValueError(
@@ -396,23 +399,45 @@ class RetinaFaceDetection:
                 "image dims divisible by 8"
             )
         use_s4d_mid = mid_eligible if s4d_mid is None else bool(s4d_mid)
-        head0_eligible = (
-            use_s4d_stem
-            and mnet_s4d_ok
-            and (height // 8) % 2 == 0
-            and (width // 8) % 2 == 0
+        # Model pyramid level i has stride 8 * 2**i (models/retinaface.py);
+        # note self.level_info lists levels in the reference's (32, 16, 8)
+        # iteration order, so map by STRIDE, never by list index.
+        grid_by_stride = {
+            stride: (fh, fw) for stride, fh, fw, _a in self.level_info
+        }
+        packable = use_s4d_stem and mnet_s4d_ok
+        eligible_levels = tuple(
+            i
+            for i, stride in enumerate((8, 16, 32))
+            if packable
+            and stride in grid_by_stride
+            and grid_by_stride[stride][0] % 2 == 0
+            and grid_by_stride[stride][1] % 2 == 0
         )
-        if packed_head0 and not head0_eligible:
-            raise ValueError(
-                "packed_head0=True needs stem='s4d' on a mobilenet025 model "
-                "with image dims divisible by 16 (even level-0 grid)"
-            )
-        use_packed_head0 = (
-            head0_eligible if packed_head0 is None else bool(packed_head0)
-        )
+        if packed_heads is None:
+            packed_levels = eligible_levels
+        elif packed_heads is True:
+            packed_levels = eligible_levels
+            if not packed_levels:
+                raise ValueError(
+                    "packed_heads=True needs stem='s4d' on a mobilenet025 "
+                    "model with at least one even feature grid"
+                )
+        elif packed_heads is False:
+            packed_levels = ()
+        else:
+            packed_levels = tuple(sorted(set(int(i) for i in packed_heads)))
+            bad = [i for i in packed_levels if i not in eligible_levels]
+            if bad:
+                raise ValueError(
+                    f"packed_heads levels {bad} not eligible: needs "
+                    "stem='s4d' on a mobilenet025 model and an even feature "
+                    f"grid per level (eligible: {list(eligible_levels)})"
+                )
+        packed_strides = {8 * 2**i for i in packed_levels}
 
         anchors_decode = self.anchors
-        if use_packed_head0:
+        if packed_levels:
             # The packed head maps flatten as (by, bx, phase, a); pair them
             # with anchor rows permuted to that order (decode is
             # order-agnostic past the anchor lookup) — no relayout copies.
@@ -423,7 +448,7 @@ class RetinaFaceDetection:
             for stride, fh, fw, a in self.level_info:
                 k = fh * fw * a
                 sl = anchors_np[offset : offset + k]
-                if stride == 8:
+                if stride in packed_strides:
                     sl = sl[packed_anchor_perm(fh, fw, a)]
                 parts.append(sl)
                 offset += k
@@ -464,10 +489,13 @@ class RetinaFaceDetection:
                 }
                 if use_s4d_mid:
                     aux["mid"] = fold_mnet_s4d_mid_params(variables)
-                if use_packed_head0:
-                    from ..ops.ssh_packed import fold_ssh0_heads_packed
+                if packed_levels:
+                    from ..ops.ssh_packed import fold_ssh_heads_packed
 
-                    aux["head0"] = fold_ssh0_heads_packed(variables)
+                    aux["packed"] = {
+                        str(i): fold_ssh_heads_packed(variables, level=i)
+                        for i in packed_levels
+                    }
                 return aux
             if use_s4d_stem or use_pallas_stem:
                 if use_s4d_stem:
@@ -511,19 +539,21 @@ class RetinaFaceDetection:
                     front,
                     train=False,
                     stem_precomputed="ds4.pw" if use_s4d_mid else True,
-                    skip_level0_head=use_packed_head0,
+                    skip_head_levels=packed_levels,
                 )
-                if use_packed_head0:
-                    from ..ops.ssh_packed import ssh0_heads_packed
+                if packed_levels:
+                    from ..ops.ssh_packed import ssh_heads_packed
 
                     net_out = dict(net_out)
-                    net_out[8] = ssh0_heads_packed(
-                        net_out[8]["feat"],
-                        aux["head0"],
-                        self.model.num_anchors,
-                        negative_slope=self.model.negative_slope(),
-                        compute_dtype=dt,
-                    )
+                    for i in packed_levels:
+                        stride = 8 * 2**i
+                        net_out[stride] = ssh_heads_packed(
+                            net_out[stride]["feat"],
+                            aux["packed"][str(i)],
+                            self.model.num_anchors,
+                            negative_slope=self.model.negative_slope(),
+                            compute_dtype=dt,
+                        )
                 return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if use_s4d_stem:
                 from ..ops.stem_s4d import stem_s4d

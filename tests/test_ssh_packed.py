@@ -1,10 +1,11 @@
-"""Exactness of the packed level-0 SSH + heads (ops/ssh_packed.py).
+"""Exactness of the packed SSH + heads levels (ops/ssh_packed.py).
 
-The packed re-expression must be f32-exact vs the natural ssh0/head chain
+The packed re-expression must be f32-exact vs the natural ssh{i}/head chain
 (models/retinaface.py, models/layers.SSH): same nonzero products contracted
 in the same relative order.  Covers the kernel packer in isolation, the
-folded head maps against the model's own level-0 outputs, the permuted
-anchor table, and the end-to-end batched detect graph.
+folded head maps against the model's own per-level outputs (all three
+pyramid levels), the permuted anchor table, and the end-to-end batched
+detect graph.
 """
 
 import jax
@@ -17,14 +18,14 @@ from rs_face_detection_tpu.models.retinaface import init_retinaface
 from rs_face_detection_tpu.ops.image import s4d_layout_host
 from rs_face_detection_tpu.ops.ssh_packed import (
     dense_kernel_packed,
-    fold_ssh0_heads_packed,
+    fold_ssh_heads_packed,
     packed_anchor_perm,
     space_to_depth2,
-    ssh0_heads_packed,
+    ssh_heads_packed,
 )
 from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
-SIZE = (64, 64)  # level-0 grid 8x8: even, s4d/mid/head0 all eligible
+SIZE = (64, 64)  # grids 8/4/2: even at every level; s4d/mid all eligible
 
 
 def _depth_from_packed(y_packed, c):
@@ -69,29 +70,33 @@ def mnet():
     return model, variables
 
 
-def test_packed_head_maps_match_model(mnet):
+@pytest.mark.parametrize("level", [0, 1, 2])
+def test_packed_head_maps_match_model(mnet, level):
     model, variables = mnet
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(2, SIZE[1], SIZE[0], 3)).astype(np.float32))
+    stride = 8 * 2**level
 
     ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
-    p3 = jax.jit(
-        lambda v, x: model.apply(v, x, train=False, skip_level0_head=True)
-    )(variables, x)[8]["feat"]
+    feat = jax.jit(
+        lambda v, x: model.apply(
+            v, x, train=False, skip_head_levels=(level,)
+        )
+    )(variables, x)[stride]["feat"]
 
-    sp = fold_ssh0_heads_packed(variables)
+    sp = fold_ssh_heads_packed(variables, level=level)
     out = jax.jit(
-        lambda p3: ssh0_heads_packed(
-            p3, sp, model.num_anchors,
+        lambda feat: ssh_heads_packed(
+            feat, sp, model.num_anchors,
             negative_slope=model.negative_slope(),
             compute_dtype=jnp.float32,
         )
-    )(p3)
+    )(feat)
 
-    fh, fw, a = SIZE[1] // 8, SIZE[0] // 8, model.num_anchors
+    fh, fw, a = SIZE[1] // stride, SIZE[0] // stride, model.num_anchors
     perm = packed_anchor_perm(fh, fw, a)
     for key, per_anchor in (("score", 1), ("bbox", 4), ("landmark", 10)):
-        nat = np.asarray(ref[8][key]).reshape(2, fh * fw * a, per_anchor)
+        nat = np.asarray(ref[stride][key]).reshape(2, fh * fw * a, per_anchor)
         got = np.asarray(out[key]).reshape(2, fh * fw * a, per_anchor)
         np.testing.assert_allclose(
             got, nat[:, perm], rtol=0, atol=1e-6, err_msg=key
@@ -104,8 +109,8 @@ def test_batched_graph_parity(mnet):
         backbone="mobilenet025", image_size=SIZE, confidence_threshold=0.02
     )
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
-    base = det.make_batched_fn(stem="s4d", packed_head0=False)
-    packed = det.make_batched_fn(stem="s4d", packed_head0=True)
+    base = det.make_batched_fn(stem="s4d", packed_heads=False)
+    packed = det.make_batched_fn(stem="s4d", packed_heads=True)  # all levels
 
     rng = np.random.default_rng(2)
     imgs = rng.integers(0, 255, size=(2, SIZE[1], SIZE[0], 3), dtype=np.uint8)
@@ -125,9 +130,33 @@ def test_batched_graph_parity(mnet):
     )
 
 
-def test_packed_head0_validation(mnet):
+def test_packed_level_subset_parity(mnet):
+    model, variables = mnet
+    cfg = FaceDetectionConfig(
+        backbone="mobilenet025", image_size=SIZE, confidence_threshold=0.02
+    )
+    det = RetinaFaceDetection(cfg, model=model, variables=variables)
+    base = det.make_batched_fn(stem="s4d", packed_heads=False)
+    sub = det.make_batched_fn(stem="s4d", packed_heads=(0, 2))
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 255, size=(2, SIZE[1], SIZE[0], 3), dtype=np.uint8)
+    x = jnp.asarray(s4d_layout_host(imgs))
+    scales = jnp.ones((2,), jnp.float32)
+
+    a = base(variables, x, scales)
+    b = sub(variables, x, scales)
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_allclose(
+        np.asarray(a.det), np.asarray(b.det), rtol=0, atol=1e-3
+    )
+
+
+def test_packed_heads_validation(mnet):
     model, variables = mnet
     cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=SIZE)
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
     with pytest.raises(ValueError):
-        det.make_batched_fn(stem="xla", packed_head0=True)
+        det.make_batched_fn(stem="xla", packed_heads=True)
+    with pytest.raises(ValueError):
+        det.make_batched_fn(stem="xla", packed_heads=(0,))
