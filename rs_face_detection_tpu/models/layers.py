@@ -316,12 +316,23 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: Sequence[jnp.ndarray], train: bool = False
+        self,
+        feats: Sequence[jnp.ndarray],
+        train: bool = False,
+        skip_level0: bool = False,
     ) -> Sequence[jnp.ndarray]:
-        """feats: [C3, C4, C5] (strides 8, 16, 32) -> [P3, P4, P5]."""
+        """feats: [C3, C4, C5] (strides 8, 16, 32) -> [P3, P4, P5].
+
+        skip_level0: serving fast path (ops/ssh_packed.fpn0_packed) — don't
+        run lateral0/merge0; P3's slot is None and the caller re-expresses
+        the chain on the packed grid from C3 + the returned P4.  The skipped
+        params still exist (init always builds them).
+        """
         act = leaky_relu(self.negative_slope) if self.negative_slope > 0 else nn.relu
         laterals = [
-            ConvBN(
+            None
+            if (skip_level0 and i == 0)
+            else ConvBN(
                 self.out_channels,
                 (1, 1),
                 act=act,
@@ -333,6 +344,9 @@ class FPN(nn.Module):
         ]
         outs = [laterals[-1]]  # P5
         for i in range(len(laterals) - 2, -1, -1):
+            if laterals[i] is None:
+                outs.insert(0, None)
+                continue
             up = _upsample_nearest_2x(outs[0], laterals[i].shape)
             merged = laterals[i] + up
             merged = ConvBN(

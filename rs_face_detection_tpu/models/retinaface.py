@@ -73,13 +73,19 @@ class RetinaFace(nn.Module):
         raw: bool = False,
         stem_precomputed: Any = False,
         skip_head_levels: Sequence[int] = (),
+        skip_level0_fpn: bool = False,
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         """skip_head_levels: serving fast path (ops/ssh_packed.py) — for each
         listed pyramid level i, don't run ssh{i}/cls{i}/box{i}/ldm{i} here;
         return out[stride] = {"feat": P} so the caller can run the packed
         re-expression on the half-resolution grid.  The skipped levels'
         params still exist (init always builds them); they feed the packed
-        kernels via fold_ssh_heads_packed."""
+        kernels via fold_ssh_heads_packed.
+
+        skip_level0_fpn: additionally skip the FPN's lateral0/merge0 chain
+        (needs 0 in skip_head_levels); out[8] becomes {"c3": C3} and the
+        caller rebuilds packed P3 from C3 + out[16]'s P4 via
+        ops/ssh_packed.fpn0_packed."""
         if self.backbone not in _BACKBONES:
             raise ValueError(f"unknown backbone: {self.backbone!r}")
         channels, slope, _ = _BACKBONES[self.backbone]
@@ -101,9 +107,11 @@ class RetinaFace(nn.Module):
                 name="body",
             )(x.astype(dt), train, stem_precomputed=stem_precomputed)
 
+        if skip_level0_fpn and 0 not in skip_head_levels:
+            raise ValueError("skip_level0_fpn requires 0 in skip_head_levels")
         pyramid = FPN(
             channels, negative_slope=slope, dtype=dt, quant=self.quant, name="fpn"
-        )(feats, train)
+        )(feats, train, skip_level0=skip_level0_fpn)
         contexts = [
             None
             if i in skip_head_levels
@@ -121,7 +129,10 @@ class RetinaFace(nn.Module):
         out: Dict[int, Dict[str, jnp.ndarray]] = {}
         for i, (stride, feat) in enumerate(zip((8, 16, 32), contexts)):
             if feat is None:
-                out[stride] = {"feat": pyramid[i]}
+                if pyramid[i] is None:  # FPN level skipped too: raw C3
+                    out[stride] = {"c3": feats[i]}
+                else:
+                    out[stride] = {"feat": pyramid[i]}
                 continue
             cls = nn.Conv(
                 a * 2, (1, 1), dtype=dt, param_dtype=jnp.float32, name=f"cls{i}"

@@ -29,6 +29,15 @@ block offsets {-1, 0, +1}: a (3,3) kernel in block space whose
 (tap, phase-in, phase-out) slots are ~25% occupied — 4x nominal FLOPs on
 ~2% of the level's current device time).
 
+The stride-8 FPN chain packs the same way (fold_fpn0_packed / fpn0_packed):
+the lateral 1x1 becomes a per-phase block-diagonal 1x1, the 3x3 merge conv
+packs like any stride-1 3x3, and the top-down nearest 2x upsample-add is
+FREE in packed space — up2(P4)[2by+qi, 2bx+qj] = P4[by, bx] for every
+phase, so the upsampled operand is just P4 tiled 4x along the phase-major
+channel axis: no 80^2 tensor is ever materialized.  The packed P3 feeds
+ssh_heads_packed(pre_packed=True) directly, removing the in-graph
+space-to-depth relayout as well.
+
 The head outputs stay on the 40^2 grid with phase-major channels; their
 flattened row order is (by, bx, phase, anchor) instead of the natural
 (y, x, anchor).  Decode is order-agnostic past the anchor lookup — top-k,
@@ -115,6 +124,62 @@ def packed_anchor_perm(fh: int, fw: int, a: int) -> np.ndarray:
     y = ys * 2 + ph // 2
     x = xs * 2 + ph % 2
     return ((y * fw + x) * a + aa).reshape(-1)
+
+
+def block_diag_1x1_packed(w: jnp.ndarray) -> jnp.ndarray:
+    """1x1 (1,1,Cin,Cout) kernel -> (1,1,4Cin,4Cout) acting per phase on the
+    2x2 phase-packed grid (phase-major channels): block-diagonal, phase p's
+    input block maps to phase p's output block."""
+    assert w.shape[:2] == (1, 1), w.shape
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((4 * cin, 4 * cout), w.dtype)
+    w2 = w.reshape(cin, cout)
+    for p in range(4):
+        k = k.at[p * cin : (p + 1) * cin, p * cout : (p + 1) * cout].set(w2)
+    return k.reshape(1, 1, 4 * cin, 4 * cout)
+
+
+class FPN0PackedParams(NamedTuple):
+    """Folded constants for the packed stride-8 FPN chain
+    (see fold_fpn0_packed)."""
+
+    k_lat: jnp.ndarray  # (1, 1, 4*C3in, 4C) lateral0, block-diagonal
+    a_lat: jnp.ndarray
+    b_lat: jnp.ndarray
+    k_merge: jnp.ndarray  # (3, 3, 4C, 4C) merge0
+    a_merge: jnp.ndarray
+    b_merge: jnp.ndarray
+
+
+def fold_fpn0_packed(variables, eps: float = 1e-5) -> FPN0PackedParams:
+    """Fold fpn.lateral0 + fpn.merge0 (models/layers.FPN) into packed
+    constants: block-diagonal 1x1 lateral, dense-packed 3x3 merge, BN
+    running stats as per-channel affines phase-tiled x4."""
+    p = variables["params"]["fpn"]
+    s = variables["batch_stats"]["fpn"]
+
+    def affine(name):
+        a, b = _bn_affine(
+            p[name]["BatchNorm_0"]["scale"],
+            p[name]["BatchNorm_0"]["bias"],
+            s[name]["BatchNorm_0"]["mean"],
+            s[name]["BatchNorm_0"]["var"],
+            eps,
+        )
+        return (
+            jnp.tile(a, 4).astype(jnp.float32),
+            jnp.tile(b, 4).astype(jnp.float32),
+        )
+
+    a_lat, b_lat = affine("lateral0")
+    k_lat = block_diag_1x1_packed(
+        p["lateral0"]["Conv_0"]["kernel"].astype(jnp.float32)
+    )
+    a_merge, b_merge = affine("merge0")
+    k_merge = dense_kernel_packed(
+        p["merge0"]["Conv_0"]["kernel"].astype(jnp.float32)
+    )
+    return FPN0PackedParams(k_lat, a_lat, b_lat, k_merge, a_merge, b_merge)
 
 
 class SSHPackedParams(NamedTuple):
@@ -227,12 +292,53 @@ def _conv(x, k, pad):
     )
 
 
+def _bn_act(y, a, b, negative_slope, compute_dtype, act=False):
+    y = y.astype(jnp.float32) * a + b
+    if act:
+        y = (
+            jnp.maximum(y, negative_slope * y)
+            if negative_slope > 0
+            else jnp.maximum(y, 0.0)
+        )
+    return y.astype(compute_dtype)
+
+
+def fpn0_packed(
+    c3: jnp.ndarray,
+    p4: jnp.ndarray,
+    fp: FPN0PackedParams,
+    negative_slope: float = 0.1,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Packed stride-8 FPN chain: (B, H, W, C3in) backbone feature + the
+    merged (B, H/2, W/2, C) P4 -> packed P3 (B, H/2, W/2, 4C).
+
+    Equivalent to FPN's merge0(lateral0(C3) + up2(P4)) (models/layers.FPN)
+    on the half-resolution grid: block-diagonal lateral, channel-tiled
+    nearest upsample (exact because up2(P4) at pixel (2by+qi, 2bx+qj) is
+    P4[by, bx] for every phase), dense-packed 3x3 merge.
+    """
+    pad1 = ((1, 1), (1, 1))
+    x = space_to_depth2(c3).astype(compute_dtype)
+    lat = _bn_act(
+        _conv(x, fp.k_lat.astype(compute_dtype), ((0, 0), (0, 0))),
+        fp.a_lat, fp.b_lat, negative_slope, compute_dtype, act=True,
+    )
+    up = jnp.concatenate([p4.astype(compute_dtype)] * 4, axis=-1)
+    merged = lat + up
+    return _bn_act(
+        _conv(merged, fp.k_merge.astype(compute_dtype), pad1),
+        fp.a_merge, fp.b_merge, negative_slope, compute_dtype, act=True,
+    )
+
+
 def ssh_heads_packed(
     feat: jnp.ndarray,
     sp: SSHPackedParams,
     num_anchors: int,
     negative_slope: float = 0.1,
     compute_dtype=jnp.bfloat16,
+    pre_packed: bool = False,
 ):
     """(B, H, W, C) pyramid level -> packed-order head maps for the level.
 
@@ -241,19 +347,15 @@ def ssh_heads_packed(
     (H/2, W/2) grid at 4C channels.  Returns {"score": (B,H/2,W/2,4A),
     "bbox": (B,H/2,W/2,4*4A), "landmark": (B,H/2,W/2,4*10A)} float32, whose
     flattened rows follow packed_anchor_perm's order.
+
+    pre_packed: feat is already the 2x2 phase-packed (B, H/2, W/2, 4C)
+    layout (e.g. fpn0_packed's output) — skip the space-to-depth.
     """
 
     def bn(y, a, b, act=False):
-        y = y.astype(jnp.float32) * a + b
-        if act:
-            y = (
-                jnp.maximum(y, negative_slope * y)
-                if negative_slope > 0
-                else jnp.maximum(y, 0.0)
-            )
-        return y.astype(compute_dtype)
+        return _bn_act(y, a, b, negative_slope, compute_dtype, act)
 
-    x = space_to_depth2(feat).astype(compute_dtype)
+    x = (feat if pre_packed else space_to_depth2(feat)).astype(compute_dtype)
     pad1 = ((1, 1), (1, 1))
     y3 = bn(_conv(x, sp.k3.astype(compute_dtype), pad1), sp.a3, sp.b3)
     y5_1 = bn(

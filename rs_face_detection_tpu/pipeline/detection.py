@@ -289,7 +289,7 @@ class RetinaFaceDetection:
 
     def make_batched_fn(
         self, pre_s2d: bool = False, stem: str = "xla", s4d_mid=None,
-        packed_heads=None,
+        packed_heads=None, packed_fpn0=None,
     ):
         """Jitted (variables, (B, 640, 640, 3) u8, (B,) det_scales) -> PaddedDetections batch.
 
@@ -336,6 +336,12 @@ class RetinaFaceDetection:
         (none), or None (default) = every level whose feature grid is even.
         The stride-8 level carries 16x the spatial work of stride-32, so
         level 0 is where the win is; 1-2 ride along when eligible.
+
+        packed_fpn0: extend the packing through the stride-8 FPN chain
+        (ops/ssh_packed.fpn0_packed: block-diagonal lateral, channel-tiled
+        nearest upsample-add, dense-packed merge — no 80^2 tensor is
+        materialized).  None (default) = on when levels 0 AND 1 are packed
+        (the chain consumes the merged P4); False opts out.
         """
         if stem not in ("xla", "auto", "s4d", "pallas"):
             raise ValueError(
@@ -435,6 +441,16 @@ class RetinaFaceDetection:
                     f"grid per level (eligible: {list(eligible_levels)})"
                 )
         packed_strides = {8 * 2**i for i in packed_levels}
+        fpn0_eligible = 0 in packed_levels and 1 in packed_levels
+        if packed_fpn0 and not fpn0_eligible:
+            raise ValueError(
+                "packed_fpn0=True needs pyramid levels 0 and 1 packed "
+                "(packed_heads) — the packed FPN chain consumes the merged "
+                "P4 feature"
+            )
+        use_packed_fpn0 = (
+            fpn0_eligible if packed_fpn0 is None else bool(packed_fpn0)
+        )
 
         anchors_decode = self.anchors
         if packed_levels:
@@ -496,6 +512,10 @@ class RetinaFaceDetection:
                         str(i): fold_ssh_heads_packed(variables, level=i)
                         for i in packed_levels
                     }
+                if use_packed_fpn0:
+                    from ..ops.ssh_packed import fold_fpn0_packed
+
+                    aux["fpn0"] = fold_fpn0_packed(variables)
                 return aux
             if use_s4d_stem or use_pallas_stem:
                 if use_s4d_stem:
@@ -540,19 +560,30 @@ class RetinaFaceDetection:
                     train=False,
                     stem_precomputed="ds4.pw" if use_s4d_mid else True,
                     skip_head_levels=packed_levels,
+                    skip_level0_fpn=use_packed_fpn0,
                 )
                 if packed_levels:
-                    from ..ops.ssh_packed import ssh_heads_packed
+                    from ..ops.ssh_packed import fpn0_packed, ssh_heads_packed
 
+                    slope = self.model.negative_slope()
                     net_out = dict(net_out)
+                    p4 = net_out[16]["feat"] if use_packed_fpn0 else None
                     for i in packed_levels:
                         stride = 8 * 2**i
+                        if i == 0 and use_packed_fpn0:
+                            feat = fpn0_packed(
+                                net_out[8]["c3"], p4, aux["fpn0"],
+                                negative_slope=slope, compute_dtype=dt,
+                            )
+                        else:
+                            feat = net_out[stride]["feat"]
                         net_out[stride] = ssh_heads_packed(
-                            net_out[stride]["feat"],
+                            feat,
                             aux["packed"][str(i)],
                             self.model.num_anchors,
-                            negative_slope=self.model.negative_slope(),
+                            negative_slope=slope,
                             compute_dtype=dt,
+                            pre_packed=(i == 0 and use_packed_fpn0),
                         )
                 return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if use_s4d_stem:
