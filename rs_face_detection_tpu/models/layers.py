@@ -319,19 +319,28 @@ class FPN(nn.Module):
         self,
         feats: Sequence[jnp.ndarray],
         train: bool = False,
-        skip_level0: bool = False,
+        skip_levels: Sequence[int] = (),
     ) -> Sequence[jnp.ndarray]:
         """feats: [C3, C4, C5] (strides 8, 16, 32) -> [P3, P4, P5].
 
-        skip_level0: serving fast path (ops/ssh_packed.fpn0_packed) — don't
-        run lateral0/merge0; P3's slot is None and the caller re-expresses
-        the chain on the packed grid from C3 + the returned P4.  The skipped
-        params still exist (init always builds them).
+        skip_levels: serving fast path (ops/ssh_packed.fpn_packed) — don't
+        run lateral{i}/merge{i} for listed levels (0/1 only; the top level
+        is lateral-only and can't be skipped: coarser outputs feed finer
+        merges); the level's slot is None and the caller re-expresses the
+        chain on the packed grid from C_i + the next-coarser level.  The
+        skipped params still exist (init always builds them).
         """
+        assert len(feats) - 1 not in skip_levels, "top FPN level is required"
+        # Downward-closed: a computed level needs every coarser level's
+        # output for its top-down merge, so skipping level i forces skipping
+        # all finer levels j < i.
+        assert all(
+            j in skip_levels for i in skip_levels for j in range(i)
+        ), f"skip_levels {tuple(skip_levels)} must be downward-closed"
         act = leaky_relu(self.negative_slope) if self.negative_slope > 0 else nn.relu
         laterals = [
             None
-            if (skip_level0 and i == 0)
+            if i in skip_levels
             else ConvBN(
                 self.out_channels,
                 (1, 1),

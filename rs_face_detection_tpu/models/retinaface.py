@@ -73,7 +73,7 @@ class RetinaFace(nn.Module):
         raw: bool = False,
         stem_precomputed: Any = False,
         skip_head_levels: Sequence[int] = (),
-        skip_level0_fpn: bool = False,
+        skip_fpn_levels: Sequence[int] = (),
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         """skip_head_levels: serving fast path (ops/ssh_packed.py) — for each
         listed pyramid level i, don't run ssh{i}/cls{i}/box{i}/ldm{i} here;
@@ -82,10 +82,11 @@ class RetinaFace(nn.Module):
         params still exist (init always builds them); they feed the packed
         kernels via fold_ssh_heads_packed.
 
-        skip_level0_fpn: additionally skip the FPN's lateral0/merge0 chain
-        (needs 0 in skip_head_levels); out[8] becomes {"c3": C3} and the
-        caller rebuilds packed P3 from C3 + out[16]'s P4 via
-        ops/ssh_packed.fpn0_packed."""
+        skip_fpn_levels: additionally skip the FPN's lateral{i}/merge{i}
+        chain for listed levels (0/1 only; each must also be in
+        skip_head_levels); out[stride] becomes {"c": C_i} and the caller
+        rebuilds the packed pyramid level from C_i + the next-coarser level
+        via ops/ssh_packed.fpn_packed."""
         if self.backbone not in _BACKBONES:
             raise ValueError(f"unknown backbone: {self.backbone!r}")
         channels, slope, _ = _BACKBONES[self.backbone]
@@ -107,11 +108,20 @@ class RetinaFace(nn.Module):
                 name="body",
             )(x.astype(dt), train, stem_precomputed=stem_precomputed)
 
-        if skip_level0_fpn and 0 not in skip_head_levels:
-            raise ValueError("skip_level0_fpn requires 0 in skip_head_levels")
+        bad_fpn = [
+            i
+            for i in skip_fpn_levels
+            if i not in (0, 1) or i not in skip_head_levels
+        ]
+        if bad_fpn:
+            raise ValueError(
+                f"skip_fpn_levels {bad_fpn}: only levels 0/1 have a "
+                "lateral+merge chain, and each must also be in "
+                "skip_head_levels"
+            )
         pyramid = FPN(
             channels, negative_slope=slope, dtype=dt, quant=self.quant, name="fpn"
-        )(feats, train, skip_level0=skip_level0_fpn)
+        )(feats, train, skip_levels=skip_fpn_levels)
         contexts = [
             None
             if i in skip_head_levels
@@ -129,8 +139,8 @@ class RetinaFace(nn.Module):
         out: Dict[int, Dict[str, jnp.ndarray]] = {}
         for i, (stride, feat) in enumerate(zip((8, 16, 32), contexts)):
             if feat is None:
-                if pyramid[i] is None:  # FPN level skipped too: raw C3
-                    out[stride] = {"c3": feats[i]}
+                if pyramid[i] is None:  # FPN level skipped too: raw C_i
+                    out[stride] = {"c": feats[i]}
                 else:
                     out[stride] = {"feat": pyramid[i]}
                 continue

@@ -29,14 +29,16 @@ block offsets {-1, 0, +1}: a (3,3) kernel in block space whose
 (tap, phase-in, phase-out) slots are ~25% occupied — 4x nominal FLOPs on
 ~2% of the level's current device time).
 
-The stride-8 FPN chain packs the same way (fold_fpn0_packed / fpn0_packed):
-the lateral 1x1 becomes a per-phase block-diagonal 1x1, the 3x3 merge conv
-packs like any stride-1 3x3, and the top-down nearest 2x upsample-add is
-FREE in packed space — up2(P4)[2by+qi, 2bx+qj] = P4[by, bx] for every
-phase, so the upsampled operand is just P4 tiled 4x along the phase-major
-channel axis: no 80^2 tensor is ever materialized.  The packed P3 feeds
+The FPN lateral+merge chains pack the same way (fold_fpn_packed /
+fpn_packed, levels 0-1): the lateral 1x1 becomes a per-phase
+block-diagonal 1x1, the 3x3 merge conv packs like any stride-1 3x3, and
+the top-down nearest 2x upsample-add is FREE in packed space —
+up2(P)[2by+qi, 2bx+qj] = P[by, bx] for every phase, so the upsampled
+operand is just the coarser level tiled 4x along the phase-major channel
+axis: no full-resolution tensor is ever materialized.  The packed P feeds
 ssh_heads_packed(pre_packed=True) directly, removing the in-graph
-space-to-depth relayout as well.
+space-to-depth relayout as well; when level 1 is also FPN-packed, level
+0's upsample operand is recovered with one (small) depth_to_space2.
 
 The head outputs stay on the 40^2 grid with phase-major channels; their
 flattened row order is (by, bx, phase, anchor) instead of the natural
@@ -108,6 +110,16 @@ def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
 
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of space_to_depth2: (B, H/2, W/2, 4C) phase-major ->
+    (B, H, W, C) natural grid."""
+    b, h2, w2, c4 = x.shape
+    assert c4 % 4 == 0, x.shape
+    c = c4 // 4
+    y = x.reshape(b, h2, w2, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c)
+
+
 def packed_anchor_perm(fh: int, fw: int, a: int) -> np.ndarray:
     """Row permutation taking the packed flatten order to anchor rows.
 
@@ -139,22 +151,25 @@ def block_diag_1x1_packed(w: jnp.ndarray) -> jnp.ndarray:
     return k.reshape(1, 1, 4 * cin, 4 * cout)
 
 
-class FPN0PackedParams(NamedTuple):
-    """Folded constants for the packed stride-8 FPN chain
-    (see fold_fpn0_packed)."""
+class FPNPackedParams(NamedTuple):
+    """Folded constants for one packed FPN lateral+merge chain
+    (see fold_fpn_packed)."""
 
-    k_lat: jnp.ndarray  # (1, 1, 4*C3in, 4C) lateral0, block-diagonal
+    k_lat: jnp.ndarray  # (1, 1, 4*Cin, 4C) lateral{level}, block-diagonal
     a_lat: jnp.ndarray
     b_lat: jnp.ndarray
-    k_merge: jnp.ndarray  # (3, 3, 4C, 4C) merge0
+    k_merge: jnp.ndarray  # (3, 3, 4C, 4C) merge{level}
     a_merge: jnp.ndarray
     b_merge: jnp.ndarray
 
 
-def fold_fpn0_packed(variables, eps: float = 1e-5) -> FPN0PackedParams:
-    """Fold fpn.lateral0 + fpn.merge0 (models/layers.FPN) into packed
-    constants: block-diagonal 1x1 lateral, dense-packed 3x3 merge, BN
-    running stats as per-channel affines phase-tiled x4."""
+def fold_fpn_packed(
+    variables, level: int = 0, eps: float = 1e-5
+) -> FPNPackedParams:
+    """Fold fpn.lateral{level} + fpn.merge{level} (models/layers.FPN) into
+    packed constants: block-diagonal 1x1 lateral, dense-packed 3x3 merge,
+    BN running stats as per-channel affines phase-tiled x4.  Levels 0 and 1
+    only — the top level has no merge chain."""
     p = variables["params"]["fpn"]
     s = variables["batch_stats"]["fpn"]
 
@@ -171,15 +186,15 @@ def fold_fpn0_packed(variables, eps: float = 1e-5) -> FPN0PackedParams:
             jnp.tile(b, 4).astype(jnp.float32),
         )
 
-    a_lat, b_lat = affine("lateral0")
+    a_lat, b_lat = affine(f"lateral{level}")
     k_lat = block_diag_1x1_packed(
-        p["lateral0"]["Conv_0"]["kernel"].astype(jnp.float32)
+        p[f"lateral{level}"]["Conv_0"]["kernel"].astype(jnp.float32)
     )
-    a_merge, b_merge = affine("merge0")
+    a_merge, b_merge = affine(f"merge{level}")
     k_merge = dense_kernel_packed(
-        p["merge0"]["Conv_0"]["kernel"].astype(jnp.float32)
+        p[f"merge{level}"]["Conv_0"]["kernel"].astype(jnp.float32)
     )
-    return FPN0PackedParams(k_lat, a_lat, b_lat, k_merge, a_merge, b_merge)
+    return FPNPackedParams(k_lat, a_lat, b_lat, k_merge, a_merge, b_merge)
 
 
 class SSHPackedParams(NamedTuple):
@@ -303,28 +318,31 @@ def _bn_act(y, a, b, negative_slope, compute_dtype, act=False):
     return y.astype(compute_dtype)
 
 
-def fpn0_packed(
-    c3: jnp.ndarray,
-    p4: jnp.ndarray,
-    fp: FPN0PackedParams,
+def fpn_packed(
+    c: jnp.ndarray,
+    p_up: jnp.ndarray,
+    fp: FPNPackedParams,
     negative_slope: float = 0.1,
     compute_dtype=jnp.bfloat16,
+    pre_packed: bool = False,
 ) -> jnp.ndarray:
-    """Packed stride-8 FPN chain: (B, H, W, C3in) backbone feature + the
-    merged (B, H/2, W/2, C) P4 -> packed P3 (B, H/2, W/2, 4C).
+    """Packed FPN lateral+merge chain: (B, H, W, Cin) backbone feature + the
+    (B, H/2, W/2, C) next-coarser pyramid level -> packed P (B, H/2, W/2, 4C).
 
-    Equivalent to FPN's merge0(lateral0(C3) + up2(P4)) (models/layers.FPN)
+    Equivalent to FPN's merge(lateral(C) + up2(P_next)) (models/layers.FPN)
     on the half-resolution grid: block-diagonal lateral, channel-tiled
-    nearest upsample (exact because up2(P4) at pixel (2by+qi, 2bx+qj) is
-    P4[by, bx] for every phase), dense-packed 3x3 merge.
+    nearest upsample (exact because up2(P)[2by+qi, 2bx+qj] is P[by, bx] for
+    every phase), dense-packed 3x3 merge.
+
+    pre_packed: c is already the phase-packed (B, H/2, W/2, 4Cin) layout.
     """
     pad1 = ((1, 1), (1, 1))
-    x = space_to_depth2(c3).astype(compute_dtype)
+    x = (c if pre_packed else space_to_depth2(c)).astype(compute_dtype)
     lat = _bn_act(
         _conv(x, fp.k_lat.astype(compute_dtype), ((0, 0), (0, 0))),
         fp.a_lat, fp.b_lat, negative_slope, compute_dtype, act=True,
     )
-    up = jnp.concatenate([p4.astype(compute_dtype)] * 4, axis=-1)
+    up = jnp.concatenate([p_up.astype(compute_dtype)] * 4, axis=-1)
     merged = lat + up
     return _bn_act(
         _conv(merged, fp.k_merge.astype(compute_dtype), pad1),

@@ -289,7 +289,7 @@ class RetinaFaceDetection:
 
     def make_batched_fn(
         self, pre_s2d: bool = False, stem: str = "xla", s4d_mid=None,
-        packed_heads=None, packed_fpn0=None,
+        packed_heads=None, packed_fpn=None,
     ):
         """Jitted (variables, (B, 640, 640, 3) u8, (B,) det_scales) -> PaddedDetections batch.
 
@@ -337,11 +337,14 @@ class RetinaFaceDetection:
         The stride-8 level carries 16x the spatial work of stride-32, so
         level 0 is where the win is; 1-2 ride along when eligible.
 
-        packed_fpn0: extend the packing through the stride-8 FPN chain
-        (ops/ssh_packed.fpn0_packed: block-diagonal lateral, channel-tiled
-        nearest upsample-add, dense-packed merge — no 80^2 tensor is
-        materialized).  None (default) = on when levels 0 AND 1 are packed
-        (the chain consumes the merged P4); False opts out.
+        packed_fpn: extend the packing through the FPN lateral+merge chains
+        (ops/ssh_packed.fpn_packed: block-diagonal lateral, channel-tiled
+        nearest upsample-add, dense-packed merge — no full-resolution
+        tensor is materialized).  Accepts an iterable of FPN levels (0
+        and/or 1; must be downward-closed), True (all eligible), False
+        (none), or None (default) = level 0 when levels 0 AND 1 are packed
+        (the chain consumes the merged P4).  Level 1 additionally needs
+        level 2 packed (it consumes P5) and is opt-in pending measurement.
         """
         if stem not in ("xla", "auto", "s4d", "pallas"):
             raise ValueError(
@@ -441,16 +444,41 @@ class RetinaFaceDetection:
                     f"grid per level (eligible: {list(eligible_levels)})"
                 )
         packed_strides = {8 * 2**i for i in packed_levels}
-        fpn0_eligible = 0 in packed_levels and 1 in packed_levels
-        if packed_fpn0 and not fpn0_eligible:
-            raise ValueError(
-                "packed_fpn0=True needs pyramid levels 0 and 1 packed "
-                "(packed_heads) — the packed FPN chain consumes the merged "
-                "P4 feature"
-            )
-        use_packed_fpn0 = (
-            fpn0_eligible if packed_fpn0 is None else bool(packed_fpn0)
+        # FPN level i's packed chain needs level i's head packed (it emits
+        # the packed layout) and level i+1's pyramid feature available
+        # (head-packed levels return it).
+        fpn_eligible = tuple(
+            i
+            for i in (0, 1)
+            if i in packed_levels and (i + 1) in packed_levels
         )
+        if packed_fpn is None:
+            fpn_levels = (0,) if 0 in fpn_eligible else ()
+        elif packed_fpn is True:
+            fpn_levels = fpn_eligible
+            if not fpn_levels:
+                raise ValueError(
+                    "packed_fpn=True needs adjacent pyramid levels packed "
+                    "(packed_heads) — each packed FPN chain consumes the "
+                    "next-coarser level's feature"
+                )
+        elif packed_fpn is False:
+            fpn_levels = ()
+        else:
+            fpn_levels = tuple(sorted(set(int(i) for i in packed_fpn)))
+            bad = [i for i in fpn_levels if i not in fpn_eligible]
+            if bad:
+                raise ValueError(
+                    f"packed_fpn levels {bad} not eligible (eligible: "
+                    f"{list(fpn_eligible)}): each needs its own and the "
+                    "next-coarser pyramid level in packed_heads"
+                )
+            if any(j not in fpn_levels for i in fpn_levels for j in range(i)):
+                raise ValueError(
+                    f"packed_fpn {fpn_levels} must be downward-closed "
+                    "(skipping FPN level 1 re-expresses P4, which level 0's "
+                    "natural merge would need)"
+                )
 
         anchors_decode = self.anchors
         if packed_levels:
@@ -512,10 +540,13 @@ class RetinaFaceDetection:
                         str(i): fold_ssh_heads_packed(variables, level=i)
                         for i in packed_levels
                     }
-                if use_packed_fpn0:
-                    from ..ops.ssh_packed import fold_fpn0_packed
+                if fpn_levels:
+                    from ..ops.ssh_packed import fold_fpn_packed
 
-                    aux["fpn0"] = fold_fpn0_packed(variables)
+                    aux["fpn"] = {
+                        str(i): fold_fpn_packed(variables, level=i)
+                        for i in fpn_levels
+                    }
                 return aux
             if use_s4d_stem or use_pallas_stem:
                 if use_s4d_stem:
@@ -560,30 +591,42 @@ class RetinaFaceDetection:
                     train=False,
                     stem_precomputed="ds4.pw" if use_s4d_mid else True,
                     skip_head_levels=packed_levels,
-                    skip_level0_fpn=use_packed_fpn0,
+                    skip_fpn_levels=fpn_levels,
                 )
                 if packed_levels:
-                    from ..ops.ssh_packed import fpn0_packed, ssh_heads_packed
+                    from ..ops.ssh_packed import (
+                        depth_to_space2,
+                        fpn_packed,
+                        ssh_heads_packed,
+                    )
 
                     slope = self.model.negative_slope()
                     net_out = dict(net_out)
-                    p4 = net_out[16]["feat"] if use_packed_fpn0 else None
+                    # Rebuild FPN-skipped pyramid levels coarse-to-fine:
+                    # each packed chain consumes the next-coarser level in
+                    # NATURAL layout (one small depth_to_space2 when that
+                    # level was itself re-expressed packed).
+                    packed_feat = {}
+                    for i in sorted(fpn_levels, reverse=True):
+                        if (i + 1) in fpn_levels:
+                            p_up = depth_to_space2(packed_feat[i + 1])
+                        else:
+                            p_up = net_out[8 * 2 ** (i + 1)]["feat"]
+                        packed_feat[i] = fpn_packed(
+                            net_out[8 * 2**i]["c"], p_up,
+                            aux["fpn"][str(i)],
+                            negative_slope=slope, compute_dtype=dt,
+                        )
                     for i in packed_levels:
                         stride = 8 * 2**i
-                        if i == 0 and use_packed_fpn0:
-                            feat = fpn0_packed(
-                                net_out[8]["c3"], p4, aux["fpn0"],
-                                negative_slope=slope, compute_dtype=dt,
-                            )
-                        else:
-                            feat = net_out[stride]["feat"]
+                        pre = i in packed_feat
                         net_out[stride] = ssh_heads_packed(
-                            feat,
+                            packed_feat[i] if pre else net_out[stride]["feat"],
                             aux["packed"][str(i)],
                             self.model.num_anchors,
                             negative_slope=slope,
                             compute_dtype=dt,
-                            pre_packed=(i == 0 and use_packed_fpn0),
+                            pre_packed=pre,
                         )
                 return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
             if use_s4d_stem:

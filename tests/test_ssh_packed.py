@@ -18,9 +18,10 @@ from rs_face_detection_tpu.models.retinaface import init_retinaface
 from rs_face_detection_tpu.ops.image import s4d_layout_host
 from rs_face_detection_tpu.ops.ssh_packed import (
     dense_kernel_packed,
-    fold_fpn0_packed,
+    depth_to_space2,
+    fold_fpn_packed,
     fold_ssh_heads_packed,
-    fpn0_packed,
+    fpn_packed,
     packed_anchor_perm,
     space_to_depth2,
     ssh_heads_packed,
@@ -105,9 +106,10 @@ def test_packed_head_maps_match_model(mnet, level):
         )
 
 
-def test_packed_fpn0_chain_matches_model(mnet):
-    """fpn0_packed + ssh_heads_packed(pre_packed) from raw C3 + merged P4
-    reproduce the model's own level-0 head maps (permuted rows)."""
+def test_packed_fpn_chain_matches_model(mnet):
+    """fpn_packed + ssh_heads_packed(pre_packed) from raw C3/C4 + the
+    coarser pyramid level reproduce the model's own level-0/1 head maps
+    (permuted rows) — including the packed-P4 -> depth_to_space2 -> P3 path."""
     model, variables = mnet
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(2, SIZE[1], SIZE[0], 3)).astype(np.float32))
@@ -115,68 +117,83 @@ def test_packed_fpn0_chain_matches_model(mnet):
     ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     skipped = jax.jit(
         lambda v, x: model.apply(
-            v, x, train=False, skip_head_levels=(0,), skip_level0_fpn=True
+            v, x, train=False,
+            skip_head_levels=(0, 1, 2), skip_fpn_levels=(0, 1),
         )
     )(variables, x)
-    c3 = skipped[8]["c3"]
-    # P4 comes out of the (un-skipped) stride-16 path only via the full
-    # model; recover it from a second apply that skips level 1's head.
-    p4 = jax.jit(
-        lambda v, x: model.apply(v, x, train=False, skip_head_levels=(1,))
-    )(variables, x)[16]["feat"]
+    c3, c4, p5 = skipped[8]["c"], skipped[16]["c"], skipped[32]["feat"]
 
-    fp = fold_fpn0_packed(variables)
-    sp = fold_ssh_heads_packed(variables, level=0)
-    out = jax.jit(
-        lambda c3, p4: ssh_heads_packed(
-            fpn0_packed(
-                c3, p4, fp,
-                negative_slope=model.negative_slope(),
-                compute_dtype=jnp.float32,
-            ),
-            sp, model.num_anchors,
-            negative_slope=model.negative_slope(),
-            compute_dtype=jnp.float32,
-            pre_packed=True,
-        )
-    )(c3, p4)
+    slope = model.negative_slope()
+    fp0 = fold_fpn_packed(variables, level=0)
+    fp1 = fold_fpn_packed(variables, level=1)
 
-    fh, fw, a = SIZE[1] // 8, SIZE[0] // 8, model.num_anchors
-    perm = packed_anchor_perm(fh, fw, a)
-    for key, per_anchor in (("score", 1), ("bbox", 4), ("landmark", 10)):
-        nat = np.asarray(ref[8][key]).reshape(2, fh * fw * a, per_anchor)
-        got = np.asarray(out[key]).reshape(2, fh * fw * a, per_anchor)
-        np.testing.assert_allclose(
-            got, nat[:, perm], rtol=0, atol=2e-5, err_msg=key
-        )
+    def chain(c3, c4, p5):
+        p4p = fpn_packed(c4, p5, fp1, negative_slope=slope,
+                         compute_dtype=jnp.float32)
+        p3p = fpn_packed(c3, depth_to_space2(p4p), fp0,
+                         negative_slope=slope, compute_dtype=jnp.float32)
+        outs = {}
+        for level, feat in ((0, p3p), (1, p4p)):
+            sp = fold_ssh_heads_packed(variables, level=level)
+            outs[level] = ssh_heads_packed(
+                feat, sp, model.num_anchors, negative_slope=slope,
+                compute_dtype=jnp.float32, pre_packed=True,
+            )
+        return outs
+
+    outs = jax.jit(chain)(c3, c4, p5)
+    for level in (0, 1):
+        stride = 8 * 2**level
+        fh, fw, a = SIZE[1] // stride, SIZE[0] // stride, model.num_anchors
+        perm = packed_anchor_perm(fh, fw, a)
+        for key, per_anchor in (("score", 1), ("bbox", 4), ("landmark", 10)):
+            nat = np.asarray(ref[stride][key]).reshape(
+                2, fh * fw * a, per_anchor
+            )
+            got = np.asarray(outs[level][key]).reshape(
+                2, fh * fw * a, per_anchor
+            )
+            np.testing.assert_allclose(
+                got, nat[:, perm], rtol=0, atol=2e-5,
+                err_msg=f"L{level}:{key}",
+            )
 
 
-def test_batched_graph_fpn0_parity(mnet):
+def test_batched_graph_fpn_parity(mnet):
     model, variables = mnet
     cfg = FaceDetectionConfig(
         backbone="mobilenet025", image_size=SIZE, confidence_threshold=0.02
     )
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
-    base = det.make_batched_fn(
-        stem="s4d", packed_heads=True, packed_fpn0=False
-    )
-    fpn0 = det.make_batched_fn(stem="s4d", packed_heads=True, packed_fpn0=True)
+    base = det.make_batched_fn(stem="s4d", packed_heads=True, packed_fpn=False)
 
     rng = np.random.default_rng(6)
     imgs = rng.integers(0, 255, size=(2, SIZE[1], SIZE[0], 3), dtype=np.uint8)
     x = jnp.asarray(s4d_layout_host(imgs))
     scales = jnp.ones((2,), jnp.float32)
-
     a = base(variables, x, scales)
-    b = fpn0(variables, x, scales)
-    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
-    np.testing.assert_allclose(
-        np.asarray(a.det), np.asarray(b.det), rtol=0, atol=1e-3
-    )
+
+    for fpn in [(0,), (0, 1), True]:
+        fn = det.make_batched_fn(
+            stem="s4d", packed_heads=True, packed_fpn=fpn
+        )
+        b = fn(variables, x, scales)
+        np.testing.assert_array_equal(
+            np.asarray(a.count), np.asarray(b.count), err_msg=str(fpn)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.det), np.asarray(b.det), rtol=0, atol=1e-3,
+            err_msg=str(fpn),
+        )
+
     with pytest.raises(ValueError):
         det.make_batched_fn(
-            stem="s4d", packed_heads=(0,), packed_fpn0=True
+            stem="s4d", packed_heads=(0,), packed_fpn=(0,)
         )  # needs level 1 packed too
+    with pytest.raises(ValueError):
+        det.make_batched_fn(
+            stem="s4d", packed_heads=True, packed_fpn=(1,)
+        )  # not downward-closed
 
 
 def test_batched_graph_parity(mnet):
