@@ -364,6 +364,26 @@ def main() -> int:
                 vit_fn, vit_vars, vit_batch(8), 8, max(3, n_batches // 2)
             )
             result["vit_l14_b8_img_s"] = round(vit_b8, 2)
+            # Pallas flash-attention variant (same params; models/vit.py
+            # _flash_attention_fn): report alongside — the unfused path
+            # materializes (B, 16, 257, 257) scores in HBM every layer.
+            try:
+                from rs_face_detection_tpu.models.vit import ViT
+
+                vit_fused = ViT(
+                    config="clip_l14", num_classes=2, dtype=jnp.bfloat16,
+                    fused_attention=True,
+                )
+                fused_fn = jax.jit(
+                    lambda v, x, _s: vit_fused.apply(v, x, train=False)
+                )
+                vit_fused_b8, _ = _throughput_device(
+                    fused_fn, vit_vars, vit_batch(8), 8, max(3, n_batches // 2)
+                )
+                result["vit_l14_fused_attn_b8_img_s"] = round(vit_fused_b8, 2)
+                result["vit_l14_b8_img_s"] = round(max(vit_b8, vit_fused_b8), 2)
+            except Exception as e:
+                result["vit_l14_fused_attn_error"] = str(e)[:200]
         except Exception as e:  # aux fields must not sink the headline bench
             result["vit_l14_error"] = str(e)[:200]
 

@@ -19,11 +19,50 @@ so imported weights reproduce torch outputs.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, NamedTuple, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _flash_attention_fn(query, key, value, bias=None, mask=None, **_kwargs):
+    """flax attention_fn backed by the Pallas TPU flash-attention kernel.
+
+    Inference-only drop-in for flax's dot_product_attention on TPU: the
+    (B, heads, N, N) score/probability tensors never touch HBM — QK^T,
+    the online softmax, and PV run in one VMEM-resident kernel.  At
+    ViT-L/14 b8 the unfused path materializes 34 MB of f32 scores per
+    layer three times over; that HBM traffic is what this removes.
+
+    The sequence is zero-padded to the 128-lane grid; SegmentIds mask the
+    pad keys (pad rows' outputs are sliced off).  q/k/v arrive flax-shaped
+    (B, N, heads, head_dim) and unscaled — sm_scale applies the 1/sqrt(d)
+    the standard path folds into the scores.
+    """
+    assert bias is None and mask is None, "ViT attention is dense"
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, n, h, d = query.shape
+    pad = (-n) % 128
+
+    def prep(t):
+        t = jnp.transpose(t, (0, 2, 1, 3))  # (B, H, N, D)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    seg = jnp.pad(jnp.ones((b, n), jnp.int32), ((0, 0), (0, pad)))
+    out = flash_attention(
+        prep(query),
+        prep(key),
+        prep(value),
+        segment_ids=SegmentIds(seg, seg),
+        sm_scale=1.0 / math.sqrt(d),
+    )
+    return jnp.transpose(out[:, :, :n, :], (0, 2, 1, 3))
 
 
 class ViTConfig(NamedTuple):
@@ -62,17 +101,22 @@ class _Block(nn.Module):
     heads: int
     quick_gelu: bool = False
     dtype: Any = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.LayerNorm(
             epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln1"
         )(x)
+        attn_kwargs = (
+            {"attention_fn": _flash_attention_fn} if self.fused_attention else {}
+        )
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="attn",
+            **attn_kwargs,
         )(y, y)
         x = x + y
         y = nn.LayerNorm(
@@ -91,6 +135,9 @@ class ViT(nn.Module):
     num_classes: int = 2
     softmax: bool = True
     dtype: Any = jnp.float32
+    #: TPU-only serving option: Pallas flash-attention kernel instead of the
+    #: materialized-scores path (same params, same math; _flash_attention_fn).
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -134,6 +181,7 @@ class ViT(nn.Module):
                 cfg.heads,
                 quick_gelu=cfg.quick_gelu,
                 dtype=self.dtype,
+                fused_attention=self.fused_attention,
                 name=f"block{i}",
             )(x)
 
@@ -155,8 +203,14 @@ def init_vit(
     image_size: Sequence[int] = (224, 224),
     dtype: Any = jnp.float32,
     seed: int = 0,
+    fused_attention: bool = False,
 ):
-    model = ViT(config=config, num_classes=num_classes, dtype=dtype)
+    model = ViT(
+        config=config,
+        num_classes=num_classes,
+        dtype=dtype,
+        fused_attention=fused_attention,
+    )
     w, h = image_size
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(
