@@ -387,6 +387,41 @@ def main() -> int:
         except Exception as e:  # aux fields must not sink the headline bench
             result["vit_l14_error"] = str(e)[:200]
 
+        # ArcFace embedding throughput (the face-ID serving hot loop:
+        # FacePipeline.extract_batch's fused warp/quality/embed tail embeds
+        # aligned 112x112 crops through this backbone).
+        try:
+            from rs_face_detection_tpu.configs import FaceIdentificationConfig
+            from rs_face_detection_tpu.models.arcface import init_arcface
+            from rs_face_detection_tpu.models.precision import cast_kernels
+
+            id_cfg = FaceIdentificationConfig()
+            id_model, id_vars = init_arcface(
+                id_cfg.backbone, id_cfg.embedding_dim, id_cfg.image_size,
+                dtype=jnp.bfloat16, seed=0,
+            )
+            id_vars = cast_kernels(id_vars)
+            id_fn = jax.jit(
+                lambda v, x, _s: id_model.apply(v, x, train=False)
+            )
+
+            def id_batch(batch):
+                def make(i):
+                    x = rng.normal(
+                        size=(batch, id_cfg.image_size[1],
+                              id_cfg.image_size[0], 3)
+                    ).astype(np.float32)
+                    return jnp.asarray(x), jnp.ones((batch,), jnp.float32)
+
+                return make
+
+            embed_b32, _ = _throughput_device(
+                id_fn, id_vars, id_batch(32), 32, max(3, n_batches // 2)
+            )
+            result[f"{id_cfg.backbone}_embed_b32_img_s"] = round(embed_b32, 2)
+        except Exception as e:
+            result["embed_error"] = str(e)[:200]
+
         # int8 re-check (VERDICT r2 #9): quantized R50 fused graph vs the
         # bf16 headline on the CURRENT XLA wheel.  bf16 has stayed ahead on
         # v5e so far; flip the serving default only if this reports faster.
