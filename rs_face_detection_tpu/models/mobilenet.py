@@ -31,6 +31,11 @@ class MobileNetV1_025(nn.Module):
     negative_slope: float = 0.1
     stem_space_to_depth: bool = False
     quant: bool = False
+    #: training option: rematerialize each depthwise-separable block on the
+    #: backward pass (jax.checkpoint via nn.remat) — recompute instead of
+    #: save activations.  Applies to the standard path only (the serving
+    #: front_precomputed fast paths never train).  Same params, same math.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -70,7 +75,15 @@ class MobileNetV1_025(nn.Module):
             x = DepthwiseSeparable(256, (1, 1), dtype=dt, quant=self.quant, name="ds13")(x, train)
             return c3, c4, x
 
+        # static_argnums=(2,): `train` drives Python control flow (BN).
+        DS = (
+            nn.remat(DepthwiseSeparable, static_argnums=(2,))
+            if self.remat
+            else DepthwiseSeparable
+        )
+
         # Stage 1 -> stride 8, 64 channels.
+
         if self.stem_space_to_depth:
             if x.shape[-1] == 3:
                 b0, h0, w0, _ = x.shape
@@ -99,24 +112,24 @@ class MobileNetV1_025(nn.Module):
             x = ConvBN(
                 8, (3, 3), (2, 2), act=act, dtype=dt, quant=self.quant, name="conv1"
             )(x, train)
-        x = DepthwiseSeparable(16, (1, 1), dtype=dt, quant=self.quant, name="ds1")(x, train)
-        x = DepthwiseSeparable(32, (2, 2), dtype=dt, quant=self.quant, name="ds2")(x, train)
-        x = DepthwiseSeparable(32, (1, 1), dtype=dt, quant=self.quant, name="ds3")(x, train)
-        x = DepthwiseSeparable(64, (2, 2), dtype=dt, quant=self.quant, name="ds4")(x, train)
-        x = DepthwiseSeparable(64, (1, 1), dtype=dt, quant=self.quant, name="ds5")(x, train)
+        x = DS(16, (1, 1), dtype=dt, quant=self.quant, name="ds1")(x, train)
+        x = DS(32, (2, 2), dtype=dt, quant=self.quant, name="ds2")(x, train)
+        x = DS(32, (1, 1), dtype=dt, quant=self.quant, name="ds3")(x, train)
+        x = DS(64, (2, 2), dtype=dt, quant=self.quant, name="ds4")(x, train)
+        x = DS(64, (1, 1), dtype=dt, quant=self.quant, name="ds5")(x, train)
         c3 = x
 
         # Stage 2 -> stride 16, 128 channels.
-        x = DepthwiseSeparable(128, (2, 2), dtype=dt, quant=self.quant, name="ds6")(x, train)
+        x = DS(128, (2, 2), dtype=dt, quant=self.quant, name="ds6")(x, train)
         for i in range(5):
-            x = DepthwiseSeparable(128, (1, 1), dtype=dt, quant=self.quant, name=f"ds{7 + i}")(
+            x = DS(128, (1, 1), dtype=dt, quant=self.quant, name=f"ds{7 + i}")(
                 x, train
             )
         c4 = x
 
         # Stage 3 -> stride 32, 256 channels.
-        x = DepthwiseSeparable(256, (2, 2), dtype=dt, quant=self.quant, name="ds12")(x, train)
-        x = DepthwiseSeparable(256, (1, 1), dtype=dt, quant=self.quant, name="ds13")(x, train)
+        x = DS(256, (2, 2), dtype=dt, quant=self.quant, name="ds12")(x, train)
+        x = DS(256, (1, 1), dtype=dt, quant=self.quant, name="ds13")(x, train)
         c5 = x
 
         return c3, c4, c5

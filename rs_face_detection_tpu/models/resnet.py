@@ -86,6 +86,11 @@ class ResNet50(nn.Module):
     #: dense re-expression of the three stage-boundary stride-2 convs
     #: (see Bottleneck.s2d_boundary) — param-layout-identical opt-in.
     s2d_boundary: bool = False
+    #: training option: rematerialize each bottleneck block on the backward
+    #: pass (jax.checkpoint via nn.remat) — activations are recomputed
+    #: instead of saved, trading ~1 extra forward of FLOPs for O(depth)
+    #: less activation HBM.  Same params, same math.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -136,10 +141,16 @@ class ResNet50(nn.Module):
 
         widths = (64, 128, 256, 512)
         feats = []
+        # static_argnums=(2,): `train` drives Python control flow (BN mode).
+        Block = (
+            nn.remat(Bottleneck, static_argnums=(2,))
+            if self.remat
+            else Bottleneck
+        )
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
             for block in range(blocks):
                 strides = (2, 2) if block == 0 and stage > 0 else (1, 1)
-                x = Bottleneck(
+                x = Block(
                     width,
                     strides,
                     dtype=dt,

@@ -49,6 +49,9 @@ class RetinaFace(nn.Module):
     #: R50 only: dense re-expression of stage-boundary stride-2 convs
     #: (models.resnet.ResNet50.s2d_boundary) — param-layout-identical opt-in.
     s2d_boundary: bool = False
+    #: training option: rematerialize backbone blocks on the backward pass
+    #: (nn.remat in the backbones) — same params/math, less activation HBM.
+    remat: bool = False
 
     def negative_slope(self) -> float:
         """The backbone family's leaky-ReLU slope (0.0 = plain ReLU)."""
@@ -97,7 +100,8 @@ class RetinaFace(nn.Module):
             # stem_precomputed: x is the dense s4d front's output
             # (ops/mnet_s4d.py, the ds2.dw tensor); resume at ds2.pw.
             feats = MobileNetV1_025(
-                dtype=dt, stem_space_to_depth=s2d, quant=self.quant, name="body"
+                dtype=dt, stem_space_to_depth=s2d, quant=self.quant,
+                remat=self.remat, name="body"
             )(x.astype(dt), train, front_precomputed=stem_precomputed)
         else:
             feats = ResNet50(
@@ -105,6 +109,7 @@ class RetinaFace(nn.Module):
                 stem_space_to_depth=s2d,
                 quant=self.quant,
                 s2d_boundary=self.s2d_boundary,
+                remat=self.remat,
                 name="body",
             )(x.astype(dt), train, stem_precomputed=stem_precomputed)
 

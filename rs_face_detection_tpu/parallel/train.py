@@ -264,6 +264,7 @@ class Trainer:
         dtype: Any = jnp.float32,
         pos_iou: float = 0.5,
         neg_iou: float = 0.3,
+        remat: bool = False,
     ) -> None:
         # pos/neg_iou: anchor-match thresholds (detection_loss).  The default
         # 0.5/0.3 is the RetinaFace recipe; datasets whose face sizes fall in
@@ -282,8 +283,15 @@ class Trainer:
         )
         self.anchors = jnp.asarray(anchors)
         num_anchors = level_info[0][3]
+        # remat: rematerialize backbone blocks on the backward pass
+        # (nn.remat) — trades ~1 extra forward of block FLOPs for O(depth)
+        # less activation HBM, the standard lever when a batch/resolution
+        # doesn't fit.  Same params, same loss (tests/test_parallel.py).
         self.model = RetinaFace(
-            backbone=self.cfg.backbone, num_anchors=num_anchors, dtype=dtype
+            backbone=self.cfg.backbone,
+            num_anchors=num_anchors,
+            dtype=dtype,
+            remat=remat,
         )
         self.tx = optax.adamw(learning_rate)
 

@@ -55,6 +55,29 @@ def test_sharded_train_step_runs(model_parallel):
     assert np.isfinite(metrics2["loss"])
 
 
+def test_remat_train_step_matches():
+    """Backbone rematerialization (Trainer(remat=True)) recomputes instead
+    of saving block activations; the loss and updated params must match the
+    standard step to float rounding."""
+    from rs_face_detection_tpu.parallel.train import Trainer
+
+    mesh = make_mesh(8)
+    cfg = FaceDetectionConfig(image_size=(64, 64))
+    losses, params = [], []
+    for remat in (False, True):
+        trainer = Trainer(mesh, cfg, learning_rate=1e-3, remat=remat)
+        state = trainer.init_state(seed=0)
+        batch = trainer.make_batch(mesh.shape["data"], max_faces=4, seed=0)
+        state, metrics = trainer.make_train_step()(state, batch)
+        losses.append(float(jax.device_get(metrics["loss"])))
+        params.append(jax.device_get(state.params))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(params[0])
+    flat1 = jax.tree_util.tree_leaves(params[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_detection_server_sharded_batch():
     from rs_face_detection_tpu.models.retinaface import init_retinaface
     from rs_face_detection_tpu.parallel.serving import DetectionServer
