@@ -259,6 +259,9 @@ def main() -> int:
     mnet_b32_pipe, _ = _throughput(
         fnm, detm.variables, batch_maker(32, m_s2d), 32, max(3, n_batches // 2)
     )
+    _, mnet_b1_dt = _throughput_device(
+        fnm, detm.variables, batch_maker(1, m_s2d), 1, max(4, n_batches // 2)
+    )
 
     # Headline: the BASELINE.json north star is "640x640 images/sec/chip
     # (batch 8)" with no model pinned (configs list both MobileNet0.25 and
@@ -284,6 +287,7 @@ def main() -> int:
         "mnet025_b8_img_s": round(mnet_b8, 2),
         "mnet025_b32_img_s": round(mnet_b32, 2),
         "mnet025_b32_pipelined_img_s": round(mnet_b32_pipe, 2),
+        "mnet025_batch1_latency_ms": round(mnet_b1_dt * 1000.0, 3),
         "nms_mode": args.nms,
     }
     if flops_b8:
