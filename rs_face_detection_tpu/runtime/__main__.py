@@ -29,11 +29,28 @@ def main(argv=None) -> int:
         help="run one synthetic extract before accepting traffic "
         "(compiles the detect/extract graphs up front)",
     )
+    parser.add_argument(
+        "--dynamic-batching",
+        action="store_true",
+        help="coalesce concurrent Detect calls into device batches "
+        "(the Triton-scheduler role; runtime/batcher.py)",
+    )
+    parser.add_argument(
+        "--batch-delay-ms",
+        type=float,
+        default=2.0,
+        help="max wait for batch-mates after the first queued request",
+    )
     args = parser.parse_args(argv)
 
     from .server import serve
 
-    server = serve(port=args.port, max_workers=args.max_workers)
+    server = serve(
+        port=args.port,
+        max_workers=args.max_workers,
+        dynamic_batching=args.dynamic_batching,
+        batch_delay_ms=args.batch_delay_ms,
+    )
     port = getattr(server, "_rsfd_port", args.port)
     if args.warmup:
         import cv2

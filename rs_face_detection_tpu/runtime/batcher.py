@@ -1,0 +1,162 @@
+"""Dynamic request batching: Triton's scheduler role, in-process.
+
+The reference never batches: every `extract()` fires three 1-image Triton
+requests (pipeline.rs:89-116) and relies on Triton's server-side dynamic
+batcher (max_batch_size in the model repository config) to coalesce load
+across clients.  This module supplies that missing scheduler for the
+in-process framework: concurrent callers submit single images; a worker
+drains the queue into one device batch — up to the DetectionServer's
+static batch size, waiting at most `max_delay_ms` after the first request
+— so the TPU sees MXU-shaped batches instead of batch-1 dispatches.
+
+The device graph is compiled once for the server's static batch size and
+short batches ride its zero-padding (DetectionServer._prepare_batch), so
+the batcher introduces no recompiles and no dynamic shapes.
+
+Failure isolation: if a batch fails host-side (e.g. one undecodable
+payload), the worker retries each item individually so only the bad
+request's future carries the exception.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Tuple
+
+_SENTINEL = object()
+
+
+class DynamicBatcher:
+    """Coalesces concurrent single-image detect requests into device batches.
+
+    Args:
+      server: a parallel.serving.DetectionServer (its batch_size caps the
+        coalesced batch; its letterbox/layout/jit pipeline does the work).
+      max_delay_ms: how long the worker waits for more requests after the
+        first one of a batch.  0 batches only what is already queued.
+    """
+
+    def __init__(self, server, max_delay_ms: float = 2.0) -> None:
+        self._server = server
+        self._max_delay = max(0.0, float(max_delay_ms)) / 1000.0
+        self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._closed = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._batch_sizes: "collections.Counter" = collections.Counter()
+        self._worker = threading.Thread(
+            target=self._loop, name="rsfd-dynamic-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client surface ------------------------------------------------------
+
+    def submit(self, payload: Any) -> "Future":
+        """Enqueue one image (bytes or BGR array); resolves to (boxes, kps)."""
+        if self._closed.is_set():
+            raise RuntimeError("DynamicBatcher is closed")
+        fut: "Future" = Future()
+        self._queue.put((payload, fut))
+        return fut
+
+    def detect(
+        self, payload: Any, timeout: Optional[float] = None
+    ) -> Tuple[Any, Any]:
+        """Blocking single-image detect through the shared batch queue."""
+        return self.submit(payload).result(timeout)
+
+    def stats(self) -> Dict[str, Any]:
+        """Observability: how well requests coalesced.
+
+        Returns {"batches": total batches run, "requests": total requests,
+        "batch_size_counts": {size: count}} — the analog of Triton's
+        inference_statistics batching counters.
+        """
+        with self._stats_lock:
+            sizes = dict(self._batch_sizes)
+        return {
+            "batches": sum(sizes.values()),
+            "requests": sum(k * v for k, v in sizes.items()),
+            "batch_size_counts": {str(k): v for k, v in sorted(sizes.items())},
+        }
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Stop accepting work, drain the queue, join the worker."""
+        if self._closed.is_set():
+            return
+        self._closed.set()
+        self._queue.put(_SENTINEL)
+        self._worker.join(timeout)
+
+    def __enter__(self) -> "DynamicBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- worker ----------------------------------------------------------------
+
+    def _drain(self, first) -> Tuple[List[Tuple[Any, "Future"]], bool]:
+        """Collect up to batch_size items: `first` already arrived; wait at
+        most max_delay for the rest.  Returns (items, saw_sentinel)."""
+        items = [first]
+        deadline = time.monotonic() + self._max_delay
+        while len(items) < self._server.batch_size:
+            remaining = deadline - time.monotonic()
+            try:
+                nxt = (
+                    self._queue.get_nowait()
+                    if remaining <= 0
+                    else self._queue.get(timeout=remaining)
+                )
+            except queue.Empty:
+                break
+            if nxt is _SENTINEL:
+                return items, True
+            items.append(nxt)
+        return items, False
+
+    def _run_batch(self, items: List[Tuple[Any, "Future"]]) -> None:
+        payloads = [p for p, _ in items]
+        try:
+            results = self._server.detect_batch(payloads)
+        except Exception:
+            # One bad payload must not sink its batch neighbors: retry each
+            # request alone so the exception lands only on the culprit(s).
+            for p, fut in items:
+                try:
+                    fut.set_result(self._server.detect_batch([p])[0])
+                except Exception as e:
+                    fut.set_exception(e)
+        else:
+            for (_, fut), res in zip(items, results):
+                fut.set_result(res)
+        with self._stats_lock:
+            self._batch_sizes[len(items)] += 1
+
+    def _loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is _SENTINEL:
+                break
+            items, saw_sentinel = self._drain(item)
+            self._run_batch(items)
+            if saw_sentinel:
+                break
+        # Drain-after-close: resolve anything still queued (submits that
+        # raced close()) so no future is left hanging.
+        leftovers = []
+        while True:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is not _SENTINEL:
+                leftovers.append(nxt)
+        while leftovers:
+            chunk = leftovers[: self._server.batch_size]
+            leftovers = leftovers[self._server.batch_size :]
+            self._run_batch(chunk)

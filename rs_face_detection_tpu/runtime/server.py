@@ -64,13 +64,26 @@ def _json_bytes(obj) -> bytes:
 class FacePipelineServicer:
     """Method implementations; independent of the gRPC plumbing for testing."""
 
-    def __init__(self, pipeline, registry, stream_batch_size: int = 4) -> None:
+    def __init__(
+        self,
+        pipeline,
+        registry,
+        stream_batch_size: int = 4,
+        dynamic_batching: bool = False,
+        batch_delay_ms: float = 2.0,
+    ) -> None:
         self._pipeline = pipeline  # None -> built lazily on first inference
         self._pipeline_lock = threading.Lock()
         self.registry = registry
         self._stream_batch_size = stream_batch_size
         self._stream_server = None
         self._trace_dir = None
+        # dynamic_batching: coalesce concurrent unary Detect calls into one
+        # device batch (runtime/batcher.py — the Triton scheduler role the
+        # reference's model repository configs delegated to the server).
+        self._dynamic_batching = dynamic_batching
+        self._batch_delay_ms = batch_delay_ms
+        self._batcher = None
 
     @property
     def pipeline(self):
@@ -126,6 +139,19 @@ class FacePipelineServicer:
             }
         )
 
+    def _dynamic_batcher(self):
+        """Lazy shared DynamicBatcher over the stream DetectionServer."""
+        if self._batcher is None:
+            with self._pipeline_lock:
+                if self._batcher is None:
+                    from .batcher import DynamicBatcher
+
+                    self._batcher = DynamicBatcher(
+                        self._detection_server(),
+                        max_delay_ms=self._batch_delay_ms,
+                    )
+        return self._batcher
+
     def detect(self, payload: bytes) -> bytes:
         from ..utils.image_io import decode_image_bytes
 
@@ -133,7 +159,14 @@ class FacePipelineServicer:
             image = decode_image_bytes(payload)
         except ValueError as e:
             return _json_bytes({"error": str(e)})
-        boxes, kps = self.pipeline.face_detection(image)
+        if self._dynamic_batching:
+            # Concurrent gRPC handler threads coalesce into one device batch.
+            try:
+                boxes, kps = self._dynamic_batcher().detect(image)
+            except Exception as e:
+                return _json_bytes({"error": str(e)})
+        else:
+            boxes, kps = self.pipeline.face_detection(image)
         return _json_bytes(
             {
                 "boxes": np.asarray(boxes).tolist(),
@@ -187,6 +220,39 @@ class FacePipelineServicer:
             }
         )
 
+    def model_infer(self, payload: bytes) -> bytes:
+        """Generic ModelInfer verb (client.rs model_infer — the reference's
+        workhorse RPC): run one registered model on a raw input tensor.
+
+        Request JSON: {"name": <registry model>, "input": <base64 .npy>,
+        optional "kwargs": {...}}.  Response: {"outputs": [<base64 .npy>,
+        ...]} (a model returning a tuple yields one entry per element).
+        Tensors ride .npy (dtype+shape self-describing), matching Triton's
+        typed-tensor contract without a proto schema.
+        """
+        import base64
+        import io
+
+        try:
+            body = json.loads(payload or b"{}")
+            name = body["name"]
+            raw = base64.b64decode(body["input"])
+            batch = np.load(io.BytesIO(raw), allow_pickle=False)
+        except Exception as e:
+            return _json_bytes({"error": f"bad ModelInfer request: {e}"})
+        try:
+            out = self.registry.infer(name, batch, **body.get("kwargs", {}))
+        except Exception as e:
+            return _json_bytes({"name": name, "error": str(e)})
+
+        def enc(arr) -> str:
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(arr), allow_pickle=False)
+            return base64.b64encode(buf.getvalue()).decode("ascii")
+
+        outs = out if isinstance(out, (tuple, list)) else (out,)
+        return _json_bytes({"name": name, "outputs": [enc(o) for o in outs]})
+
     def detect_stream(self, payload_iter):
         """Server-streaming detection (ModelStreamInfer analog).
 
@@ -218,15 +284,18 @@ class FacePipelineServicer:
 
         from .. import __version__
 
-        return _json_bytes(
-            {
-                "name": "rs_face_detection_tpu",
-                "version": __version__,
-                "extensions": ["model_repository", "statistics", "trace"],
-                "backend": jax.default_backend(),
-                "device_count": jax.device_count(),
-            }
-        )
+        meta = {
+            "name": "rs_face_detection_tpu",
+            "version": __version__,
+            "extensions": ["model_repository", "statistics", "trace"],
+            "backend": jax.default_backend(),
+            "device_count": jax.device_count(),
+            "dynamic_batching": self._dynamic_batching,
+        }
+        if self._batcher is not None:
+            # Coalescing counters (the Triton batching-statistics analog).
+            meta["dynamic_batching_stats"] = self._batcher.stats()
+        return _json_bytes(meta)
 
     def model_metadata(self, payload: bytes) -> bytes:
         """ModelMetadata verb (client.rs:99-103): I/O contract per model.
@@ -324,6 +393,7 @@ def _handlers(servicer: FacePipelineServicer):
         "RepositoryModelLoad": servicer.repository_model_load,
         "RepositoryModelUnload": servicer.repository_model_unload,
         "ModelStatistics": servicer.model_statistics,
+        "ModelInfer": servicer.model_infer,
         "ServerMetadata": servicer.server_metadata,
         "ModelMetadata": servicer.model_metadata,
         "TraceSetting": servicer.trace_setting,
@@ -349,8 +419,14 @@ def serve(
     registry=None,
     port: int = 8001,
     max_workers: int = 8,
+    dynamic_batching: bool = False,
+    batch_delay_ms: float = 2.0,
 ):
-    """Start a gRPC server; returns the grpc.Server (caller stops it)."""
+    """Start a gRPC server; returns the grpc.Server (caller stops it).
+
+    dynamic_batching: coalesce concurrent unary Detect calls into device
+    batches (runtime/batcher.DynamicBatcher) — the Triton-scheduler role.
+    """
     if not _HAS_GRPC:
         raise RuntimeError("grpcio not available")
     if registry is None:
@@ -362,7 +438,16 @@ def serve(
 
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
     server.add_generic_rpc_handlers(
-        (_handlers(FacePipelineServicer(pipeline, registry)),)
+        (
+            _handlers(
+                FacePipelineServicer(
+                    pipeline,
+                    registry,
+                    dynamic_batching=dynamic_batching,
+                    batch_delay_ms=batch_delay_ms,
+                )
+            ),
+        )
     )
     bound = server.add_insecure_port(f"[::]:{port}")
     server.start()
@@ -425,6 +510,35 @@ class FacePipelineClient:
 
     def model_statistics(self, name: str) -> dict:
         return self._call("ModelStatistics", _json_bytes({"name": name}))
+
+    def model_infer(self, name: str, batch, **kwargs) -> "np.ndarray":
+        """Generic typed-tensor inference on a registered model.
+
+        Sends the array as base64 .npy; returns the first output decoded
+        (use model_infer_multi for tuple-returning models).
+        """
+        outs = self.model_infer_multi(name, batch, **kwargs)
+        return outs[0]
+
+    def model_infer_multi(self, name: str, batch, **kwargs):
+        import base64
+        import io
+
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(batch), allow_pickle=False)
+        body = {
+            "name": name,
+            "input": base64.b64encode(buf.getvalue()).decode("ascii"),
+        }
+        if kwargs:
+            body["kwargs"] = kwargs
+        res = self._call("ModelInfer", _json_bytes(body))
+        if "error" in res:
+            raise RuntimeError(res["error"])
+        return [
+            np.load(io.BytesIO(base64.b64decode(o)), allow_pickle=False)
+            for o in res["outputs"]
+        ]
 
     def server_metadata(self) -> dict:
         return self._call("ServerMetadata", b"")

@@ -236,3 +236,88 @@ def test_trace_setting_round_trip(client, tmp_path):
     ), "profiler trace produced no xplane file"
     assert "error" in client.trace_setting("stop")  # nothing active now
     assert "error" in client.trace_setting("bogus")
+
+
+def test_detect_wire_round_trip_with_dynamic_batching():
+    """serve(dynamic_batching=True): concurrent client Detects coalesce into
+    device batches (runtime/batcher.py) with the same JSON contract, and
+    ServerMetadata reports the coalescing counters."""
+    import threading
+
+    from conftest import attach_fast_head_builders
+
+    reg = ModelRegistry()
+    _attach_standard_builders(reg)
+    attach_fast_head_builders(reg)
+
+    def small_detection_builder():
+        from rs_face_detection_tpu.models.retinaface import init_retinaface
+
+        model, variables = init_retinaface("mobilenet025", (64, 64), seed=0)
+        return (
+            ModelSpec("face_detection_retina", (64, 64, 3), "maps"),
+            model,
+            variables,
+        )
+
+    reg.register_builder("face_detection_retina", small_detection_builder)
+    cfg = FacePipelineConfig(
+        detection=FaceDetectionConfig(
+            image_size=(64, 64),
+            confidence_threshold=0.3,
+            max_candidates=64,
+            max_detections=16,
+        )
+    )
+    pipeline = FacePipeline(cfg, registry=reg)
+    server = serve(
+        pipeline, reg, port=0, max_workers=8,
+        dynamic_batching=True, batch_delay_ms=25.0,
+    )
+    try:
+        c = FacePipelineClient("localhost", server._rsfd_port)
+        c.detect(_jpeg(0))  # compile the batch graph before the burst
+
+        outs = [None] * 12
+        start = threading.Barrier(4)
+
+        def client_thread(w):
+            start.wait()
+            for i in range(w, len(outs), 4):
+                outs[i] = c.detect(_jpeg(100 + i))
+
+        threads = [
+            threading.Thread(target=client_thread, args=(w,))
+            for w in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for out in outs:
+            assert "boxes" in out and "keypoints" in out, out
+
+        meta = c.server_metadata()
+        assert meta["dynamic_batching"] is True
+        stats = meta["dynamic_batching_stats"]
+        assert stats["requests"] >= 13
+        assert any(int(k) > 1 for k in stats["batch_size_counts"])
+        c.close()
+    finally:
+        server.stop(0)
+
+
+def test_model_infer_wire_round_trip(client):
+    """Generic ModelInfer verb: typed tensors over the wire (base64 .npy),
+    running any registered model — the reference's workhorse RPC."""
+    rng = np.random.default_rng(3)
+    batch = rng.normal(size=(2, 112, 112, 3)).astype(np.float32)
+    out = client.model_infer("face_quality", batch)
+    assert out.shape[0] == 2 and np.isfinite(out).all()
+
+    # Statistics must register the traffic, like every inference verb.
+    stats = client.model_statistics("face_quality")
+    assert stats["execution_count"] >= 1
+
+    with pytest.raises(RuntimeError):
+        client.model_infer("nonexistent_model", batch)
