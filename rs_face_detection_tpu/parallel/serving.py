@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -194,9 +195,14 @@ class DetectionServer:
         """Detect faces in up to batch_size images (bytes or BGR arrays)."""
         if len(payloads) > self.batch_size:
             raise ValueError(f"batch larger than configured size {self.batch_size}")
+        start = time.perf_counter()
         imgs, scales, n = self._prepare_batch(payloads)
         out = self._run(imgs, scales)
-        return self._unpack(out, n)
+        results = self._unpack(out, n)
+        # Statistics parity with the single-image path: every inference verb
+        # feeds the registry counters (models/registry.ModelStats).
+        self.detector.record_traffic(n, time.perf_counter() - start)
+        return results
 
     def detect_stream(
         self, payload_iter: Iterable, prefetch: int = 2

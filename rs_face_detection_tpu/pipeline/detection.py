@@ -280,6 +280,12 @@ class RetinaFaceDetection:
             )
         return det[:n], kps[:n]
 
+    def record_traffic(self, n_images: int, duration_s: float) -> None:
+        """Feed registry statistics for traffic served outside __call__
+        (batched serving paths — DetectionServer, DynamicBatcher)."""
+        if self._registry is not None:
+            self._registry.record(self.cfg.model_name, n_images, duration_s)
+
     def detect_padded(self, image_bgr_u8: np.ndarray) -> PaddedDetections:
         """Device-resident padded result (no host sync beyond the count)."""
         h, w = image_bgr_u8.shape[:2]

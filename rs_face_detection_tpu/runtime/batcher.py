@@ -45,6 +45,10 @@ class DynamicBatcher:
         self._max_delay = max(0.0, float(max_delay_ms)) / 1000.0
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._closed = threading.Event()
+        # Makes the closed-check + enqueue atomic vs close(): without it a
+        # submit racing close() could enqueue after the worker's final
+        # drain, leaving its Future unresolved forever.
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._batch_sizes: "collections.Counter" = collections.Counter()
         self._worker = threading.Thread(
@@ -56,10 +60,11 @@ class DynamicBatcher:
 
     def submit(self, payload: Any) -> "Future":
         """Enqueue one image (bytes or BGR array); resolves to (boxes, kps)."""
-        if self._closed.is_set():
-            raise RuntimeError("DynamicBatcher is closed")
-        fut: "Future" = Future()
-        self._queue.put((payload, fut))
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("DynamicBatcher is closed")
+            fut: "Future" = Future()
+            self._queue.put((payload, fut))
         return fut
 
     def detect(
@@ -85,10 +90,11 @@ class DynamicBatcher:
 
     def close(self, timeout: float = 10.0) -> None:
         """Stop accepting work, drain the queue, join the worker."""
-        if self._closed.is_set():
-            return
-        self._closed.set()
-        self._queue.put(_SENTINEL)
+        with self._submit_lock:
+            if self._closed.is_set():
+                return
+            self._closed.set()
+            self._queue.put(_SENTINEL)
         self._worker.join(timeout)
 
     def __enter__(self) -> "DynamicBatcher":
@@ -119,7 +125,28 @@ class DynamicBatcher:
             items.append(nxt)
         return items, False
 
+    @staticmethod
+    def _resolve(fut: "Future", value=None, exc=None) -> None:
+        # A caller may have cancelled its Future; set_* would then raise
+        # InvalidStateError and kill the worker thread for everyone.
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(value)
+        except Exception:
+            pass  # cancelled / already resolved: nothing to deliver
+
     def _run_batch(self, items: List[Tuple[Any, "Future"]]) -> None:
+        # Claim each Future (blocks late cancel()); drop already-cancelled
+        # requests before paying for their device work.
+        items = [
+            (p, fut)
+            for p, fut in items
+            if fut.set_running_or_notify_cancel()
+        ]
+        if not items:
+            return
         payloads = [p for p, _ in items]
         try:
             results = self._server.detect_batch(payloads)
@@ -128,12 +155,12 @@ class DynamicBatcher:
             # request alone so the exception lands only on the culprit(s).
             for p, fut in items:
                 try:
-                    fut.set_result(self._server.detect_batch([p])[0])
+                    self._resolve(fut, self._server.detect_batch([p])[0])
                 except Exception as e:
-                    fut.set_exception(e)
+                    self._resolve(fut, exc=e)
         else:
             for (_, fut), res in zip(items, results):
-                fut.set_result(res)
+                self._resolve(fut, res)
         with self._stats_lock:
             self._batch_sizes[len(items)] += 1
 

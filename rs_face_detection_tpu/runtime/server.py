@@ -84,6 +84,7 @@ class FacePipelineServicer:
         self._dynamic_batching = dynamic_batching
         self._batch_delay_ms = batch_delay_ms
         self._batcher = None
+        self._batcher_lock = threading.Lock()
 
     @property
     def pipeline(self):
@@ -142,13 +143,17 @@ class FacePipelineServicer:
     def _dynamic_batcher(self):
         """Lazy shared DynamicBatcher over the stream DetectionServer."""
         if self._batcher is None:
-            with self._pipeline_lock:
+            # Resolve the DetectionServer BEFORE taking the batcher lock:
+            # building it may build the lazy pipeline, which takes the
+            # (non-reentrant) _pipeline_lock — holding both here would
+            # self-deadlock the first Detect call.
+            server = self._detection_server()
+            with self._batcher_lock:
                 if self._batcher is None:
                     from .batcher import DynamicBatcher
 
                     self._batcher = DynamicBatcher(
-                        self._detection_server(),
-                        max_delay_ms=self._batch_delay_ms,
+                        server, max_delay_ms=self._batch_delay_ms
                     )
         return self._batcher
 
@@ -225,10 +230,13 @@ class FacePipelineServicer:
         workhorse RPC): run one registered model on a raw input tensor.
 
         Request JSON: {"name": <registry model>, "input": <base64 .npy>,
-        optional "kwargs": {...}}.  Response: {"outputs": [<base64 .npy>,
-        ...]} (a model returning a tuple yields one entry per element).
-        Tensors ride .npy (dtype+shape self-describing), matching Triton's
-        typed-tensor contract without a proto schema.
+        optional "kwargs": {...}}.  Response: {"output_names": [...],
+        "outputs": [<base64 .npy>, ...]} — one entry per output tensor: a
+        tuple-returning model yields positional names ("0", "1", ...), a
+        dict-returning one (e.g. the detector's per-stride maps) yields
+        "/"-joined leaf paths.  Tensors ride .npy (dtype+shape
+        self-describing), matching Triton's typed-tensor contract without
+        a proto schema.
         """
         import base64
         import io
@@ -250,8 +258,28 @@ class FacePipelineServicer:
             np.save(buf, np.asarray(arr), allow_pickle=False)
             return base64.b64encode(buf.getvalue()).decode("ascii")
 
-        outs = out if isinstance(out, (tuple, list)) else (out,)
-        return _json_bytes({"name": name, "outputs": [enc(o) for o in outs]})
+        def leaves(prefix, val, into):
+            if isinstance(val, dict):
+                for k in sorted(val, key=str):
+                    leaves(f"{prefix}{k}/", val[k], into)
+            elif isinstance(val, (tuple, list)):
+                for i, v in enumerate(val):
+                    leaves(f"{prefix}{i}/", v, into)
+            else:
+                into.append((prefix.rstrip("/") or "0", val))
+
+        try:
+            flat: list = []
+            leaves("", out, flat)
+            return _json_bytes(
+                {
+                    "name": name,
+                    "output_names": [n for n, _ in flat],
+                    "outputs": [enc(v) for _, v in flat],
+                }
+            )
+        except Exception as e:  # keep the JSON error contract, never UNKNOWN
+            return _json_bytes({"name": name, "error": f"unserializable output: {e}"})
 
     def detect_stream(self, payload_iter):
         """Server-streaming detection (ModelStreamInfer analog).

@@ -123,3 +123,18 @@ def test_facade_detect_through_batcher(server):
     meta = json.loads(servicer.server_metadata(b""))
     assert meta["dynamic_batching"] is True
     assert meta["dynamic_batching_stats"]["requests"] >= 1
+
+
+def test_cancelled_future_does_not_kill_worker(server):
+    """A caller cancelling its Future must not crash the worker thread
+    (set_result on a cancelled Future raises InvalidStateError)."""
+    img = np.zeros((64, 64, 3), np.uint8)
+    with DynamicBatcher(server, max_delay_ms=200.0) as batcher:
+        doomed = batcher.submit(img)
+        assert doomed.cancel()  # not yet running: cancel succeeds
+        ok = batcher.submit(img)  # same delay window -> same batch
+        boxes, _ = ok.result(timeout=120)
+        assert boxes.ndim == 2
+        # Worker survived; a fresh batch still works.
+        boxes2, _ = batcher.detect(img, timeout=120)
+        assert boxes2.ndim == 2
