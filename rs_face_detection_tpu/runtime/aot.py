@@ -1,0 +1,149 @@
+"""Ahead-of-time serving artifacts: export the fused detect graph to disk.
+
+The reference deploys COMPILED models from a Triton model repository
+(pipeline.rs:89-116 loads by name; the server owns artifacts).  This module
+gives the framework the same deployment shape on TPU: `export_detector`
+serializes the whole batched serving computation — preprocess, dense
+packed front, backbone/FPN/SSH, decode, NMS — as portable StableHLO via
+jax.export, and `load_detector` re-hydrates it WITHOUT the model Python
+(no flax tracing, no fold re-derivation; XLA compiles the serialized
+program directly for the target).
+
+Artifact layout (single .npz):
+    meta         json: batch size, image size, layout tag, jax/export info
+    fold.bin     Exported: variables -> flat aux constants (weight folds)
+    main.bin     Exported: (variables, aux_flat, imgs, scales)
+                           -> (det, kps, count)
+
+Weights stay OUTSIDE the artifact (pass the registry's variables at call
+time) so one exported program serves any checkpoint with the same
+architecture — matching the repository model/weights split.
+
+Cross-platform: pass platforms=("tpu",) to lower for TPU from a CPU host
+(the packed serving graph is pure XLA ops, so the StableHLO is portable);
+default exports for the current backend, which is what the round-trip test
+exercises on CPU.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+from .. import __version__
+
+
+def export_detector(
+    detector,
+    batch_size: int = 8,
+    stem: str = "s4d",
+    platforms: Optional[Sequence[str]] = None,
+    **batched_kwargs,
+) -> bytes:
+    """Serialize the batched serving graph of a RetinaFaceDetection.
+
+    Returns the artifact bytes (write them wherever the deployment keeps
+    models).  `stem`/`batched_kwargs` select the same configuration surface
+    as make_batched_fn; the exported input contract is that path's host
+    layout at (batch_size, H, W) — s4d: (B, H/4, W/4, 48) uint8.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.image import s4d_layout_host, s2d_layout_host
+
+    fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
+    if not hasattr(fn, "fold"):  # plain path: give it an empty-aux protocol
+        raise ValueError(
+            "export_detector requires the aux-protocol batched fn "
+            "(every make_batched_fn returns one)"
+        )
+    variables = detector.variables
+    aux = fn.fold(variables)
+    aux_flat, aux_tree = jax.tree_util.tree_flatten(aux)
+
+    width, height = detector.cfg.image_size
+    if stem == "s4d":
+        layout, imgs_shape = "s4d", (batch_size, height // 4, width // 4, 48)
+    elif batched_kwargs.get("pre_s2d"):
+        layout, imgs_shape = "s2d", (batch_size, height // 2, width // 2, 12)
+    else:
+        layout, imgs_shape = "none", (batch_size, height, width, 3)
+
+    def fold_plain(variables):
+        return jax.tree_util.tree_leaves(fn.fold(variables))
+
+    def main(variables, aux_flat, imgs, scales):
+        aux_s = jax.tree_util.tree_unflatten(aux_tree, aux_flat)
+        out = fn.jitted(variables, aux_s, imgs, scales)
+        return out.det, out.kps, out.count
+
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exp_fold = jax_export.export(jax.jit(fold_plain), **kw)(variables)
+    exp_main = jax_export.export(jax.jit(main), **kw)(
+        variables,
+        aux_flat,
+        jax.ShapeDtypeStruct(imgs_shape, jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size,), jnp.float32),
+    )
+
+    meta = {
+        "format": "rsfd-aot-v1",
+        "framework_version": __version__,
+        "batch_size": batch_size,
+        "image_size": [width, height],
+        "layout": layout,
+        "stem": stem,
+        "backbone": getattr(detector.model, "backbone", None),
+        "jax_version": jax.__version__,
+    }
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        fold=np.frombuffer(exp_fold.serialize(), dtype=np.uint8),
+        main=np.frombuffer(exp_main.serialize(), dtype=np.uint8),
+    )
+    return buf.getvalue()
+
+
+class LoadedDetector:
+    """A deserialized serving artifact: call with (variables, imgs, scales).
+
+    `imgs` must already be in the artifact's host layout (`.meta["layout"]`
+    — what the native loader / ops.image.*_layout_host emit).  Returns
+    (det (B, max_det, 5), kps (B, max_det, 5, 2), count (B,)).
+    """
+
+    def __init__(self, blob: bytes) -> None:
+        with np.load(io.BytesIO(blob)) as z:
+            self.meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            if self.meta.get("format") != "rsfd-aot-v1":
+                raise ValueError(f"not an rsfd AOT artifact: {self.meta}")
+            self._fold = jax_export.deserialize(bytearray(z["fold"].tobytes()))
+            self._main = jax_export.deserialize(bytearray(z["main"].tobytes()))
+        self._aux_cache: list = []
+
+    def _aux_for(self, variables) -> Any:
+        for v, a in self._aux_cache:
+            if v is variables:
+                return a
+        aux = self._fold.call(variables)
+        self._aux_cache.append((variables, aux))
+        del self._aux_cache[:-2]
+        return aux
+
+    def __call__(
+        self, variables, imgs, scales
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        aux = self._aux_for(variables)
+        return self._main.call(variables, list(aux), imgs, scales)
+
+
+def load_detector(blob: bytes) -> LoadedDetector:
+    """Re-hydrate an export_detector artifact (no model Python involved)."""
+    return LoadedDetector(blob)
