@@ -147,3 +147,68 @@ class LoadedDetector:
 def load_detector(blob: bytes) -> LoadedDetector:
     """Re-hydrate an export_detector artifact (no model Python involved)."""
     return LoadedDetector(blob)
+
+
+# -- generic single-model artifacts (quality / embedding / FAS heads) -------
+
+
+def export_model(
+    module,
+    variables,
+    batch_shape: Sequence[int],
+    platforms: Optional[Sequence[str]] = None,
+    name: str = "",
+    dtype=np.float32,
+    **apply_kwargs,
+) -> bytes:
+    """Serialize module.apply(variables, batch) for one static batch shape.
+
+    The registry analog of a Triton repository entry for the non-detector
+    models (quality, embedding, anti-spoofing): weights ride separately,
+    the artifact is the compiled program.  apply_kwargs (e.g. train=False)
+    are baked statically.
+    """
+    import jax.numpy as jnp
+
+    def fwd(variables, batch):
+        return module.apply(variables, batch, **apply_kwargs)
+
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exp = jax_export.export(jax.jit(fwd), **kw)(
+        variables,
+        jax.ShapeDtypeStruct(tuple(batch_shape), jnp.dtype(dtype)),
+    )
+    meta = {
+        "format": "rsfd-aot-model-v1",
+        "framework_version": __version__,
+        "name": name or type(module).__name__,
+        "batch_shape": list(batch_shape),
+        "dtype": np.dtype(dtype).name,
+        "jax_version": jax.__version__,
+    }
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        main=np.frombuffer(exp.serialize(), dtype=np.uint8),
+    )
+    return buf.getvalue()
+
+
+class LoadedModel:
+    """A deserialized export_model artifact: call with (variables, batch)."""
+
+    def __init__(self, blob: bytes) -> None:
+        with np.load(io.BytesIO(blob)) as z:
+            self.meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            if self.meta.get("format") != "rsfd-aot-model-v1":
+                raise ValueError(f"not an rsfd AOT model artifact: {self.meta}")
+            self._main = jax_export.deserialize(bytearray(z["main"].tobytes()))
+
+    def __call__(self, variables, batch):
+        return self._main.call(variables, batch)
+
+
+def load_model(blob: bytes) -> LoadedModel:
+    """Re-hydrate an export_model artifact."""
+    return LoadedModel(blob)

@@ -107,3 +107,24 @@ def test_bad_blob_rejected():
     np.savez(buf, meta=np.frombuffer(b'{"format": "other"}', dtype=np.uint8))
     with pytest.raises(ValueError):
         load_detector(buf.getvalue())
+
+
+def test_generic_model_export_roundtrip():
+    """export_model/load_model on a non-detector registry model."""
+    from rs_face_detection_tpu.models.classifiers import init_resnet18_classifier
+    from rs_face_detection_tpu.runtime.aot import export_model, load_model
+
+    model, variables = init_resnet18_classifier(2, (32, 32), seed=0)
+    blob = export_model(
+        model, variables, (2, 32, 32, 3), name="face_quality", train=False
+    )
+    loaded = load_model(blob)
+    assert loaded.meta["name"] == "face_quality"
+
+    rng = np.random.default_rng(5)
+    batch = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    got = loaded(variables, batch)
+    ref = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
