@@ -1,5 +1,14 @@
-"""Native host runtime: C++ NMS and threaded JPEG decode/letterbox loader."""
+"""Serving runtime: native host loaders, the gRPC facade, request batching,
+and AOT compiled-model artifacts.
 
-from . import native
+- `native`: C++ NMS + threaded JPEG decode/letterbox loader (ctypes).
+- `server` (optional, needs grpcio): the proto-free gRPC facade mirroring
+  the reference's Triton client verb families.
+- `batcher.DynamicBatcher`: Triton-scheduler-style dynamic request batching.
+- `aot`: jax.export serving artifacts (compiled-model repository analog).
+"""
 
-__all__ = ["native"]
+from . import aot, batcher, native
+from .batcher import DynamicBatcher
+
+__all__ = ["native", "DynamicBatcher", "aot", "batcher"]
