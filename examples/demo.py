@@ -80,6 +80,36 @@ def main() -> int:
         scores, flags = fqa([image.astype(np.float32)])
         print(f"  score = {scores}, pass = {flags}")
 
+    if os.path.exists(real_ckpt) and len(sys.argv) <= 1:
+        print("== AOT serving artifact (compiled-model repository) ==")
+        from rs_face_detection_tpu.runtime.aot import (
+            export_detector,
+            load_detector,
+        )
+        from rs_face_detection_tpu.utils.fixtures import load_trained_detector
+
+        small = load_trained_detector(real_ckpt)
+        blob = export_detector(small, batch_size=2, stem="s4d")
+        loaded = load_detector(blob)
+        print(f"  exported {len(blob)} bytes "
+              f"(layout={loaded.meta['layout']}, "
+              f"jax {loaded.meta['jax_version']})")
+
+        from rs_face_detection_tpu.parallel.serving import DetectionServer
+        from rs_face_detection_tpu.runtime.batcher import DynamicBatcher
+
+        print("== Dynamic batching (Triton-scheduler role) ==")
+        srv = DetectionServer(small, batch_size=4)
+        img64 = cv2.resize(
+            cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR),
+            (64, 64),
+        )
+        with DynamicBatcher(srv, max_delay_ms=20.0) as batcher:
+            futs = [batcher.submit(img64) for _ in range(6)]
+            for f in futs:
+                f.result(timeout=300)
+            print(f"  coalescing: {batcher.stats()}")
+
     print("== Registry (model repository parity) ==")
     for row in registry.index():
         if row["state"] == "READY":
