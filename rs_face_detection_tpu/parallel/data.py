@@ -1,0 +1,223 @@
+"""Real-data training input pipeline: annotations -> letterboxed TrainBatch.
+
+The reference crate has no training at all; this closes the last gap
+between the trainer (parallel/train.py) and real face datasets.  Two
+annotation formats are supported:
+
+- The public RetinaFace training labels ("label.txt": `# rel/path.jpg`
+  header lines, then one row per face of `x y w h` plus five landmarks as
+  (x, y, vis) triplets — landmarks of -1 mean un-annotated; faces without
+  landmarks still train the classifier/box heads via TrainBatch.gt_lm_valid).
+- WIDER FACE `wider_face_*_bbx_gt.txt` (ops/wider.py's parser; boxes only).
+
+Host-side geometry matches the SERVING path exactly: top-left-anchored
+letterbox at min-scale with cv2.INTER_LINEAR (the same bilinear decimation
+the fused detect graph sees — tools/make_real_fixture.py documents why
+aliasing parity matters), boxes/landmarks scaled by the same det_scale.
+Images are raw 0-255 float32 RGB, the trainer's convention
+(parallel/train.TrainBatch; preprocessing is identity per the reference's
+config — configs.py pixel_means/stds).
+
+Decode rides a thread pool (this is the host half of the pipeline; the
+device half is the jitted train step), and batches are padded to a static
+max_faces so the train step never recompiles.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..parallel.train import TrainBatch
+
+try:  # pragma: no cover - exercised wherever cv2 exists (everywhere in CI)
+    import cv2
+except Exception:  # noqa: BLE001
+    cv2 = None
+
+
+@dataclass
+class FaceExample:
+    """One annotated image: corner boxes, optional 5-point landmarks."""
+
+    rel_path: str
+    boxes: np.ndarray  # (N, 4) x1 y1 x2 y2
+    lms: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 5, 2), np.float32)
+    )
+    lm_valid: np.ndarray = field(
+        default_factory=lambda: np.zeros((0,), bool)
+    )
+
+    def __post_init__(self) -> None:
+        n = self.boxes.shape[0]
+        if self.lms.shape[0] != n:
+            self.lms = np.zeros((n, 5, 2), np.float32)
+        if self.lm_valid.shape[0] != n:
+            self.lm_valid = np.zeros((n,), bool)
+
+
+def parse_retinaface_label(path: str) -> List[FaceExample]:
+    """Parse the public RetinaFace `label.txt` training annotations.
+
+    Format per image: a `# rel/path.jpg` line, then one row per face:
+    `x y w h  x1 y1 v1  x2 y2 v2  x3 y3 v3  x4 y4 v4  x5 y5 v5  [conf]`
+    (landmark coords of -1 mean the face has no landmark annotation).
+    Boxes convert to inclusive corners like ops/wider.py.
+    """
+    examples: List[FaceExample] = []
+    rel: Optional[str] = None
+    boxes: List[Tuple[float, float, float, float]] = []
+    lms: List[np.ndarray] = []
+    lmv: List[bool] = []
+
+    def flush() -> None:
+        if rel is None:
+            return
+        examples.append(
+            FaceExample(
+                rel,
+                np.asarray(boxes, np.float32).reshape(-1, 4),
+                np.asarray(lms, np.float32).reshape(-1, 5, 2),
+                np.asarray(lmv, bool).reshape(-1),
+            )
+        )
+
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                flush()
+                rel, boxes, lms, lmv = line[1:].strip(), [], [], []
+                continue
+            vals = [float(v) for v in line.split()]
+            if len(vals) < 4 or rel is None:
+                continue
+            x, y, w, h = vals[:4]
+            if w <= 0 or h <= 0:
+                continue
+            boxes.append((x, y, x + w - 1.0, y + h - 1.0))
+            if len(vals) >= 19:
+                pts = np.asarray(vals[4:19], np.float32).reshape(5, 3)[:, :2]
+                ok = bool((pts >= 0).all())
+            else:
+                pts, ok = np.zeros((5, 2), np.float32), False
+            lms.append(pts)
+            lmv.append(ok)
+    flush()
+    return examples
+
+
+def wider_examples(gt_file: str) -> List[FaceExample]:
+    """WIDER FACE bbx_gt annotations as training examples (no landmarks)."""
+    from ..ops.wider import parse_gt_file
+
+    return [
+        FaceExample(im.rel_path, im.boxes) for im in parse_gt_file(gt_file)
+    ]
+
+
+class DetectionDataLoader:
+    """Streams letterboxed TrainBatches from annotated images on disk.
+
+    Args:
+      examples: FaceExample list (parse_retinaface_label / wider_examples).
+      image_root: directory rel_paths resolve against.
+      image_size: (width, height) static training canvas.
+      batch_size: images per TrainBatch.
+      max_faces: static ground-truth padding (faces beyond it are dropped,
+        largest-first, so crowd images keep their dominant faces).
+      seed: shuffle seed; reshuffled every epoch.
+      decode_workers: host decode thread pool size.
+    """
+
+    def __init__(
+        self,
+        examples: Sequence[FaceExample],
+        image_root: str,
+        image_size: Tuple[int, int] = (640, 640),
+        batch_size: int = 8,
+        max_faces: int = 32,
+        seed: int = 0,
+        decode_workers: int = 8,
+    ) -> None:
+        if cv2 is None:
+            raise RuntimeError("DetectionDataLoader needs cv2 for decode")
+        if not examples:
+            raise ValueError("no examples")
+        if len(examples) < batch_size:
+            raise ValueError(
+                f"{len(examples)} examples < batch_size {batch_size}: an "
+                "epoch would yield no batches"
+            )
+        self.examples = list(examples)
+        self.image_root = image_root
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.max_faces = max_faces
+        self._rng = np.random.default_rng(seed)
+        self._pool = ThreadPoolExecutor(max_workers=decode_workers)
+
+    # -- per-image host work -------------------------------------------------
+
+    def _load_one(
+        self, ex: FaceExample
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        from ..parallel.serving import letterbox_host
+
+        w, h = self.image_size
+        img = cv2.imread(os.path.join(self.image_root, ex.rel_path))
+        if img is None:
+            raise FileNotFoundError(
+                os.path.join(self.image_root, ex.rel_path)
+            )
+        canvas, det_scale = letterbox_host(img, w, h)
+        # TrainBatch.images are RGB raw-pixel floats; cv2 decodes BGR.
+        image = canvas[:, :, ::-1].astype(np.float32)
+
+        m = self.max_faces
+        boxes = np.zeros((m, 4), np.float32)
+        lms = np.zeros((m, 5, 2), np.float32)
+        valid = np.zeros((m,), bool)
+        lm_valid = np.zeros((m,), bool)
+        if ex.boxes.shape[0]:
+            order = np.argsort(
+                -(ex.boxes[:, 2] - ex.boxes[:, 0])
+                * (ex.boxes[:, 3] - ex.boxes[:, 1])
+            )[:m]
+            n = order.shape[0]
+            boxes[:n] = ex.boxes[order] * det_scale
+            lms[:n] = ex.lms[order] * det_scale
+            valid[:n] = True
+            lm_valid[:n] = ex.lm_valid[order]
+        return image, boxes, lms, valid, lm_valid
+
+    # -- batching --------------------------------------------------------------
+
+    def batches(
+        self, epochs: Optional[int] = 1, sharding=None
+    ) -> Iterator[TrainBatch]:
+        """Yield TrainBatches; epochs=None streams forever (reshuffling)."""
+        import jax
+
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = self._rng.permutation(len(self.examples))
+            for lo in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                idx = order[lo : lo + self.batch_size]
+                rows = list(
+                    self._pool.map(
+                        self._load_one, [self.examples[i] for i in idx]
+                    )
+                )
+                arrs = [np.stack(col) for col in zip(*rows)]
+                if sharding is not None:
+                    arrs = [jax.device_put(a, sharding) for a in arrs]
+                yield TrainBatch(*arrs)
+            epoch += 1

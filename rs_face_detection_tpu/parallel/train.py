@@ -39,6 +39,10 @@ class TrainBatch(NamedTuple):
     gt_boxes: jnp.ndarray
     gt_lms: jnp.ndarray
     gt_valid: jnp.ndarray
+    #: (B, M) per-face landmark availability (real datasets mark faces
+    #: without annotated landmarks — retinaface label.txt uses -1 rows;
+    #: WIDER bbx_gt has none at all).  None -> treated as all-available.
+    gt_lm_valid: Any = None
 
 
 class TrainState(NamedTuple):
@@ -149,6 +153,7 @@ def detection_loss(
     ohem_ratio: float = 3.0,
     pos_iou: float = 0.5,
     neg_iou: float = 0.3,
+    gt_lm_valid: Any = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """RetinaFace multi-task loss for one image (vmap over batch).
 
@@ -198,9 +203,17 @@ def detection_loss(
         ],
         axis=-1,
     )
+    # Faces without annotated landmarks (gt_lm_valid False) train the
+    # classifier and box heads but contribute nothing to the landmark term;
+    # the term normalizes by ITS positive count so mixed batches don't
+    # dilute the gradient (the public RetinaFace training recipe).
+    lm_ok = pos if gt_lm_valid is None else pos & gt_lm_valid[best_gt]
+    num_lm = jnp.maximum(jnp.sum(lm_ok), 1)
     lm_loss = (
-        jnp.sum(jnp.where(pos[:, None, None], _smooth_l1(lm_deltas - lm_targets), 0.0))
-        / num_pos
+        jnp.sum(
+            jnp.where(lm_ok[:, None, None], _smooth_l1(lm_deltas - lm_targets), 0.0)
+        )
+        / num_lm
     )
 
     total = cls_loss + box_weight * box_loss + lm_weight * lm_loss
@@ -342,6 +355,7 @@ class Trainer:
                     batch.gt_valid[i],
                     pos_iou=self.pos_iou,
                     neg_iou=self.neg_iou,
+                    gt_lm_valid=batch.gt_lm_valid[i],
                 )
 
             losses, metrics = jax.vmap(per_image)(
@@ -362,12 +376,25 @@ class Trainer:
             return new_state, mean_metrics
 
         batch_shard = data_sharding(mesh)
-        batch_in = TrainBatch(batch_shard, batch_shard, batch_shard, batch_shard)
-        return jax.jit(
+        batch_in = TrainBatch(
+            batch_shard, batch_shard, batch_shard, batch_shard, batch_shard
+        )
+        jitted = jax.jit(
             train_step,
             in_shardings=(None, batch_in),
             donate_argnums=(0,),
         )
+
+        def step(state: TrainState, batch: TrainBatch):
+            if batch.gt_lm_valid is None:
+                # Back-compat: 4-field batches (synthetic data) mean every
+                # face has landmarks.
+                batch = batch._replace(
+                    gt_lm_valid=jnp.ones_like(batch.gt_valid)
+                )
+            return jitted(state, batch)
+
+        return step
 
     def make_batch(self, batch_size: int, max_faces: int = 8, seed: int = 0) -> TrainBatch:
         """Synthetic batch for smoke tests / dryruns."""

@@ -1,0 +1,155 @@
+"""Real-data training pipeline (parallel/data.py) + landmark-validity loss.
+
+Covers the RetinaFace label.txt parser (landmarked and -1 faces), the
+WIDER adapter, letterbox geometry parity with serving, the static padding
+contract, and that faces without landmark annotations train the
+classifier/box heads while contributing nothing to the landmark term.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from rs_face_detection_tpu.configs import FaceDetectionConfig
+from rs_face_detection_tpu.parallel.data import (
+    DetectionDataLoader,
+    FaceExample,
+    parse_retinaface_label,
+    wider_examples,
+)
+from rs_face_detection_tpu.parallel.mesh import data_sharding, make_mesh
+from rs_face_detection_tpu.parallel.train import Trainer
+
+LABEL_TXT = """\
+# scene_a/img0.jpg
+10 20 40 50 15.0 30.0 0.0 35.0 30.0 0.0 25.0 45.0 0.0 18.0 58.0 0.0 33.0 58.0 0.0 0.9
+# scene_b/img1.jpg
+5 5 30 30 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 0.8
+60 10 20 20 62.0 14.0 0.0 75.0 14.0 0.0 70.0 20.0 0.0 64.0 26.0 0.0 74.0 26.0 0.0 1.0
+"""
+
+
+def test_parse_retinaface_label(tmp_path):
+    p = tmp_path / "label.txt"
+    p.write_text(LABEL_TXT)
+    ex = parse_retinaface_label(str(p))
+    assert [e.rel_path for e in ex] == ["scene_a/img0.jpg", "scene_b/img1.jpg"]
+    assert ex[0].boxes.shape == (1, 4)
+    np.testing.assert_allclose(ex[0].boxes[0], [10, 20, 49, 69])
+    assert ex[0].lm_valid.tolist() == [True]
+    np.testing.assert_allclose(ex[0].lms[0, 0], [15.0, 30.0])
+    # Second image: first face has -1 landmarks, second has real ones.
+    assert ex[1].boxes.shape == (2, 4)
+    assert ex[1].lm_valid.tolist() == [False, True]
+
+
+def test_wider_adapter(tmp_path):
+    gt = tmp_path / "wider_face_val_bbx_gt.txt"
+    gt.write_text("a/b.jpg\n1\n10 10 20 20 0 0 0 0 0 0\n")
+    ex = wider_examples(str(gt))
+    assert len(ex) == 1 and ex[0].boxes.shape == (1, 4)
+    assert ex[0].lm_valid.tolist() == [False]
+
+
+def _write_dataset(root, n=16, size=(200, 160)):
+    """n images with one known face box each; returns examples."""
+    w, h = size
+    examples = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        rel = f"ev/im{i}.jpg"
+        os.makedirs(os.path.join(root, "ev"), exist_ok=True)
+        cv2.imwrite(os.path.join(root, rel), img)
+        box = np.asarray([[20.0 + i, 30.0, 80.0 + i, 100.0]], np.float32)
+        lms = np.asarray(
+            [[[30, 50], [60, 50], [45, 70], [35, 85], [60, 85]]], np.float32
+        )
+        examples.append(
+            FaceExample(rel, box, lms, np.asarray([i % 2 == 0], bool))
+        )
+    return examples
+
+
+def test_loader_letterbox_geometry(tmp_path):
+    examples = _write_dataset(str(tmp_path))
+    loader = DetectionDataLoader(
+        examples, str(tmp_path), image_size=(64, 64), batch_size=2,
+        max_faces=4, seed=1,
+    )
+    batch = next(loader.batches())
+    assert batch.images.shape == (2, 64, 64, 3)
+    assert batch.gt_boxes.shape == (2, 4, 4)
+    assert batch.gt_lm_valid.shape == (2, 4)
+    # Serving letterbox scale for a 200x160 image into 64x64 (rounded-dims
+    # semantics — the exact value the fused detect path divides by).
+    from rs_face_detection_tpu.ops.image import letterbox_geometry
+
+    _, _, det_scale = letterbox_geometry(160, 200, 64, 64)
+    # Each image has exactly one valid face whose box is source*scale.
+    assert batch.gt_valid.sum() == 2
+    for b in range(2):
+        (box,) = batch.gt_boxes[b][batch.gt_valid[b]]
+        assert 15 * det_scale <= box[0] <= 30 * det_scale + 2
+        assert (box[2] - box[0]) == pytest.approx(60 * det_scale, abs=0.01)
+    # Pixels are RGB raw range.
+    assert 0.0 <= float(np.min(batch.images)) and float(np.max(batch.images)) <= 255.0
+
+
+def test_lm_valid_masks_landmark_loss():
+    from rs_face_detection_tpu.ops.anchors import full_anchor_table
+    from rs_face_detection_tpu.configs import RPN_ANCHOR_CFG
+    from rs_face_detection_tpu.parallel.train import detection_loss
+
+    anchors, _ = full_anchor_table((64, 64), RPN_ANCHOR_CFG)
+    anchors = jnp.asarray(anchors)
+    n = anchors.shape[0]
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+    boxes = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    lms = jnp.asarray(rng.normal(size=(n, 5, 2)).astype(np.float32))
+    gt_boxes = jnp.asarray([[10.0, 10.0, 40.0, 40.0]], jnp.float32)
+    gt_lms = jnp.asarray(rng.normal(size=(1, 5, 2)).astype(np.float32)) * 10
+    gt_valid = jnp.asarray([True])
+
+    _, with_lm = detection_loss(
+        logits, boxes, lms, anchors, gt_boxes, gt_lms, gt_valid,
+        gt_lm_valid=jnp.asarray([True]),
+    )
+    _, no_lm = detection_loss(
+        logits, boxes, lms, anchors, gt_boxes, gt_lms, gt_valid,
+        gt_lm_valid=jnp.asarray([False]),
+    )
+    assert float(with_lm["lm_loss"]) > 0
+    assert float(no_lm["lm_loss"]) == 0.0
+    # Classifier/box terms are untouched by the landmark mask.
+    assert float(no_lm["cls_loss"]) == pytest.approx(
+        float(with_lm["cls_loss"])
+    )
+    assert float(no_lm["box_loss"]) == pytest.approx(
+        float(with_lm["box_loss"])
+    )
+
+
+def test_train_step_on_loader_batches(tmp_path):
+    examples = _write_dataset(str(tmp_path))
+    mesh = make_mesh(8)
+    cfg = FaceDetectionConfig(image_size=(64, 64))
+    trainer = Trainer(mesh, cfg, learning_rate=1e-3)
+    loader = DetectionDataLoader(
+        examples, str(tmp_path), image_size=(64, 64),
+        batch_size=mesh.shape["data"], max_faces=4, seed=3,
+    )
+    state = trainer.init_state(seed=0)
+    step = trainer.make_train_step()
+    for i, batch in enumerate(loader.batches(epochs=None, sharding=data_sharding(mesh))):
+        state, metrics = step(state, batch)
+        if i >= 1:
+            break
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
