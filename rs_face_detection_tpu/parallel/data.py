@@ -146,9 +146,19 @@ class DetectionDataLoader:
         max_faces: int = 32,
         seed: int = 0,
         decode_workers: int = 8,
+        process_shard: Optional[Tuple[int, int]] = None,
     ) -> None:
+        """process_shard=(index, count): multi-host data parallelism — this
+        process keeps every count-th example starting at index (same seed on
+        every host keeps the epochs aligned; pair with
+        parallel.initialize_distributed and per-process device batches)."""
         if cv2 is None:
             raise RuntimeError("DetectionDataLoader needs cv2 for decode")
+        if process_shard is not None:
+            idx, cnt = process_shard
+            if not 0 <= idx < cnt:
+                raise ValueError(f"bad process_shard {process_shard}")
+            examples = list(examples)[idx::cnt]
         if not examples:
             raise ValueError("no examples")
         if len(examples) < batch_size:

@@ -153,3 +153,21 @@ def test_train_step_on_loader_batches(tmp_path):
             break
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+def test_process_shard_partitions_examples(tmp_path):
+    examples = _write_dataset(str(tmp_path), n=16)
+    shards = [
+        DetectionDataLoader(
+            examples, str(tmp_path), image_size=(64, 64), batch_size=2,
+            max_faces=4, seed=0, process_shard=(i, 4),
+        )
+        for i in range(4)
+    ]
+    seen = [e.rel_path for s in shards for e in s.examples]
+    assert sorted(seen) == sorted(e.rel_path for e in examples)
+    assert len(set(seen)) == len(examples)  # disjoint cover
+    with pytest.raises(ValueError):
+        DetectionDataLoader(
+            examples, str(tmp_path), batch_size=2, process_shard=(4, 4)
+        )
