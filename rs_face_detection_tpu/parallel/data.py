@@ -53,11 +53,20 @@ class FaceExample:
         default_factory=lambda: np.zeros((0,), bool)
     )
 
+    #: regions to EXCLUDE from training (neither positive nor negative) —
+    #: WIDER's invalid faces: real but tiny/occluded, scored as ignore by
+    #: the official protocol, and poison as hard negatives.
+    ignore_boxes: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 4), np.float32)
+    )
+
     def __post_init__(self) -> None:
         n = self.boxes.shape[0]
-        if self.lms.shape[0] != n:
+        if self.lms.shape[0] != n or self.lm_valid.shape[0] != n:
+            # Mismatched landmark annotations: drop BOTH together — zeroed
+            # landmarks with lm_valid=True would train the head toward the
+            # image origin.
             self.lms = np.zeros((n, 5, 2), np.float32)
-        if self.lm_valid.shape[0] != n:
             self.lm_valid = np.zeros((n,), bool)
 
 
@@ -115,11 +124,18 @@ def parse_retinaface_label(path: str) -> List[FaceExample]:
 
 
 def wider_examples(gt_file: str) -> List[FaceExample]:
-    """WIDER FACE bbx_gt annotations as training examples (no landmarks)."""
+    """WIDER FACE bbx_gt annotations as training examples (no landmarks).
+
+    Invalid-marked faces become ignore regions: the loss excludes anchors
+    overlapping them from the negative pool (detection_loss ignore_boxes) —
+    training them as background would teach the classifier that small or
+    occluded faces are negatives.
+    """
     from ..ops.wider import parse_gt_file
 
     return [
-        FaceExample(im.rel_path, im.boxes) for im in parse_gt_file(gt_file)
+        FaceExample(im.rel_path, im.boxes, ignore_boxes=im.invalid_boxes)
+        for im in parse_gt_file(gt_file)
     ]
 
 
@@ -158,7 +174,11 @@ class DetectionDataLoader:
             idx, cnt = process_shard
             if not 0 <= idx < cnt:
                 raise ValueError(f"bad process_shard {process_shard}")
-            examples = list(examples)[idx::cnt]
+            # Equal shard sizes, or hosts would yield different batch counts
+            # per epoch and the collective-bearing train step would
+            # desynchronize (truncate the ragged tail).
+            per = len(examples) // cnt
+            examples = list(examples)[idx::cnt][:per]
         if not examples:
             raise ValueError("no examples")
         if len(examples) < batch_size:
@@ -173,6 +193,16 @@ class DetectionDataLoader:
         self.max_faces = max_faces
         self._rng = np.random.default_rng(seed)
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
+
+    def close(self) -> None:
+        """Release the decode thread pool."""
+        self._pool.shutdown(wait=False)
+
+    def __enter__(self) -> "DetectionDataLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # -- per-image host work -------------------------------------------------
 
@@ -206,7 +236,13 @@ class DetectionDataLoader:
             lms[:n] = ex.lms[order] * det_scale
             valid[:n] = True
             lm_valid[:n] = ex.lm_valid[order]
-        return image, boxes, lms, valid, lm_valid
+        # Ignore regions ride as zero-padded rows: a zero-area box has zero
+        # IoU with every anchor, so padding is inert in the loss.
+        ignore = np.zeros((m, 4), np.float32)
+        k = min(ex.ignore_boxes.shape[0], m)
+        if k:
+            ignore[:k] = ex.ignore_boxes[:k] * det_scale
+        return image, boxes, lms, valid, lm_valid, ignore
 
     # -- batching --------------------------------------------------------------
 

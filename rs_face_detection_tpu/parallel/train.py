@@ -43,6 +43,10 @@ class TrainBatch(NamedTuple):
     #: without annotated landmarks — retinaface label.txt uses -1 rows;
     #: WIDER bbx_gt has none at all).  None -> treated as all-available.
     gt_lm_valid: Any = None
+    #: (B, K, 4) ignore regions (WIDER invalid faces: real but tiny/occluded)
+    #: — anchors overlapping them are excluded from the negative pool.
+    #: Zero-area rows are inert padding.  None -> no ignore regions.
+    gt_ignore: Any = None
 
 
 class TrainState(NamedTuple):
@@ -154,6 +158,7 @@ def detection_loss(
     pos_iou: float = 0.5,
     neg_iou: float = 0.3,
     gt_lm_valid: Any = None,
+    ignore_boxes: Any = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """RetinaFace multi-task loss for one image (vmap over batch).
 
@@ -164,6 +169,12 @@ def detection_loss(
     labels, best_gt, _ = match_anchors(
         anchors, gt_boxes, gt_valid, pos_iou=pos_iou, neg_iou=neg_iou
     )
+    if ignore_boxes is not None and ignore_boxes.shape[0]:
+        # Ignore regions (WIDER invalid faces): anchors overlapping them
+        # must not train as negatives — they look like faces.  Zero-area
+        # padding rows have zero IoU with everything and are inert.
+        iou_ign = jnp.max(bbox_overlaps(anchors, ignore_boxes), axis=1)
+        labels = jnp.where((labels == 0) & (iou_ign >= neg_iou), -1, labels)
     pos = labels == 1
     neg = labels == 0
     num_pos = jnp.maximum(jnp.sum(pos), 1)
@@ -356,6 +367,7 @@ class Trainer:
                     pos_iou=self.pos_iou,
                     neg_iou=self.neg_iou,
                     gt_lm_valid=batch.gt_lm_valid[i],
+                    ignore_boxes=batch.gt_ignore[i],
                 )
 
             losses, metrics = jax.vmap(per_image)(
@@ -376,9 +388,7 @@ class Trainer:
             return new_state, mean_metrics
 
         batch_shard = data_sharding(mesh)
-        batch_in = TrainBatch(
-            batch_shard, batch_shard, batch_shard, batch_shard, batch_shard
-        )
+        batch_in = TrainBatch(*([batch_shard] * 6))
         jitted = jax.jit(
             train_step,
             in_shardings=(None, batch_in),
@@ -391,6 +401,11 @@ class Trainer:
                 # face has landmarks.
                 batch = batch._replace(
                     gt_lm_valid=jnp.ones_like(batch.gt_valid)
+                )
+            if batch.gt_ignore is None:
+                b = batch.gt_boxes.shape[0]
+                batch = batch._replace(
+                    gt_ignore=jnp.zeros((b, 1, 4), jnp.float32)
                 )
             return jitted(state, batch)
 

@@ -90,6 +90,26 @@ def decode_level_outputs(
     )
 
 
+def host_layout_shape(
+    image_size, batch_size: int, stem: str = "xla", pre_s2d: bool = False
+):
+    """(layout tag, input shape) for a batched serving config.
+
+    The single source of truth mapping make_batched_fn's configuration to
+    its host input contract — shared by DetectionServer consumers and the
+    AOT exporter so recorded layouts can't diverge from what the graph
+    actually consumes: "s4d" -> (B, H/4, W/4, 48) uint8
+    (ops.image.s4d_layout_host), "s2d" -> (B, H/2, W/2, 12) uint8,
+    "none" -> (B, H, W, 3) uint8.
+    """
+    width, height = image_size
+    if stem == "s4d":
+        return "s4d", (batch_size, height // 4, width // 4, 48)
+    if pre_s2d:
+        return "s2d", (batch_size, height // 2, width // 2, 12)
+    return "none", (batch_size, height, width, 3)
+
+
 def topk_decode_and_nms(
     net_out: Dict[int, Dict[str, jnp.ndarray]],
     anchors: jnp.ndarray,

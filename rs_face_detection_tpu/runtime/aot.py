@@ -54,25 +54,19 @@ def export_detector(
     """
     import jax.numpy as jnp
 
-    from ..ops.image import s4d_layout_host, s2d_layout_host
+    from ..pipeline.detection import host_layout_shape
 
     fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
-    if not hasattr(fn, "fold"):  # plain path: give it an empty-aux protocol
-        raise ValueError(
-            "export_detector requires the aux-protocol batched fn "
-            "(every make_batched_fn returns one)"
-        )
     variables = detector.variables
     aux = fn.fold(variables)
     aux_flat, aux_tree = jax.tree_util.tree_flatten(aux)
 
-    width, height = detector.cfg.image_size
-    if stem == "s4d":
-        layout, imgs_shape = "s4d", (batch_size, height // 4, width // 4, 48)
-    elif batched_kwargs.get("pre_s2d"):
-        layout, imgs_shape = "s2d", (batch_size, height // 2, width // 2, 12)
-    else:
-        layout, imgs_shape = "none", (batch_size, height, width, 3)
+    layout, imgs_shape = host_layout_shape(
+        detector.cfg.image_size,
+        batch_size,
+        stem=stem,
+        pre_s2d=bool(batched_kwargs.get("pre_s2d")),
+    )
 
     def fold_plain(variables):
         return jax.tree_util.tree_leaves(fn.fold(variables))
@@ -95,7 +89,7 @@ def export_detector(
         "format": "rsfd-aot-v1",
         "framework_version": __version__,
         "batch_size": batch_size,
-        "image_size": [width, height],
+        "image_size": list(detector.cfg.image_size),
         "layout": layout,
         "stem": stem,
         "backbone": getattr(detector.model, "backbone", None),
@@ -128,20 +122,44 @@ class LoadedDetector:
             self._main = jax_export.deserialize(bytearray(z["main"].tobytes()))
         self._aux_cache: list = []
 
-    def _aux_for(self, variables) -> Any:
-        for v, a in self._aux_cache:
+    def prepare_variables(self, variables) -> Any:
+        """Cast checkpoint leaves to the artifact's traced dtypes.
+
+        Artifacts exported with pre-cast bf16 kernels (the serving default)
+        traced those leaves as bfloat16; a registry .npz loads float32.
+        The exported program records its exact input avals, so the cast is
+        recovered from the artifact itself — no side-channel needed.
+        """
+        import jax.numpy as jnp
+
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        expected = self._fold.in_avals
+        if len(expected) != len(leaves):
+            raise ValueError(
+                f"variables tree has {len(leaves)} leaves; artifact expects "
+                f"{len(expected)}"
+            )
+        cast = [
+            l if getattr(l, "dtype", None) == a.dtype else jnp.asarray(l, a.dtype)
+            for l, a in zip(leaves, expected)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, cast)
+
+    def _prepared(self, variables) -> Tuple[Any, Any]:
+        for v, prepared, aux in self._aux_cache:
             if v is variables:
-                return a
-        aux = self._fold.call(variables)
-        self._aux_cache.append((variables, aux))
+                return prepared, aux
+        prepared = self.prepare_variables(variables)
+        aux = self._fold.call(prepared)
+        self._aux_cache.append((variables, prepared, aux))
         del self._aux_cache[:-2]
-        return aux
+        return prepared, aux
 
     def __call__(
         self, variables, imgs, scales
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        aux = self._aux_for(variables)
-        return self._main.call(variables, list(aux), imgs, scales)
+        prepared, aux = self._prepared(variables)
+        return self._main.call(prepared, list(aux), imgs, scales)
 
 
 def load_detector(blob: bytes) -> LoadedDetector:

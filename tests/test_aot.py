@@ -128,3 +128,33 @@ def test_generic_model_export_roundtrip():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_bf16_artifact_accepts_f32_checkpoint():
+    """Artifacts exported with pre-cast bf16 kernels must serve a plain
+    float32 registry checkpoint: prepare_variables recovers the traced
+    dtypes from the artifact's own input avals."""
+    from rs_face_detection_tpu.models.precision import cast_kernels
+
+    cfg = FaceDetectionConfig(
+        backbone="mobilenet025", image_size=SIZE, confidence_threshold=0.02
+    )
+    model, variables_f32 = init_retinaface(
+        "mobilenet025", SIZE, dtype=jnp.bfloat16, seed=3, stem_s2d=False
+    )
+    det_bf16 = RetinaFaceDetection(
+        cfg, model=model, variables=cast_kernels(variables_f32)
+    )
+    blob = export_detector(det_bf16, batch_size=1, stem="s4d")
+    loaded = load_detector(blob)
+
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 255, (1, SIZE[1], SIZE[0], 3), dtype=np.uint8)
+    x = jnp.asarray(s4d_layout_host(imgs))
+    scales = jnp.ones((1,), jnp.float32)
+
+    # Call with the UNCAST float32 tree (what load_variables returns).
+    d32, _, c32 = loaded(variables_f32, x, scales)
+    d16, _, c16 = loaded(det_bf16.variables, x, scales)
+    np.testing.assert_array_equal(np.asarray(c32), np.asarray(c16))
+    np.testing.assert_allclose(np.asarray(d32), np.asarray(d16), atol=1e-3)

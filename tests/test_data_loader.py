@@ -171,3 +171,87 @@ def test_process_shard_partitions_examples(tmp_path):
         DetectionDataLoader(
             examples, str(tmp_path), batch_size=2, process_shard=(4, 4)
         )
+
+
+def test_ignore_regions_excluded_from_negatives():
+    """Anchors overlapping an ignore region leave the negative pool: the
+    same synthetic setup trains strictly fewer negatives with the region
+    marked ignore than without."""
+    from rs_face_detection_tpu.ops.anchors import full_anchor_table
+    from rs_face_detection_tpu.configs import RPN_ANCHOR_CFG
+    from rs_face_detection_tpu.parallel.train import detection_loss
+
+    anchors, _ = full_anchor_table((64, 64), RPN_ANCHOR_CFG)
+    anchors = jnp.asarray(anchors)
+    n = anchors.shape[0]
+    rng = np.random.default_rng(7)
+    gt_boxes = jnp.asarray([[4.0, 4.0, 20.0, 20.0]], jnp.float32)
+    gt_lms = jnp.zeros((1, 5, 2), jnp.float32)
+    gt_valid = jnp.asarray([True])
+    ignore = jnp.asarray([[40.0, 40.0, 60.0, 60.0]], jnp.float32)
+    padding = jnp.zeros((1, 4), jnp.float32)
+
+    # Make the anchors over the ignore region the HARDEST negatives
+    # (high face logit), so OHEM would certainly train them as background
+    # unless the ignore mask removes them from the pool.
+    from rs_face_detection_tpu.ops.box_decode import bbox_overlaps
+
+    over_ignore = (
+        np.asarray(bbox_overlaps(anchors, ignore)).max(axis=1) >= 0.3
+    )
+    logits_np = rng.normal(size=(n, 2)).astype(np.float32)
+    logits_np[over_ignore, 1] += 20.0  # confidently "face" -> huge neg CE
+    logits = jnp.asarray(logits_np)
+    boxes = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    lms = jnp.asarray(rng.normal(size=(n, 5, 2)).astype(np.float32))
+    assert over_ignore.sum() > 0
+
+    _, base = detection_loss(
+        logits, boxes, lms, anchors, gt_boxes, gt_lms, gt_valid,
+        ignore_boxes=padding,
+    )
+    _, masked = detection_loss(
+        logits, boxes, lms, anchors, gt_boxes, gt_lms, gt_valid,
+        ignore_boxes=ignore,
+    )
+    # Padding rows are inert; the ignore region removes the (deliberately
+    # hardest) negatives over it, so the mined classification loss drops.
+    assert float(masked["cls_loss"]) < float(base["cls_loss"]) - 1.0
+    # Positive matching is untouched.
+    assert float(base["num_pos"]) == float(masked["num_pos"])
+    assert float(base["box_loss"]) == pytest.approx(float(masked["box_loss"]))
+
+
+def test_loader_carries_ignore_boxes(tmp_path):
+    examples = _write_dataset(str(tmp_path), n=2)
+    examples[0].ignore_boxes = np.asarray([[5.0, 5.0, 15.0, 15.0]], np.float32)
+    loader = DetectionDataLoader(
+        examples, str(tmp_path), image_size=(64, 64), batch_size=2,
+        max_faces=4, seed=1,
+    )
+    batch = next(loader.batches())
+    assert batch.gt_ignore.shape == (2, 4, 4)
+    from rs_face_detection_tpu.ops.image import letterbox_geometry
+
+    _, _, s = letterbox_geometry(160, 200, 64, 64)
+    row = np.asarray(batch.gt_ignore).reshape(2, 4, 4)
+    # One of the two images carries the scaled ignore box; the other is all
+    # zero padding (shuffle order is seed-dependent).
+    flat = row.reshape(-1, 4)
+    nonzero = flat[(flat != 0).any(axis=1)]
+    assert nonzero.shape == (1, 4)
+    np.testing.assert_allclose(nonzero[0], np.asarray([5, 5, 15, 15]) * s,
+                               rtol=1e-5)
+
+
+def test_uneven_process_shards_truncate_equal(tmp_path):
+    examples = _write_dataset(str(tmp_path), n=14)
+    shards = [
+        DetectionDataLoader(
+            examples, str(tmp_path), image_size=(64, 64), batch_size=2,
+            max_faces=4, seed=0, process_shard=(i, 4),
+        )
+        for i in range(4)
+    ]
+    sizes = [len(s.examples) for s in shards]
+    assert sizes == [3, 3, 3, 3]  # equal: hosts yield identical batch counts
