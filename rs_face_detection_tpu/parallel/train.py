@@ -277,6 +277,12 @@ def arcface_margin_loss(
     return -jnp.mean(jnp.sum(target_onehot * logp, axis=-1))
 
 
+def _weight_decay_mask(params) -> Any:
+    """True for leaves that should receive weight decay: conv/dense kernels
+    only — biases and normalization scale/bias (any 1-D leaf) are exempt."""
+    return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
+
+
 class Trainer:
     """Sharded RetinaFace trainer: dp over "data", FSDP params over "model"."""
 
@@ -289,6 +295,9 @@ class Trainer:
         pos_iou: float = 0.5,
         neg_iou: float = 0.3,
         remat: bool = False,
+        warmup_steps: int = 0,
+        total_steps: int = 0,
+        weight_decay: float = 1e-4,
     ) -> None:
         # pos/neg_iou: anchor-match thresholds (detection_loss).  The default
         # 0.5/0.3 is the RetinaFace recipe; datasets whose face sizes fall in
@@ -317,7 +326,22 @@ class Trainer:
             dtype=dtype,
             remat=remat,
         )
-        self.tx = optax.adamw(learning_rate)
+        # LR schedule: constant by default; total_steps > 0 turns on linear
+        # warmup -> cosine decay (the standard detector training recipe).
+        if total_steps > 0:
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=learning_rate,
+                warmup_steps=max(warmup_steps, 1),
+                decay_steps=total_steps,
+            )
+        else:
+            lr = learning_rate
+        # Decay masks out biases and normalization affines — decaying BN
+        # scale/bias fights the running statistics instead of regularizing.
+        self.tx = optax.adamw(
+            lr, weight_decay=weight_decay, mask=_weight_decay_mask
+        )
 
     def init_state(self, seed: int = 0) -> TrainState:
         width, height = self.cfg.image_size

@@ -255,3 +255,28 @@ def test_uneven_process_shards_truncate_equal(tmp_path):
     ]
     sizes = [len(s.examples) for s in shards]
     assert sizes == [3, 3, 3, 3]  # equal: hosts yield identical batch counts
+
+
+def test_lr_schedule_and_decay_mask():
+    """Warmup-cosine schedule plumbs through, and weight decay exempts
+    1-D leaves (biases/BN affines)."""
+    from rs_face_detection_tpu.parallel.train import _weight_decay_mask
+
+    mask = _weight_decay_mask(
+        {"conv": {"kernel": np.zeros((3, 3, 4, 8)), "bias": np.zeros((8,))},
+         "bn": {"scale": np.zeros((8,)), "bias": np.zeros((8,))}}
+    )
+    assert mask["conv"]["kernel"] is True
+    assert mask["conv"]["bias"] is False
+    assert mask["bn"]["scale"] is False
+
+    mesh = make_mesh(8)
+    cfg = FaceDetectionConfig(image_size=(64, 64))
+    trainer = Trainer(
+        mesh, cfg, learning_rate=1e-3, warmup_steps=2, total_steps=10
+    )
+    state = trainer.init_state(seed=0)
+    batch = trainer.make_batch(mesh.shape["data"], max_faces=4, seed=0)
+    step = trainer.make_train_step()
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -42,6 +42,8 @@ def main() -> int:
     p.add_argument("--neg-iou", type=float, default=0.3)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks (less activation HBM)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help=">0 turns on linear-warmup + cosine decay to --steps")
     p.add_argument("--log-every", type=int, default=50)
     args = p.parse_args()
 
@@ -74,6 +76,8 @@ def main() -> int:
     trainer = Trainer(
         mesh, cfg, learning_rate=args.lr,
         pos_iou=args.pos_iou, neg_iou=args.neg_iou, remat=args.remat,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.steps if args.warmup_steps > 0 else 0,
     )
     loader = DetectionDataLoader(
         examples, args.images, image_size=(w, h),
