@@ -53,6 +53,14 @@ products (plus zero-identity terms), so the transform is algebraically
 exact; XLA blocks the wider contractions differently, so outputs agree to
 f32 rounding spread (~1e-6 abs) rather than bitwise — tests/test_ssh_packed.py.
 
+Counted-FLOP accounting (XLA cost_analysis, mnet b8 @640, s4d front): the
+zero-embedded taps inflate nominal graph FLOPs 42.7 -> 56.7 G with all
+three head levels packed, -> 72.2 G with the FPN chains packed too.  The
+inflation buys lane occupancy: the replaced convs profiled at ~5% MFU, so
+4x nominal FLOPs at full lanes is still a large net device-time win (the
+same trade the mnet front made, 4.58 -> 3.30 ms measured).  Treat any MFU
+computed from the packed graph's raw FLOP count as inflated accordingly.
+
 Reference lineage: the reference treats the detector as an opaque Triton
 model (face_detection.rs:254-284); this transform is TPU-first algebra with
 no reference counterpart.
