@@ -54,6 +54,9 @@ class TrainState(NamedTuple):
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    #: exponential moving average of params (Trainer(ema_decay>0)); the
+    #: standard weights to EXPORT for serving.  None when EMA is off.
+    ema_params: Any = None
 
 
 def _smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
@@ -298,6 +301,7 @@ class Trainer:
         warmup_steps: int = 0,
         total_steps: int = 0,
         weight_decay: float = 1e-4,
+        ema_decay: float = 0.0,
     ) -> None:
         # pos/neg_iou: anchor-match thresholds (detection_loss).  The default
         # 0.5/0.3 is the RetinaFace recipe; datasets whose face sizes fall in
@@ -342,6 +346,9 @@ class Trainer:
         self.tx = optax.adamw(
             lr, weight_decay=weight_decay, mask=_weight_decay_mask
         )
+        #: ema_decay > 0 tracks an exponential moving average of params
+        #: (state.ema_params) — the weights production detectors export.
+        self.ema_decay = float(ema_decay)
 
     def init_state(self, seed: int = 0) -> TrainState:
         width, height = self.cfg.image_size
@@ -357,7 +364,10 @@ class Trainer:
         batch_stats = shard_pytree_fsdp(batch_stats, self.mesh)
         opt_state = shard_pytree_fsdp(opt_state, self.mesh)
         step = jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh))
-        return TrainState(params, batch_stats, opt_state, step)
+        # Distinct buffers with the params' shardings (donation would
+        # otherwise alias the two trees).
+        ema = jax.tree.map(jnp.copy, params) if self.ema_decay > 0 else None
+        return TrainState(params, batch_stats, opt_state, step, ema)
 
     def make_train_step(self):
         mesh = self.mesh
@@ -406,7 +416,18 @@ class Trainer:
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+            if self.ema_decay > 0:
+                d = self.ema_decay
+                ema = jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state.ema_params,
+                    params,
+                )
+            else:
+                ema = state.ema_params
+            new_state = TrainState(
+                params, new_stats, opt_state, state.step + 1, ema
+            )
             mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
             mean_metrics["loss"] = loss
             return new_state, mean_metrics

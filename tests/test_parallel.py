@@ -253,3 +253,30 @@ def test_arcface_margin_loss_behavior():
         )
     )
     assert loss_margin > loss_nomargin
+
+
+def test_ema_params_track_training():
+    """Trainer(ema_decay) maintains an exponential moving average of params
+    with the documented blend; off by default (ema_params is None)."""
+    from rs_face_detection_tpu.parallel.train import Trainer
+
+    mesh = make_mesh(8)
+    cfg = FaceDetectionConfig(image_size=(64, 64))
+
+    plain = Trainer(mesh, cfg, learning_rate=1e-3)
+    state0 = plain.init_state(seed=0)
+    assert state0.ema_params is None
+    batch = plain.make_batch(mesh.shape["data"], max_faces=4, seed=0)
+    state0, _ = plain.make_train_step()(state0, batch)
+    assert state0.ema_params is None
+
+    d = 0.5
+    trainer = Trainer(mesh, cfg, learning_rate=1e-3, ema_decay=d)
+    state = trainer.init_state(seed=0)
+    init_params = jax.device_get(state.params)
+    state, _ = trainer.make_train_step()(state, batch)
+    params1 = jax.device_get(state.params)
+    ema1 = jax.device_get(state.ema_params)
+    expect = jax.tree.map(lambda e, p: d * e + (1 - d) * p, init_params, params1)
+    for a, b in zip(jax.tree.leaves(ema1), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)

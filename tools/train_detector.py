@@ -44,6 +44,9 @@ def main() -> int:
                    help="rematerialize backbone blocks (less activation HBM)")
     p.add_argument("--warmup-steps", type=int, default=0,
                    help=">0 turns on linear-warmup + cosine decay to --steps")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help=">0 tracks an EMA of params and exports THOSE "
+                   "weights (e.g. 0.999)")
     p.add_argument("--log-every", type=int, default=50)
     args = p.parse_args()
 
@@ -78,6 +81,7 @@ def main() -> int:
         pos_iou=args.pos_iou, neg_iou=args.neg_iou, remat=args.remat,
         warmup_steps=args.warmup_steps,
         total_steps=args.steps if args.warmup_steps > 0 else 0,
+        ema_decay=args.ema_decay,
     )
     loader = DetectionDataLoader(
         examples, args.images, image_size=(w, h),
@@ -101,12 +105,16 @@ def main() -> int:
                 f"({(time.perf_counter() - t0) / (i + 1):.2f}s/step)"
             )
 
+    export_params = (
+        state.ema_params if state.ema_params is not None else state.params
+    )
     variables = {
-        "params": jax.device_get(state.params),
+        "params": jax.device_get(export_params),
         "batch_stats": jax.device_get(state.batch_stats),
     }
     save_variables(args.out, variables)
-    print(f"wrote {args.out}")
+    which = "EMA" if state.ema_params is not None else "raw"
+    print(f"wrote {args.out} ({which} weights)")
     return 0
 
 
