@@ -24,6 +24,7 @@ and the p50 single-batch latency.  Baseline: 2,000 img/s/chip (BASELINE.md).
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -33,6 +34,18 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 2000.0
 #: TPU v5e peak bf16 matmul throughput (per chip).
 PEAK_TFLOPS_BF16 = 197.0
+
+#: Candidate packed SSH-head/FPN level sets for the MobileNet0.25 s4d graph.
+#: The "right" set is a hardware question (the packed convs trade counted
+#: FLOPs for lane occupancy — see ops/ssh_packed.py), so the bench A/Bs a
+#: short run of each and reports the winner rather than trusting the
+#: make_batched_fn defaults.  tools/ab_packed.py has the fuller grid.
+MNET_PACKED_CANDIDATES = (
+    ("none", dict(packed_heads=False)),
+    ("L012", dict(packed_heads=(0, 1, 2), packed_fpn=False)),
+    ("L012+fpn0", dict(packed_heads=(0, 1, 2), packed_fpn=(0,))),
+    ("L012+fpn01", dict(packed_heads=(0, 1, 2), packed_fpn=(0, 1))),
+)
 
 
 def _resolve_aux(fn, variables):
@@ -194,6 +207,17 @@ def main() -> int:
         action="store_true",
         help="skip the auxiliary vit_l14 / int8 measurements",
     )
+    parser.add_argument(
+        "--no-ab",
+        action="store_true",
+        help="skip the mnet packed-config A/B (use make_batched_fn defaults; "
+        "RSFD_MNET_PACKED=<name> pins one candidate instead)",
+    )
+    parser.add_argument(
+        "--force-ab",
+        action="store_true",
+        help="run the packed A/B even in --smoke mode (CPU code-path check)",
+    )
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -250,6 +274,28 @@ def main() -> int:
 
     # Light variant: MobileNet0.25 batch 8 and 32.
     detm, fnm, m_s2d = _build("mobilenet025", image_size, args.nms)
+    mnet_packed = "default"
+    ab_rates = None
+    if m_s2d == "s4d" and (args.force_ab or not args.smoke):
+        pin = os.environ.get("RSFD_MNET_PACKED")
+        candidates = dict(MNET_PACKED_CANDIDATES)
+        if pin:
+            # Operator override: pin one named candidate, skip the A/B.
+            fnm = detm.make_batched_fn(stem="s4d", **candidates[pin])
+            mnet_packed = pin
+        elif not args.no_ab:
+            ab_n = 2 if args.smoke else max(3, n_batches // 3)
+            ab_rates = {}
+            best_fn = None
+            for name, kw in MNET_PACKED_CANDIDATES:
+                fc = detm.make_batched_fn(stem="s4d", **kw)
+                rate, _ = _throughput_device(
+                    fc, detm.variables, batch_maker(8, m_s2d), 8, ab_n
+                )
+                ab_rates[name] = round(rate, 2)
+                if best_fn is None or rate > ab_rates[mnet_packed]:
+                    mnet_packed, best_fn = name, fc
+            fnm = best_fn
     mnet_b8, _ = _throughput_device(
         fnm, detm.variables, batch_maker(8, m_s2d), 8, n_batches
     )
@@ -288,8 +334,11 @@ def main() -> int:
         "mnet025_b32_img_s": round(mnet_b32, 2),
         "mnet025_b32_pipelined_img_s": round(mnet_b32_pipe, 2),
         "mnet025_batch1_latency_ms": round(mnet_b1_dt * 1000.0, 3),
+        "mnet025_packed_config": mnet_packed,
         "nms_mode": args.nms,
     }
+    if ab_rates:
+        result["mnet025_packed_ab_img_s"] = ab_rates
     if flops_b8:
         # MFU vs v5e bf16 peak, from XLA's own per-graph FLOP estimate — the
         # ceiling context for vs_baseline (100% MFU == peak_img_s).
@@ -321,8 +370,6 @@ def main() -> int:
     # is no WIDER val / public checkpoint; the synthetic-trained fixture
     # (tools/make_trained_fixture.py) gives the bench a real accuracy signal
     # all the same — semantic regressions move it, shape bugs crash it.
-    import os
-
     fixture_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "fixtures")
     ckpt = os.path.join(fixture_dir, "trained_mnet64.npz")
@@ -429,6 +476,30 @@ def main() -> int:
             result[f"{id_cfg.backbone}_embed_b32_img_s"] = round(embed_b32, 2)
         except Exception as e:
             result["embed_error"] = str(e)[:200]
+
+        # SCRFD fused detect @640 b8 — the eKYC pipeline's detector
+        # (reference ekyc_pipeline/config.rs:10-27), the one model family
+        # without a throughput number so far (SCRFDDetection.make_batched_fn).
+        try:
+            from rs_face_detection_tpu.models.precision import cast_kernels
+            from rs_face_detection_tpu.models.scrfd import init_scrfd
+            from rs_face_detection_tpu.pipeline.ekyc_pipeline import (
+                SCRFDDetection,
+            )
+
+            smodel, svars = init_scrfd(image_size, dtype=jnp.bfloat16, seed=0)
+            svars = cast_kernels(svars)
+            sdet = SCRFDDetection(
+                model=smodel, variables=svars, image_size=image_size,
+                nms_mode=args.nms, registry=None,
+            )
+            sfn = sdet.make_batched_fn()
+            scrfd_b8, _ = _throughput_device(
+                sfn, svars, batch_maker(8, "none"), 8, max(3, n_batches // 2)
+            )
+            result["scrfd_b8_img_s"] = round(scrfd_b8, 2)
+        except Exception as e:
+            result["scrfd_error"] = str(e)[:200]
 
         # int8 re-check (VERDICT r2 #9): quantized R50 fused graph vs the
         # bf16 headline on the CURRENT XLA wheel.  bf16 has stayed ahead on
