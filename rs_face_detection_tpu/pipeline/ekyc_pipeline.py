@@ -153,6 +153,37 @@ class SCRFDDetection:
 
         return jax.jit(run)
 
+    def make_batched_fn(self):
+        """Jitted (variables, (B, H, W, 3) u8 BGR, (B,) det_scales) -> PaddedDetections batch.
+
+        Batched serving path with the same contract as
+        RetinaFaceDetection.make_batched_fn (stem='xla'): images arrive
+        letterboxed host-side to the static `image_size`; normalize,
+        forward, distance decode, select and NMS trace into one vmapped
+        XLA program.  Decode math is identical to the single-image path
+        (`_jit_for_shape`) — parity-tested in tests/test_scrfd_decode.py.
+        """
+        mean, scale = self.cfg.mean, self.cfg.scale
+
+        def decode_one(single, inv_scale):
+            scores, boxes, kps = self._decode(single)
+            p = select_and_nms(
+                scores, boxes, kps, self._sel_cfg, self.nms_mode
+            )
+            return PaddedDetections(
+                p.det.at[:, :4].multiply(inv_scale),
+                p.kps * inv_scale,
+                p.count,
+            )
+
+        def batched(variables, imgs_u8, det_scales):
+            x = bgr_to_rgb(imgs_u8.astype(jnp.float32))
+            x = normalize(x, (mean,) * 3, (scale,) * 3)
+            net_out = self.model.apply(variables, x, train=False)
+            return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
+
+        return jax.jit(batched)
+
     def __call__(self, image_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, w = image_bgr.shape[:2]
         start = time.perf_counter()

@@ -121,6 +121,40 @@ def test_scrfd_anchor_centers_layout():
     np.testing.assert_array_equal(centers[2], (8.0, 0.0))
 
 
+def test_scrfd_batched_fn_matches_single_image():
+    """make_batched_fn parity with the single-image path on a real model.
+
+    Images are pre-letterboxed to image_size (det_scale 1), so the only
+    difference between the paths is the batching itself.
+    """
+    from rs_face_detection_tpu.models.scrfd import init_scrfd
+
+    model, variables = init_scrfd((64, 64), width=8, seed=0)
+    det = SCRFDDetection(
+        model=model,
+        variables=variables,
+        image_size=IMAGE_SIZE,
+        confidence_threshold=0.35,
+        registry=None,
+    )
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+
+    fn = det.make_batched_fn()
+    out = fn(variables, jnp.asarray(imgs), jnp.ones((2,), jnp.float32))
+
+    for i in range(2):
+        boxes_i, kps_i = det(imgs[i])
+        n = int(out.count[i])
+        assert n == len(boxes_i)
+        np.testing.assert_allclose(
+            np.asarray(out.det[i, :n]), boxes_i, rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.kps[i, :n]), kps_i, rtol=1e-5, atol=1e-4
+        )
+
+
 def test_scrfd_default_max_candidates_tuned():
     """NMS cost is quadratic in the candidate cap; the SCRFD path ships the
     same tuned default as the main RetinaFace path (commit 08410a0)."""
