@@ -501,6 +501,57 @@ def main() -> int:
         except Exception as e:
             result["scrfd_error"] = str(e)[:200]
 
+        # High-res letterboxed inference (BASELINE config 3): the 1920x1088
+        # bucket from pipeline/multiscale.py (1080p letterboxes to /32-
+        # aligned 1088 rows), mnet b4, same fused detect-with-landmarks
+        # graph.  85,680 anchors/image; reuses the b8 A/B's packed winner.
+        try:
+            from rs_face_detection_tpu.configs import FaceDetectionConfig
+            from rs_face_detection_tpu.models.retinaface import init_retinaface
+            from rs_face_detection_tpu.pipeline.detection import (
+                RetinaFaceDetection,
+            )
+
+            hi_size = (1920, 1088)
+            hcfg = FaceDetectionConfig(
+                backbone="mobilenet025", image_size=hi_size
+            )
+            hmodel, hvars = init_retinaface(
+                "mobilenet025", hi_size, dtype=jnp.bfloat16, seed=0,
+                stem_s2d=None,
+            )
+            from rs_face_detection_tpu.models.precision import cast_kernels
+
+            hvars = cast_kernels(hvars)
+            hdet = RetinaFaceDetection(
+                hcfg, model=hmodel, variables=hvars, nms_mode=args.nms
+            )
+            hkw = (
+                dict(MNET_PACKED_CANDIDATES)[mnet_packed]
+                if mnet_packed != "default"
+                else {}
+            )
+            hfn = hdet.make_batched_fn(stem="s4d", **hkw)
+            hw, hh = hi_size
+
+            def hi_batch(batch):
+                def make(i):
+                    imgs = rng.integers(
+                        0, 255, size=(batch, hh, hw, 3), dtype=np.uint8
+                    )
+                    return jnp.asarray(s4d_layout_host(imgs)), jnp.ones(
+                        (batch,), jnp.float32
+                    )
+
+                return make
+
+            hi_rate, _ = _throughput_device(
+                hfn, hvars, hi_batch(4), 4, max(3, n_batches // 2)
+            )
+            result["mnet025_1920x1088_b4_img_s"] = round(hi_rate, 2)
+        except Exception as e:
+            result["highres_error"] = str(e)[:200]
+
         # int8 re-check (VERDICT r2 #9): quantized R50 fused graph vs the
         # bf16 headline on the CURRENT XLA wheel.  bf16 has stayed ahead on
         # v5e so far; flip the serving default only if this reports faster.
