@@ -220,6 +220,17 @@ def main() -> int:
     )
     args = parser.parse_args()
 
+    pin = os.environ.get("RSFD_MNET_PACKED")
+    candidates = dict(MNET_PACKED_CANDIDATES)
+    if pin is not None and pin != "default" and pin not in candidates:
+        # Fail fast, BEFORE any measurement: a typo'd pin must not crash
+        # after the R50 flagship run has been paid for.
+        print(
+            f"RSFD_MNET_PACKED={pin!r} not in "
+            f"{['default', *candidates]}", file=sys.stderr,
+        )
+        return 2
+
     import jax.numpy as jnp
 
     image_size = (128, 128) if args.smoke else (640, 640)
@@ -236,11 +247,11 @@ def main() -> int:
 
     _layouts = {"none": lambda x: x, "s2d": s2d_layout_host, "s4d": s4d_layout_host}
 
-    def batch_maker(batch, layout="none"):
+    def batch_maker(batch, layout="none", hw=None):
+        h, w = hw if hw is not None else (height, width)
+
         def make(i):
-            imgs = rng.integers(
-                0, 255, size=(batch, height, width, 3), dtype=np.uint8
-            )
+            imgs = rng.integers(0, 255, size=(batch, h, w, 3), dtype=np.uint8)
             return jnp.asarray(_layouts[layout](imgs)), jnp.ones(
                 (batch,), jnp.float32
             )
@@ -276,26 +287,30 @@ def main() -> int:
     detm, fnm, m_s2d = _build("mobilenet025", image_size, args.nms)
     mnet_packed = "default"
     ab_rates = None
-    if m_s2d == "s4d" and (args.force_ab or not args.smoke):
-        pin = os.environ.get("RSFD_MNET_PACKED")
-        candidates = dict(MNET_PACKED_CANDIDATES)
-        if pin:
-            # Operator override: pin one named candidate, skip the A/B.
+    if m_s2d == "s4d" and pin:
+        # Operator override: pin one named candidate (or the
+        # make_batched_fn defaults), skip the A/B.  Applied in ALL modes,
+        # including --smoke, so the pinned code path is what gets checked.
+        if pin != "default":
             fnm = detm.make_batched_fn(stem="s4d", **candidates[pin])
-            mnet_packed = pin
-        elif not args.no_ab:
-            ab_n = 2 if args.smoke else max(3, n_batches // 3)
-            ab_rates = {}
-            best_fn = None
-            for name, kw in MNET_PACKED_CANDIDATES:
-                fc = detm.make_batched_fn(stem="s4d", **kw)
-                rate, _ = _throughput_device(
-                    fc, detm.variables, batch_maker(8, m_s2d), 8, ab_n
-                )
-                ab_rates[name] = round(rate, 2)
-                if best_fn is None or rate > ab_rates[mnet_packed]:
-                    mnet_packed, best_fn = name, fc
-            fnm = best_fn
+        mnet_packed = pin
+    elif m_s2d == "s4d" and (args.force_ab or not args.smoke) and not args.no_ab:
+        # Full n_batches per candidate: the candidate deltas (~1%) sit near
+        # the run-to-run noise of shorter samples (CLAUDE.md records ~0.55%
+        # spread across full-length runs), and the winner is written back
+        # as the serving-default recommendation.
+        ab_n = 2 if args.smoke else n_batches
+        ab_rates = {}
+        best_fn = None
+        for name, kw in MNET_PACKED_CANDIDATES:
+            fc = detm.make_batched_fn(stem="s4d", **kw)
+            rate, _ = _throughput_device(
+                fc, detm.variables, batch_maker(8, m_s2d), 8, ab_n
+            )
+            ab_rates[name] = round(rate, 2)
+            if best_fn is None or rate > ab_rates[mnet_packed]:
+                mnet_packed, best_fn = name, fc
+        fnm = best_fn
     mnet_b8, _ = _throughput_device(
         fnm, detm.variables, batch_maker(8, m_s2d), 8, n_batches
     )
@@ -516,37 +531,22 @@ def main() -> int:
             hcfg = FaceDetectionConfig(
                 backbone="mobilenet025", image_size=hi_size
             )
+            from rs_face_detection_tpu.models.precision import cast_kernels
+
             hmodel, hvars = init_retinaface(
                 "mobilenet025", hi_size, dtype=jnp.bfloat16, seed=0,
                 stem_s2d=None,
             )
-            from rs_face_detection_tpu.models.precision import cast_kernels
-
             hvars = cast_kernels(hvars)
             hdet = RetinaFaceDetection(
                 hcfg, model=hmodel, variables=hvars, nms_mode=args.nms
             )
-            hkw = (
-                dict(MNET_PACKED_CANDIDATES)[mnet_packed]
-                if mnet_packed != "default"
-                else {}
-            )
+            hkw = candidates.get(mnet_packed, {})
             hfn = hdet.make_batched_fn(stem="s4d", **hkw)
-            hw, hh = hi_size
-
-            def hi_batch(batch):
-                def make(i):
-                    imgs = rng.integers(
-                        0, 255, size=(batch, hh, hw, 3), dtype=np.uint8
-                    )
-                    return jnp.asarray(s4d_layout_host(imgs)), jnp.ones(
-                        (batch,), jnp.float32
-                    )
-
-                return make
-
             hi_rate, _ = _throughput_device(
-                hfn, hvars, hi_batch(4), 4, max(3, n_batches // 2)
+                hfn, hvars,
+                batch_maker(4, "s4d", hw=(hi_size[1], hi_size[0])), 4,
+                max(3, n_batches // 2),
             )
             result["mnet025_1920x1088_b4_img_s"] = round(hi_rate, 2)
         except Exception as e:

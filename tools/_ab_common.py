@@ -1,0 +1,60 @@
+"""Shared setup for the hardware A/B harnesses (ab_packed.py, ab_tail.py).
+
+One place for the measurement discipline both grids share (CLAUDE.md):
+bench.py's relay-amortized device-saturated harness (jitted scan
+mega-graphs over pre-staged distinct batches) and entropy-seeded inputs
+(the relay caches identical executions ACROSS processes, so a fixed seed
+replays from cache and reports impossible numbers).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _throughput_device
+from rs_face_detection_tpu.models.precision import cast_kernels
+from rs_face_detection_tpu.models.retinaface import init_retinaface
+from rs_face_detection_tpu.ops.image import s4d_layout_host
+
+SIZE = (640, 640)
+
+_rng = np.random.default_rng()  # entropy-seeded, never fixed
+
+
+def build_mnet():
+    """The production mnet serving weights: bf16 compute, pre-cast kernels."""
+    model, variables = init_retinaface(
+        "mobilenet025", SIZE, dtype=jnp.bfloat16, seed=0, stem_s2d=None
+    )
+    return model, cast_kernels(variables)
+
+
+def make_batch(batch):
+    """Distinct s4d-layout uint8 batches (the host contract of stem='s4d')."""
+    def make(i):
+        imgs = _rng.integers(
+            0, 255, (batch, SIZE[1], SIZE[0], 3), dtype=np.uint8
+        )
+        return (
+            jnp.asarray(s4d_layout_host(imgs)),
+            jnp.ones((batch,), jnp.float32),
+        )
+
+    return make
+
+
+def measure(name, fn, variables, batch=8):
+    """One grid row: device-saturated throughput of the full fused graph."""
+    t0 = time.time()
+    img_s, dt = _throughput_device(fn, variables, make_batch(batch), batch)
+    print(
+        f"{name:22} {img_s:8.1f} img/s  graph {dt*1e3:6.3f} ms "
+        f"(wall {time.time()-t0:.0f}s)",
+        flush=True,
+    )
+    return img_s

@@ -2,10 +2,11 @@
 
     python tools/ab_tail.py
 
-Run ALONE (measurement discipline: CLAUDE.md).  The tail — score concat,
-confidence mask, top-k, gather-decode, NMS, scatter-compact — was ~0.9 ms
-of the 3.3 ms mnet batch graph before the packed heads landed; this grid
-measures the exact-default configuration against the opt-in variants:
+Run ALONE (measurement discipline: CLAUDE.md; harness details in
+tools/_ab_common.py).  The tail — score concat, confidence mask, top-k,
+gather-decode, NMS, scatter-compact — was ~0.9 ms of the 3.3 ms mnet
+batch graph before the packed heads landed; this grid measures the
+exact-default configuration against the opt-in variants:
 
   - candidate_selection: exact lax.top_k vs approx_max_k (recall 0.95;
     changes results only when >recall-tail candidates tie near the cutoff)
@@ -15,47 +16,16 @@ measures the exact-default configuration against the opt-in variants:
   - nms_mode: fixpoint (throughput default) vs greedy (sequential scan)
 
 Timing is content-independent (static shapes), so uniform-random frames
-measure real scenes' cost.  Each row is the full fused batch graph, bench
-harness (scan mega-graph over pre-staged distinct batches).  Flip
+measure real scenes' cost.  Each row is the full fused batch graph.  Flip
 FaceDetectionConfig defaults only for knobs that keep exact semantics;
 approx/cap-reduction wins belong in the config docstring as opt-ins.
 """
 
-import os
-import sys
-import time
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import jax.numpy as jnp
-import numpy as np
-
-from bench import _throughput_device
+from _ab_common import SIZE, build_mnet, measure
 from rs_face_detection_tpu.configs import FaceDetectionConfig
-from rs_face_detection_tpu.models.precision import cast_kernels
-from rs_face_detection_tpu.models.retinaface import init_retinaface
-from rs_face_detection_tpu.ops.image import s4d_layout_host
 from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
-SIZE = (640, 640)
-model, variables = init_retinaface(
-    "mobilenet025", SIZE, dtype=jnp.bfloat16, seed=0, stem_s2d=None
-)
-variables = cast_kernels(variables)
-
-rng = np.random.default_rng()
-
-
-def make_batch(batch):
-    def make(i):
-        imgs = rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8)
-        return (
-            jnp.asarray(s4d_layout_host(imgs)),
-            jnp.ones((batch,), jnp.float32),
-        )
-
-    return make
-
+model, variables = build_mnet()
 
 CONFIGS = [
     ("exact-256-fixpoint", dict(), "fixpoint"),  # shipping default
@@ -76,11 +46,4 @@ for name, cfg_kw, nms_mode in CONFIGS:
     det = RetinaFaceDetection(
         cfg, model=model, variables=variables, nms_mode=nms_mode
     )
-    fn = det.make_batched_fn(stem="s4d")
-    t0 = time.time()
-    img_s, dt = _throughput_device(fn, variables, make_batch(8), 8)
-    print(
-        f"{name:22} {img_s:8.1f} img/s  graph {dt*1e3:6.3f} ms "
-        f"(wall {time.time()-t0:.0f}s)",
-        flush=True,
-    )
+    measure(name, det.make_batched_fn(stem="s4d"), variables)
