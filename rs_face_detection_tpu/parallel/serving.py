@@ -56,7 +56,13 @@ def letterbox_host(
 
 
 class DetectionServer:
-    """Batched, mesh-sharded detection serving."""
+    """Batched, mesh-sharded detection serving.
+
+    Serves any detector with the batched-fn duck type — `model`,
+    `variables`, `make_batched_fn`, `record_traffic`, and an image size
+    (`cfg.image_size` or an `image_size` attribute): RetinaFaceDetection
+    (the default) and the eKYC pipeline's SCRFDDetection both qualify.
+    """
 
     def __init__(
         self,
@@ -67,7 +73,11 @@ class DetectionServer:
         use_native_loader: bool = True,
     ) -> None:
         self.detector = detector or RetinaFaceDetection()
-        self.cfg: FaceDetectionConfig = self.detector.cfg
+        self.cfg = getattr(self.detector, "cfg", None)
+        self.image_size: Tuple[int, int] = tuple(
+            getattr(self.detector, "image_size", None)
+            or self.detector.cfg.image_size
+        )
         self.batch_size = batch_size
         self.mesh = mesh
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
@@ -84,7 +94,7 @@ class DetectionServer:
         # conv); s2d-stem models take the 12-channel s2d layout.  The native
         # loader / ops.image.*_layout_host emit both; see
         # detection.make_batched_fn.
-        width, height = self.cfg.image_size
+        width, height = self.image_size
         backbone = getattr(self.detector.model, "backbone", None)
         uses_s2d = getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
         s4d = (
@@ -105,9 +115,20 @@ class DetectionServer:
             and height % 2 == 0
         )
         self._layout = "s4d" if s4d else ("s2d" if pre_s2d else "none")
-        base_fn = self.detector.make_batched_fn(
-            pre_s2d=pre_s2d, stem="s4d" if s4d else "xla"
-        )
+        import inspect
+
+        fn_params = inspect.signature(
+            self.detector.make_batched_fn
+        ).parameters
+        if "stem" in fn_params:
+            base_fn = self.detector.make_batched_fn(
+                pre_s2d=pre_s2d, stem="s4d" if s4d else "xla"
+            )
+        else:
+            # Detectors without layout options (SCRFD) take the natural
+            # (B, H, W, 3) layout.
+            assert self._layout == "none"
+            base_fn = self.detector.make_batched_fn()
         if mesh is not None:
             if batch_size % mesh.shape["data"]:
                 raise ValueError(
@@ -116,14 +137,21 @@ class DetectionServer:
                 )
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
-            # Fold the dense-front constants ONCE (see make_batched_fn's
-            # aux protocol) and replicate them; folding inside the sharded
-            # graph would re-run it on every batch.
-            self._aux = jax.device_put(
-                base_fn.fold(self.detector.variables), repl
-            )
+            if hasattr(base_fn, "fold"):
+                # Fold the dense-front constants ONCE (see make_batched_fn's
+                # aux protocol) and replicate them; folding inside the
+                # sharded graph would re-run it on every batch.
+                self._aux = jax.device_put(
+                    base_fn.fold(self.detector.variables), repl
+                )
+                inner = base_fn.jitted
+            else:
+                self._aux = ()
+                inner = lambda variables, aux, imgs, scales: base_fn(
+                    variables, imgs, scales
+                )
             self._fn = jax.jit(
-                lambda variables, aux, imgs, scales: base_fn.jitted(
+                lambda variables, aux, imgs, scales: inner(
                     variables, aux, imgs, scales
                 ),
                 in_shardings=(repl, repl, data, data),
@@ -142,12 +170,12 @@ class DetectionServer:
             if isinstance(payload, (bytes, bytearray))
             else payload
         )
-        width, height = self.cfg.image_size
+        width, height = self.image_size
         return letterbox_host(img, width, height)
 
     def _prepare_batch(self, payloads: Sequence) -> Tuple[np.ndarray, np.ndarray, int]:
         n = len(payloads)
-        width, height = self.cfg.image_size
+        width, height = self.image_size
 
         # Fast path: the native C++ loader (threaded libjpeg decode+letterbox)
         # handles all-bytes JPEG batches in one call.

@@ -153,6 +153,12 @@ class SCRFDDetection:
 
         return jax.jit(run)
 
+    def record_traffic(self, n_images: int, duration_s: float) -> None:
+        """Feed registry statistics for traffic served outside __call__
+        (batched serving via DetectionServer)."""
+        if self._registry is not None:
+            self._registry.record(self.cfg.model_name, n_images, duration_s)
+
     def make_batched_fn(self):
         """Jitted (variables, (B, H, W, 3) u8 BGR, (B,) det_scales) -> PaddedDetections batch.
 

@@ -111,6 +111,44 @@ def test_detection_server_sharded_batch():
         np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-3)
 
 
+def test_detection_server_serves_scrfd():
+    """DetectionServer duck-types the detector: the eKYC SCRFD detector
+    serves through the same batched (and mesh-sharded) machinery, matching
+    its single-image path."""
+    from rs_face_detection_tpu.models.scrfd import init_scrfd
+    from rs_face_detection_tpu.parallel.serving import DetectionServer
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
+
+    model, variables = init_scrfd((64, 64), width=8, seed=0)
+    det = SCRFDDetection(
+        model=model, variables=variables, image_size=(64, 64),
+        confidence_threshold=0.4, registry=None,
+    )
+    server = DetectionServer(det, batch_size=4, use_native_loader=False)
+    assert server._layout == "none"
+
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    results = server.detect_batch(imgs)
+    assert len(results) == 4
+    for img, (boxes, kps) in zip(imgs, results):
+        ref_boxes, ref_kps = det(img)
+        np.testing.assert_allclose(boxes, ref_boxes, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(kps, ref_kps, rtol=1e-4, atol=1e-3)
+
+    # Mesh-sharded path (no fold/aux protocol on the SCRFD batched fn).
+    sharded = DetectionServer(
+        det, mesh=make_mesh(8), batch_size=8, use_native_loader=False
+    )
+    results_sharded = sharded.detect_batch(imgs)
+    for (b1, k1), (b2, k2) in zip(results_sharded, results):
+        np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-3)
+
+
 def test_detection_server_pre_s2d_matches_detector():
     """An s2d-stem detector served via DetectionServer (host s2d layout)
     returns the same boxes as calling the detector directly."""

@@ -34,6 +34,8 @@ def build_detector(args):
     from rs_face_detection_tpu.configs import FaceDetectionConfig
     from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
+    if args.detector == "scrfd":
+        return build_scrfd_detector(args)
     cfg = FaceDetectionConfig(
         backbone=args.backbone, image_size=(args.size, args.size)
     )
@@ -53,6 +55,42 @@ def build_detector(args):
         args.backbone, cfg.image_size, dtype=jnp.bfloat16, seed=0
     )
     return RetinaFaceDetection(cfg, model=model, variables=variables)
+
+
+def build_scrfd_detector(args):
+    """The eKYC pipeline's SCRFD detector (insightface's WIDER-trained
+    family): --checkpoint takes a tools/import_checkpoint.py .npz; without
+    one, $RSFD_CHECKPOINT_DIR/scrfd.npz is served if present."""
+    import jax
+    import jax.numpy as jnp
+
+    from rs_face_detection_tpu.models.checkpoint_io import (
+        build_from_meta,
+        load_imported,
+        maybe_serve_checkpoint,
+    )
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
+
+    size = (args.size, args.size)
+    if args.checkpoint:
+        loaded, meta = load_imported(args.checkpoint)
+        if meta is None or meta.get("family") != "scrfd":
+            raise ValueError(
+                f"{args.checkpoint} is not an imported scrfd checkpoint "
+                "(re-create it with tools/import_checkpoint.py)"
+            )
+        model, _template = build_from_meta(meta)
+        variables = jax.tree.map(jnp.asarray, loaded)
+    else:
+        served = maybe_serve_checkpoint("scrfd", expect_family="scrfd")
+        if served is not None:
+            model, variables = served
+        else:
+            print("WARNING: random weights (no --checkpoint) — AP will be ~0")
+            from rs_face_detection_tpu.models.scrfd import init_scrfd
+
+            model, variables = init_scrfd(size, dtype=jnp.bfloat16, seed=0)
+    return SCRFDDetection(model=model, variables=variables, image_size=size)
 
 
 def make_detect_many(det, args):
@@ -92,6 +130,13 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", default=None, help="WIDER root directory")
     parser.add_argument("--backbone", default="resnet50")
+    parser.add_argument(
+        "--detector",
+        default="retinaface",
+        choices=("retinaface", "scrfd"),
+        help="detector family: the RetinaFace pipeline (default) or the "
+        "eKYC pipeline's SCRFD (both ride DetectionServer batching)",
+    )
     parser.add_argument("--checkpoint", default=None, help=".npz trained weights")
     parser.add_argument("--size", type=int, default=640)
     parser.add_argument("--iou", type=float, default=0.5)
