@@ -35,6 +35,7 @@ proto-free (the environment ships grpcio but no grpc_tools codegen).
 
 from __future__ import annotations
 
+import base64
 import json
 import threading
 from concurrent import futures
@@ -71,6 +72,7 @@ class FacePipelineServicer:
         stream_batch_size: int = 4,
         dynamic_batching: bool = False,
         batch_delay_ms: float = 2.0,
+        ekyc_pipeline=None,
     ) -> None:
         self._pipeline = pipeline  # None -> built lazily on first inference
         self._pipeline_lock = threading.Lock()
@@ -85,6 +87,8 @@ class FacePipelineServicer:
         self._batch_delay_ms = batch_delay_ms
         self._batcher = None
         self._batcher_lock = threading.Lock()
+        self._ekyc = ekyc_pipeline  # None -> built lazily on EkycVerify
+        self._ekyc_lock = threading.Lock()
 
     @property
     def pipeline(self):
@@ -103,6 +107,18 @@ class FacePipelineServicer:
 
                     self._pipeline = FacePipeline(registry=self.registry)
         return self._pipeline
+
+    @property
+    def ekyc(self):
+        """The EKYCPipeline (SCRFD + face_id + heads), built on first
+        EkycVerify — same lazy rationale as `pipeline`."""
+        if self._ekyc is None:
+            with self._ekyc_lock:
+                if self._ekyc is None:
+                    from ..pipeline.ekyc_pipeline import EKYCPipeline
+
+                    self._ekyc = EKYCPipeline(registry=self.registry)
+        return self._ekyc
 
     def _detection_server(self):
         """Lazy double-buffered batch server for the streaming RPC."""
@@ -238,7 +254,6 @@ class FacePipelineServicer:
         self-describing), matching Triton's typed-tensor contract without
         a proto schema.
         """
-        import base64
         import io
 
         try:
@@ -393,6 +408,49 @@ class FacePipelineServicer:
             )
         return _json_bytes({"error": f"unknown action {action!r}"})
 
+    def ekyc_verify(self, payload: bytes) -> bytes:
+        """EkycVerify: ID-document vs selfie verification over the wire.
+
+        The reference planned this pipeline but shipped an empty struct
+        (ekyc_pipeline/pipeline.rs:3-6); here the full verify() flow is
+        servable.  Request JSON: {"card": <b64 image bytes>, "selfie":
+        <b64 image bytes>}.  Response: the EKYCResult fields (JSON error
+        contract on failure, like every unary verb).
+        """
+        try:
+            body = json.loads(payload.decode("utf-8"))
+            card = base64.b64decode(body["card"])
+            selfie = base64.b64decode(body["selfie"])
+        except Exception as e:
+            return _json_bytes({"error": f"bad EkycVerify request: {e}"})
+        try:
+            r = self.ekyc.verify(card, selfie)
+        except Exception as e:  # keep the JSON error contract, never UNKNOWN
+            return _json_bytes({"error": str(e)})
+
+        def opt(v, cast):
+            return None if v is None else cast(v)
+
+        return _json_bytes(
+            {
+                "similarity": float(r.similarity),
+                "same_person": bool(r.same_person),
+                "same_ekyc": bool(r.same_ekyc),
+                "card_face_found": bool(r.card_face_found),
+                "selfie_face_found": bool(r.selfie_face_found),
+                "selfie_mask": opt(r.selfie_mask, bool),
+                "selfie_quality": opt(r.selfie_quality, float),
+                "selfie_live_crop": opt(r.selfie_live_crop, bool),
+                "selfie_live_full": opt(r.selfie_live_full, bool),
+                "card_face_box": opt(
+                    r.card_face_box, lambda b: np.asarray(b).tolist()
+                ),
+                "selfie_face_box": opt(
+                    r.selfie_face_box, lambda b: np.asarray(b).tolist()
+                ),
+            }
+        )
+
     def model_statistics(self, payload: bytes) -> bytes:
         name = json.loads(payload or b"{}").get("name", "")
         try:
@@ -425,6 +483,7 @@ def _handlers(servicer: FacePipelineServicer):
         "ServerMetadata": servicer.server_metadata,
         "ModelMetadata": servicer.model_metadata,
         "TraceSetting": servicer.trace_setting,
+        "EkycVerify": servicer.ekyc_verify,
     }
     rpcs = {
         name: grpc.unary_unary_rpc_method_handler(
@@ -449,6 +508,7 @@ def serve(
     max_workers: int = 8,
     dynamic_batching: bool = False,
     batch_delay_ms: float = 2.0,
+    ekyc_pipeline=None,
 ):
     """Start a gRPC server; returns the grpc.Server (caller stops it).
 
@@ -473,6 +533,7 @@ def serve(
                     registry,
                     dynamic_batching=dynamic_batching,
                     batch_delay_ms=batch_delay_ms,
+                    ekyc_pipeline=ekyc_pipeline,
                 )
             ),
         )
@@ -549,7 +610,6 @@ class FacePipelineClient:
         return outs[0]
 
     def model_infer_multi(self, name: str, batch, **kwargs):
-        import base64
         import io
 
         buf = io.BytesIO()
@@ -567,6 +627,18 @@ class FacePipelineClient:
             np.load(io.BytesIO(base64.b64decode(o)), allow_pickle=False)
             for o in res["outputs"]
         ]
+
+    def ekyc_verify(self, card_bytes: bytes, selfie_bytes: bytes) -> dict:
+        """ID-document vs selfie verification (the eKYC pipeline's verify)."""
+        return self._call(
+            "EkycVerify",
+            _json_bytes(
+                {
+                    "card": base64.b64encode(card_bytes).decode("ascii"),
+                    "selfie": base64.b64encode(selfie_bytes).decode("ascii"),
+                }
+            ),
+        )
 
     def server_metadata(self) -> dict:
         return self._call("ServerMetadata", b"")

@@ -321,3 +321,42 @@ def test_model_infer_wire_round_trip(client):
 
     with pytest.raises(RuntimeError):
         client.model_infer("nonexistent_model", batch)
+
+
+def test_ekyc_verify_wire_round_trip():
+    """EkycVerify: the full eKYC verify flow served over the wire (the
+    reference planned this pipeline but shipped an empty struct)."""
+    from test_ekyc import _tiny_registry
+
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import EKYCPipeline
+
+    reg = _tiny_registry()
+    ekyc = EKYCPipeline(registry=reg, detector_image_size=(96, 96))
+    server = serve(None, reg, port=0, ekyc_pipeline=ekyc)
+    c = None
+    try:
+        c = FacePipelineClient("localhost", server._rsfd_port)
+        out = c.ekyc_verify(_jpeg(1), _jpeg(2))
+        assert "error" not in out
+        assert set(out) >= {
+            "similarity", "same_person", "same_ekyc",
+            "card_face_found", "selfie_face_found",
+        }
+        assert isinstance(out["similarity"], float)
+        if out["card_face_found"]:
+            assert len(out["card_face_box"]) == 5
+        # In-process oracle: the wire result must match verify() directly.
+        direct = ekyc.verify(_jpeg(1), _jpeg(2))
+        assert out["card_face_found"] == direct.card_face_found
+        assert out["same_person"] == direct.same_person
+        np.testing.assert_allclose(
+            out["similarity"], direct.similarity, atol=1e-5
+        )
+
+        # Bad request keeps the JSON error contract (never a raw UNKNOWN).
+        bad = c._call("EkycVerify", b"not json")
+        assert "error" in bad
+    finally:
+        if c is not None:
+            c.close()
+        server.stop(0)
