@@ -45,35 +45,63 @@ def export_detector(
     platforms: Optional[Sequence[str]] = None,
     **batched_kwargs,
 ) -> bytes:
-    """Serialize the batched serving graph of a RetinaFaceDetection.
+    """Serialize the batched serving graph of a detector.
 
-    Returns the artifact bytes (write them wherever the deployment keeps
-    models).  `stem`/`batched_kwargs` select the same configuration surface
-    as make_batched_fn; the exported input contract is that path's host
-    layout at (batch_size, H, W) — s4d: (B, H/4, W/4, 48) uint8.
+    Accepts any detector with the batched-fn duck type DetectionServer
+    serves (RetinaFaceDetection, SCRFDDetection).  Returns the artifact
+    bytes (write them wherever the deployment keeps models).
+    `stem`/`batched_kwargs` select the same configuration surface as
+    RetinaFaceDetection.make_batched_fn; the exported input contract is
+    that path's host layout at (batch_size, H, W) — s4d: (B, H/4, W/4, 48)
+    uint8.  Detectors without layout options (SCRFD) ignore `stem` and
+    export the natural (B, H, W, 3) uint8 contract.
     """
+    import inspect
+
     import jax.numpy as jnp
 
     from ..pipeline.detection import host_layout_shape
 
-    fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
+    image_size = tuple(
+        getattr(detector, "image_size", None) or detector.cfg.image_size
+    )
+    fn_params = inspect.signature(detector.make_batched_fn).parameters
+    if "stem" in fn_params:
+        fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
+        layout, imgs_shape = host_layout_shape(
+            image_size,
+            batch_size,
+            stem=stem,
+            pre_s2d=bool(batched_kwargs.get("pre_s2d")),
+        )
+    else:
+        if batched_kwargs:
+            raise ValueError(
+                f"{type(detector).__name__}.make_batched_fn takes no "
+                f"options; got {sorted(batched_kwargs)}"
+            )
+        fn = detector.make_batched_fn()
+        stem = "none"
+        layout, imgs_shape = host_layout_shape(image_size, batch_size)
     variables = detector.variables
-    aux = fn.fold(variables)
+    # Detectors without the fold/aux protocol export a trivial (empty) fold
+    # so the artifact layout — and prepare_variables' dtype recovery from
+    # fold.in_avals — stays uniform.
+    has_fold = hasattr(fn, "fold")
+    aux = fn.fold(variables) if has_fold else {}
     aux_flat, aux_tree = jax.tree_util.tree_flatten(aux)
 
-    layout, imgs_shape = host_layout_shape(
-        detector.cfg.image_size,
-        batch_size,
-        stem=stem,
-        pre_s2d=bool(batched_kwargs.get("pre_s2d")),
-    )
-
     def fold_plain(variables):
-        return jax.tree_util.tree_leaves(fn.fold(variables))
+        return jax.tree_util.tree_leaves(
+            fn.fold(variables) if has_fold else {}
+        )
 
     def main(variables, aux_flat, imgs, scales):
         aux_s = jax.tree_util.tree_unflatten(aux_tree, aux_flat)
-        out = fn.jitted(variables, aux_s, imgs, scales)
+        if has_fold:
+            out = fn.jitted(variables, aux_s, imgs, scales)
+        else:
+            out = fn(variables, imgs, scales)
         return out.det, out.kps, out.count
 
     kw = {"platforms": tuple(platforms)} if platforms else {}
@@ -89,9 +117,10 @@ def export_detector(
         "format": "rsfd-aot-v1",
         "framework_version": __version__,
         "batch_size": batch_size,
-        "image_size": list(detector.cfg.image_size),
+        "image_size": list(image_size),
         "layout": layout,
         "stem": stem,
+        "detector": type(detector).__name__,
         "backbone": getattr(detector.model, "backbone", None),
         "jax_version": jax.__version__,
     }

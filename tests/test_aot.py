@@ -158,3 +158,34 @@ def test_bf16_artifact_accepts_f32_checkpoint():
     d16, _, c16 = loaded(det_bf16.variables, x, scales)
     np.testing.assert_array_equal(np.asarray(c32), np.asarray(c16))
     np.testing.assert_allclose(np.asarray(d32), np.asarray(d16), atol=1e-3)
+
+
+def test_scrfd_export_roundtrip():
+    """The duck-typed export path: SCRFD's batched detect graph (no fold
+    protocol, natural layout) exports and re-hydrates with parity."""
+    from rs_face_detection_tpu.models.scrfd import init_scrfd
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
+
+    model, variables = init_scrfd(SIZE, width=8, seed=0)
+    sdet = SCRFDDetection(
+        model=model, variables=variables, image_size=SIZE,
+        confidence_threshold=0.4, registry=None,
+    )
+    blob = export_detector(sdet, batch_size=2)
+    loaded = load_detector(blob)
+    assert loaded.meta["layout"] == "none"
+    assert loaded.meta["detector"] == "SCRFDDetection"
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (2, SIZE[1], SIZE[0], 3), dtype=np.uint8)
+    )
+    scales = jnp.ones((2,), jnp.float32)
+    d, k, c = loaded(variables, imgs, scales)
+    ref = sdet.make_batched_fn()(variables, imgs, scales)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(ref.count))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref.det), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(ref.kps), atol=1e-4)
+
+    with pytest.raises(ValueError):
+        export_detector(sdet, batch_size=2, packed_heads=False)
