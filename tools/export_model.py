@@ -23,7 +23,7 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("out", help="artifact path to write")
     p.add_argument("--backbone", default="mobilenet025",
-                   choices=["mobilenet025", "resnet50"])
+                   choices=["mobilenet025", "resnet50", "scrfd"])
     p.add_argument("--size", default="640x640", help="WxH detector size")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--platform", default=None,
@@ -43,6 +43,48 @@ def main() -> int:
 
     w, h = (int(v) for v in args.size.lower().split("x"))
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.backbone == "scrfd":
+        # The eKYC detector: duck-typed export (natural layout, no stem).
+        from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
+
+        if args.checkpoint:
+            import jax
+
+            from rs_face_detection_tpu.models.checkpoint_io import (
+                build_from_meta,
+                load_imported,
+            )
+
+            loaded, meta = load_imported(args.checkpoint)
+            if meta is None or meta.get("family") != "scrfd":
+                raise SystemExit(
+                    f"{args.checkpoint} is not an imported scrfd checkpoint"
+                )
+            model, _template = build_from_meta(meta)
+            variables = jax.tree.map(jnp.asarray, loaded)
+        else:
+            from rs_face_detection_tpu.models.scrfd import init_scrfd
+
+            model, variables = init_scrfd((w, h), dtype=dt, seed=0)
+        if dt == jnp.bfloat16:
+            variables = cast_kernels(variables)
+        sdet = SCRFDDetection(
+            model=model, variables=variables, image_size=(w, h), registry=None
+        )
+        platforms = (args.platform,) if args.platform else None
+        blob = export_detector(
+            sdet, batch_size=args.batch, platforms=platforms
+        )
+        with open(args.out, "wb") as f:
+            f.write(blob)
+        print(
+            f"wrote {args.out}: {len(blob)} bytes "
+            f"(scrfd {w}x{h} b{args.batch} "
+            f"platform={args.platform or 'current'})"
+        )
+        return 0
+
     cfg = FaceDetectionConfig(backbone=args.backbone, image_size=(w, h))
     model, variables = init_retinaface(
         args.backbone, (w, h), dtype=dt, seed=0,
