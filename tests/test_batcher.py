@@ -138,3 +138,51 @@ def test_cancelled_future_does_not_kill_worker(server):
         # Worker survived; a fresh batch still works.
         boxes2, _ = batcher.detect(img, timeout=120)
         assert boxes2.ndim == 2
+
+
+def test_batcher_over_scrfd_server():
+    """The batcher is detector-agnostic: an SCRFD DetectionServer coalesces
+    concurrent submits with per-image parity, like the RetinaFace one."""
+    from rs_face_detection_tpu.models.scrfd import init_scrfd
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
+
+    model, variables = init_scrfd((64, 64), width=8, seed=0)
+    det = SCRFDDetection(
+        model=model, variables=variables, image_size=(64, 64),
+        confidence_threshold=0.4, registry=None,
+    )
+    srv = DetectionServer(det, batch_size=4, use_native_loader=False)
+    srv.detect_batch([np.zeros((64, 64, 3), np.uint8)])  # pre-compile
+
+    rng = np.random.default_rng(9)
+    imgs = [
+        rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        for _ in range(8)
+    ]
+    expected = [det(im) for im in imgs]
+    with DynamicBatcher(srv, max_delay_ms=50.0) as batcher:
+        start = threading.Barrier(8)
+
+        futs = [None] * len(imgs)
+
+        def submit(i):
+            start.wait()
+            futs[i] = batcher.submit(imgs[i])
+
+        threads = [
+            threading.Thread(target=submit, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, fut in enumerate(futs):
+            boxes, kps = fut.result(timeout=120)
+            np.testing.assert_allclose(
+                boxes, expected[i][0], rtol=1e-4, atol=1e-3
+            )
+            np.testing.assert_allclose(
+                kps, expected[i][1], rtol=1e-4, atol=1e-3
+            )
+        stats = batcher.stats()
+    assert stats["batches"] < 8  # coalescing actually happened
