@@ -1,0 +1,161 @@
+"""Test-time augmentation: multi-scale + horizontal-flip detection with
+box voting — the published WIDER FACE evaluation protocol.
+
+The reference crate serves single-scale 640x640 only
+(/root/reference/src/pipeline/face_pipeline/config.rs:27), but the WIDER
+numbers its models trace back to (BASELINE.md accuracy north star) are
+produced with multi-scale + flip TTA and bbox voting (the RetinaFace
+paper's test protocol).  This module supplies that protocol TPU-first:
+
+  - every scale is its own STATIC detector graph (RetinaFaceDetection /
+    SCRFDDetection already parameterize by image_size, sharing one set of
+    weights — fully convolutional), so XLA never sees a dynamic shape;
+  - the flip pass reuses the same compiled graphs on the mirrored image,
+    and detections are un-flipped on host (including the left/right
+    landmark identity swap);
+  - merging runs on host numpy over the post-NMS survivors (tens of rows),
+    either plain cross-scale NMS or score-weighted box voting.
+
+Offline-evaluation path: the serving hot loop stays single-scale.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+#: 5-point landmark left/right identity swap under horizontal flip:
+#: [left_eye, right_eye, nose, left_mouth, right_mouth] (image.rs:41-67).
+_FLIP_LANDMARK_ORDER = (1, 0, 2, 4, 3)
+
+
+def flip_detections(
+    boxes: np.ndarray, kps: np.ndarray, width: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Map detections on the mirrored image back to original coordinates.
+
+    Boxes use the reference's inclusive "+1" convention, so column i maps
+    to (width - 1 - i): x1' = W-1-x2, x2' = W-1-x1.  Landmark x reflects
+    the same way, and the left/right-eye and mouth-corner identities swap.
+    """
+    boxes = np.asarray(boxes, np.float32).copy()
+    kps = np.asarray(kps, np.float32).copy()
+    if boxes.size:
+        x1 = boxes[:, 0].copy()
+        boxes[:, 0] = width - 1.0 - boxes[:, 2]
+        boxes[:, 2] = width - 1.0 - x1
+    if kps.size:
+        kps[..., 0] = width - 1.0 - kps[..., 0]
+        kps = kps[:, _FLIP_LANDMARK_ORDER, :]
+    return boxes, kps
+
+
+def bbox_vote(
+    dets: np.ndarray,
+    kps: Optional[np.ndarray] = None,
+    iou_threshold: float = 0.4,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Score-weighted box voting over (N, 5) rows (RetinaFace test protocol).
+
+    Greedy over descending scores: each round takes the top-scoring box,
+    collects every box with IoU >= iou_threshold ("+1" areas, matching
+    ops.nms semantics), replaces the group by the score-weighted average of
+    its coordinates with the group's max score, and removes it.  Landmarks
+    (if given) keep the top-scoring member's points — averaging landmarks
+    across flipped/rescaled duplicates would smear asymmetric faces.
+    """
+    dets = np.asarray(dets, np.float32)
+    if dets.shape[0] == 0:
+        return dets.reshape(0, 5), (
+            None if kps is None else np.zeros((0, 5, 2), np.float32)
+        )
+    if kps is not None:
+        kps = np.asarray(kps, np.float32)
+    order = np.argsort(-dets[:, 4], kind="stable")
+    dets = dets[order]
+    kps = None if kps is None else kps[order]
+
+    out_rows: List[np.ndarray] = []
+    out_kps: List[np.ndarray] = []
+    while dets.shape[0]:
+        box = dets[0]
+        xx1 = np.maximum(box[0], dets[:, 0])
+        yy1 = np.maximum(box[1], dets[:, 1])
+        xx2 = np.minimum(box[2], dets[:, 2])
+        yy2 = np.minimum(box[3], dets[:, 3])
+        w = np.maximum(0.0, xx2 - xx1 + 1.0)
+        h = np.maximum(0.0, yy2 - yy1 + 1.0)
+        inter = w * h
+        area = lambda b: (b[..., 2] - b[..., 0] + 1.0) * (
+            b[..., 3] - b[..., 1] + 1.0
+        )
+        iou = inter / (area(box) + area(dets) - inter)
+        group = iou >= iou_threshold
+        members = dets[group]
+        weights = members[:, 4:5]
+        merged = np.empty((5,), np.float32)
+        merged[:4] = (members[:, :4] * weights).sum(0) / weights.sum()
+        merged[4] = members[:, 4].max()
+        out_rows.append(merged)
+        if kps is not None:
+            out_kps.append(kps[np.argmax(group)])  # top-scoring member
+        dets = dets[~group]
+        kps = None if kps is None else kps[~group]
+    merged_dets = np.stack(out_rows)
+    merged_kps = None if kps is None else np.stack(out_kps)
+    return merged_dets, merged_kps
+
+
+class TTADetection:
+    """Multi-scale + flip wrapper over per-size compiled detectors.
+
+    detectors: one per scale, sharing weights (build them with the same
+    model/variables at different cfg.image_size — e.g. via
+    MultiScaleDetection.detectors.values(), or pass a single detector for
+    flip-only TTA).  merge: "vote" (bbox_vote, the published protocol) or
+    "nms" (plain cross-scale greedy NMS).
+    """
+
+    def __init__(
+        self,
+        detectors: Sequence,
+        flip: bool = True,
+        merge: str = "vote",
+        merge_iou: float = 0.4,
+    ) -> None:
+        if merge not in ("vote", "nms"):
+            raise ValueError(f"merge={merge!r} not in ('vote', 'nms')")
+        if not detectors:
+            raise ValueError("need at least one detector")
+        self.detectors = list(detectors)
+        self.flip = flip
+        self.merge = merge
+        self.merge_iou = merge_iou
+
+    def __call__(
+        self, image_bgr: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        width = image_bgr.shape[1]
+        flipped = image_bgr[:, ::-1] if self.flip else None
+        all_d: List[np.ndarray] = []
+        all_k: List[np.ndarray] = []
+        for det in self.detectors:
+            d, k = det(image_bgr)
+            all_d.append(np.asarray(d).reshape(-1, 5))
+            all_k.append(np.asarray(k).reshape(-1, 5, 2))
+            if flipped is not None:
+                d2, k2 = det(np.ascontiguousarray(flipped))
+                d2, k2 = flip_detections(d2, k2, width)
+                all_d.append(d2.reshape(-1, 5))
+                all_k.append(k2.reshape(-1, 5, 2))
+        dets = np.concatenate(all_d, axis=0)
+        kps = np.concatenate(all_k, axis=0)
+        if self.merge == "vote":
+            return bbox_vote(dets, kps, self.merge_iou)
+        from ..ops.nms import nms_numpy
+
+        order = np.argsort(-dets[:, 4], kind="stable")
+        dets, kps = dets[order], kps[order]
+        keep = nms_numpy(dets, self.merge_iou)
+        return dets[keep], kps[keep]

@@ -93,9 +93,63 @@ def build_scrfd_detector(args):
     return SCRFDDetection(model=model, variables=variables, image_size=size)
 
 
+def wrap_tta(det, args):
+    """Multi-scale + flip TTA (the published WIDER protocol): one compiled
+    detector per size in --tta-sizes, sharing the base detector's weights."""
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
+    from rs_face_detection_tpu.pipeline.tta import TTADetection
+
+    sizes = sorted(
+        {int(s) for s in args.tta_sizes.split(",")} | {args.size}
+    )
+    detectors = [det]
+    for s in sizes:
+        if (s, s) == tuple(
+            getattr(det, "image_size", None) or det.cfg.image_size
+        ):
+            continue
+        if isinstance(det, SCRFDDetection):
+            detectors.append(
+                SCRFDDetection(
+                    model=det.model, variables=det.variables,
+                    image_size=(s, s), nms_mode=det.nms_mode, registry=None,
+                )
+            )
+        else:
+            import dataclasses
+
+            from rs_face_detection_tpu.pipeline.detection import (
+                RetinaFaceDetection,
+            )
+
+            detectors.append(
+                RetinaFaceDetection(
+                    dataclasses.replace(det.cfg, image_size=(s, s)),
+                    model=det.model, variables=det.variables,
+                    nms_mode=det.nms_mode,
+                )
+            )
+    return TTADetection(detectors, flip=True, merge="vote")
+
+
 def make_detect_many(det, args):
     """Batched path-list detector: DetectionServer stream over file bytes."""
     import numpy as np
+
+    if args.tta:
+        # TTA runs several per-image graphs + host merging — the accuracy
+        # protocol path, not the batched serving path.
+        tta = wrap_tta(det, args)
+        import cv2
+
+        def detect_many(paths):
+            for p in paths:
+                img = cv2.imread(p)
+                if img is None:
+                    raise FileNotFoundError(p)
+                yield tta(img)
+
+        return detect_many
 
     if args.no_batched:
         import cv2
@@ -155,6 +209,18 @@ def main() -> int:
         "--no-batched",
         action="store_true",
         help="bypass DetectionServer; run images one by one",
+    )
+    parser.add_argument(
+        "--tta",
+        action="store_true",
+        help="multi-scale + flip TTA with bbox voting (the published WIDER "
+        "protocol; implies per-image detection)",
+    )
+    parser.add_argument(
+        "--tta-sizes",
+        default="640,1280",
+        help="comma list of square detector sizes for --tta (the base "
+        "--size is always included)",
     )
     args = parser.parse_args()
 
