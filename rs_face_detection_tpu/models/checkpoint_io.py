@@ -397,19 +397,16 @@ def _assert_tree_compatible(template: Any, loaded: Any, name: str) -> None:
             )
 
 
-def maybe_serve_checkpoint(
-    name: str, expect_family: Optional[str] = None, **overrides: Any
-) -> Optional[Tuple[Any, Any]]:
-    """Registry-builder hook: serve `<name>.npz` from RSFD_CHECKPOINT_DIR.
+def load_imported_model(
+    path: str, expect_family: Optional[str] = None, **overrides: Any
+) -> Tuple[Any, Any]:
+    """(model, variables) from a tools/import_checkpoint.py .npz at an
+    explicit path — the registry-dir-independent sibling of
+    maybe_serve_checkpoint, shared by the eval/export CLIs.
 
-    Returns (model, variables) with the architecture rebuilt from the file's
-    meta (or None when no checkpoint is present).  Files without meta cannot
-    reconstruct an architecture and raise — re-import them through
-    tools/import_checkpoint.py.
+    Files without meta cannot reconstruct an architecture and raise —
+    re-import them through tools/import_checkpoint.py.
     """
-    path = registry_checkpoint_path(name)
-    if path is None:
-        return None
     loaded, meta = load_imported(path)
     if meta is None:
         raise ValueError(
@@ -418,9 +415,23 @@ def maybe_serve_checkpoint(
         )
     if expect_family is not None and meta.get("family") != expect_family:
         raise ValueError(
-            f"{path} holds a {meta.get('family')!r} model but "
-            f"{name!r} expects {expect_family!r}"
+            f"{path} holds a {meta.get('family')!r} model but the caller "
+            f"expects {expect_family!r}"
         )
     model, template = build_from_meta(meta, **overrides)
-    _assert_tree_compatible(template, loaded, name)
+    _assert_tree_compatible(template, loaded, path)
     return model, jax.tree.map(jnp.asarray, loaded)
+
+
+def maybe_serve_checkpoint(
+    name: str, expect_family: Optional[str] = None, **overrides: Any
+) -> Optional[Tuple[Any, Any]]:
+    """Registry-builder hook: serve `<name>.npz` from RSFD_CHECKPOINT_DIR.
+
+    Returns (model, variables) with the architecture rebuilt from the file's
+    meta (or None when no checkpoint is present).
+    """
+    path = registry_checkpoint_path(name)
+    if path is None:
+        return None
+    return load_imported_model(path, expect_family=expect_family, **overrides)

@@ -25,9 +25,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..configs import FaceDetectionConfig
 from ..ops.image import letterbox_geometry
-from ..pipeline.detection import PaddedDetections, RetinaFaceDetection
+from ..pipeline.detection import (
+    PaddedDetections,
+    RetinaFaceDetection,
+    build_batched_fn,
+    detector_image_size,
+    resolve_fold,
+)
 from ..utils.image_io import decode_image_bytes
 
 try:  # pragma: no cover - environment probe
@@ -74,10 +79,7 @@ class DetectionServer:
     ) -> None:
         self.detector = detector or RetinaFaceDetection()
         self.cfg = getattr(self.detector, "cfg", None)
-        self.image_size: Tuple[int, int] = tuple(
-            getattr(self.detector, "image_size", None)
-            or self.detector.cfg.image_size
-        )
+        self.image_size: Tuple[int, int] = detector_image_size(self.detector)
         self.batch_size = batch_size
         self.mesh = mesh
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
@@ -115,20 +117,9 @@ class DetectionServer:
             and height % 2 == 0
         )
         self._layout = "s4d" if s4d else ("s2d" if pre_s2d else "none")
-        import inspect
-
-        fn_params = inspect.signature(
-            self.detector.make_batched_fn
-        ).parameters
-        if "stem" in fn_params:
-            base_fn = self.detector.make_batched_fn(
-                pre_s2d=pre_s2d, stem="s4d" if s4d else "xla"
-            )
-        else:
-            # Detectors without layout options (SCRFD) take the natural
-            # (B, H, W, 3) layout.
-            assert self._layout == "none"
-            base_fn = self.detector.make_batched_fn()
+        base_fn = build_batched_fn(
+            self.detector, stem="s4d" if s4d else "xla", pre_s2d=pre_s2d
+        )
         if mesh is not None:
             if batch_size % mesh.shape["data"]:
                 raise ValueError(
@@ -137,19 +128,12 @@ class DetectionServer:
                 )
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
-            if hasattr(base_fn, "fold"):
-                # Fold the dense-front constants ONCE (see make_batched_fn's
-                # aux protocol) and replicate them; folding inside the
-                # sharded graph would re-run it on every batch.
-                self._aux = jax.device_put(
-                    base_fn.fold(self.detector.variables), repl
-                )
-                inner = base_fn.jitted
-            else:
-                self._aux = ()
-                inner = lambda variables, aux, imgs, scales: base_fn(
-                    variables, imgs, scales
-                )
+            # Fold the dense-front constants ONCE (see make_batched_fn's
+            # aux protocol) and replicate them; folding inside the sharded
+            # graph would re-run it on every batch.  Plain batched fns get
+            # the trivial empty fold (pipeline.detection.resolve_fold).
+            fold, inner = resolve_fold(base_fn)
+            self._aux = jax.device_put(fold(self.detector.variables), repl)
             self._fn = jax.jit(
                 lambda variables, aux, imgs, scales: inner(
                     variables, aux, imgs, scales

@@ -90,6 +90,54 @@ def decode_level_outputs(
     )
 
 
+def detector_image_size(detector) -> Tuple[int, int]:
+    """The (width, height) static input size of a duck-typed detector.
+
+    The one place the informal detector contract's size lookup lives
+    (RetinaFaceDetection carries cfg.image_size; SCRFDDetection an
+    image_size attribute) — shared by DetectionServer, the AOT exporter,
+    and the TTA wrapper so their probes cannot drift.
+    """
+    size = getattr(detector, "image_size", None)
+    if size is None:
+        size = detector.cfg.image_size
+    return tuple(size)
+
+
+def build_batched_fn(detector, *, stem: str = "xla", pre_s2d: bool = False):
+    """make_batched_fn via signature probe (the duck-type dispatch).
+
+    Detectors without layout options (SCRFDDetection) are called bare and
+    only support the natural (B, H, W, 3) layout.
+    """
+    import inspect
+
+    params = inspect.signature(detector.make_batched_fn).parameters
+    if "stem" in params:
+        return detector.make_batched_fn(pre_s2d=pre_s2d, stem=stem)
+    if stem != "xla" or pre_s2d:
+        raise ValueError(
+            f"{type(detector).__name__}.make_batched_fn has no layout "
+            f"options; stem={stem!r}/pre_s2d={pre_s2d} unsupported"
+        )
+    return detector.make_batched_fn()
+
+
+def resolve_fold(fn):
+    """(fold, inner) for make_batched_fn's hoisted-fold aux protocol.
+
+    Plain batched callables (no .fold/.jitted) get a trivial empty fold so
+    consumers (sharded serving, the AOT exporter) handle both uniformly:
+    inner always takes (variables, aux, imgs, scales).
+    """
+    if hasattr(fn, "fold"):
+        return fn.fold, fn.jitted
+    return (
+        lambda variables: {},
+        lambda variables, aux, imgs, scales: fn(variables, imgs, scales),
+    )
+
+
 def host_layout_shape(
     image_size, batch_size: int, stem: str = "xla", pre_s2d: bool = False
 ):

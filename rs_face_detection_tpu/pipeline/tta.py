@@ -92,6 +92,9 @@ def bbox_vote(
         )
         iou = inter / (area(box) + area(dets) - inter)
         group = iou >= iou_threshold
+        # A degenerate top box (zero "+1" area or NaN coords) has NaN
+        # self-IoU; always consume it so the greedy loop stays total.
+        group[0] = True
         members = dets[group]
         weights = members[:, 4:5]
         merged = np.empty((5,), np.float32)
@@ -136,19 +139,35 @@ class TTADetection:
     def __call__(
         self, image_bgr: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
+        # Letterbox on HOST to each detector's static size, so every scale
+        # compiles exactly ONE graph (source shape == detector size)
+        # regardless of how many distinct input resolutions the dataset
+        # has — the in-graph letterbox is shape-specialized per source
+        # (H, W), which on a WIDER-sized shape zoo would mean hundreds of
+        # full-model compiles per scale.
+        from ..pipeline.detection import detector_image_size
+        from ..parallel.serving import letterbox_host
+
         width = image_bgr.shape[1]
-        flipped = image_bgr[:, ::-1] if self.flip else None
+        flipped = (
+            np.ascontiguousarray(image_bgr[:, ::-1]) if self.flip else None
+        )
         all_d: List[np.ndarray] = []
         all_k: List[np.ndarray] = []
         for det in self.detectors:
-            d, k = det(image_bgr)
-            all_d.append(np.asarray(d).reshape(-1, 5))
-            all_k.append(np.asarray(k).reshape(-1, 5, 2))
-            if flipped is not None:
-                d2, k2 = det(np.ascontiguousarray(flipped))
-                d2, k2 = flip_detections(d2, k2, width)
-                all_d.append(d2.reshape(-1, 5))
-                all_k.append(k2.reshape(-1, 5, 2))
+            dw, dh = detector_image_size(det)
+            for src, is_flip in ((image_bgr, False), (flipped, True)):
+                if src is None:
+                    continue
+                padded, scale = letterbox_host(src, dw, dh)
+                d, k = det(padded)  # det_scale 1: already detector-sized
+                d = np.asarray(d, np.float32).reshape(-1, 5).copy()
+                k = np.asarray(k, np.float32).reshape(-1, 5, 2) / scale
+                d[:, :4] /= scale
+                if is_flip:
+                    d, k = flip_detections(d, k, width)
+                all_d.append(d)
+                all_k.append(k)
         dets = np.concatenate(all_d, axis=0)
         kps = np.concatenate(all_k, axis=0)
         if self.merge == "vote":

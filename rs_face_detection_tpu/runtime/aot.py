@@ -60,11 +60,13 @@ def export_detector(
 
     import jax.numpy as jnp
 
-    from ..pipeline.detection import host_layout_shape
-
-    image_size = tuple(
-        getattr(detector, "image_size", None) or detector.cfg.image_size
+    from ..pipeline.detection import (
+        detector_image_size,
+        host_layout_shape,
+        resolve_fold,
     )
+
+    image_size = detector_image_size(detector)
     fn_params = inspect.signature(detector.make_batched_fn).parameters
     if "stem" in fn_params:
         fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
@@ -85,23 +87,18 @@ def export_detector(
         layout, imgs_shape = host_layout_shape(image_size, batch_size)
     variables = detector.variables
     # Detectors without the fold/aux protocol export a trivial (empty) fold
-    # so the artifact layout — and prepare_variables' dtype recovery from
-    # fold.in_avals — stays uniform.
-    has_fold = hasattr(fn, "fold")
-    aux = fn.fold(variables) if has_fold else {}
+    # (pipeline.detection.resolve_fold) so the artifact layout — and
+    # prepare_variables' dtype recovery from fold.in_avals — stays uniform.
+    fold, inner = resolve_fold(fn)
+    aux = fold(variables)
     aux_flat, aux_tree = jax.tree_util.tree_flatten(aux)
 
     def fold_plain(variables):
-        return jax.tree_util.tree_leaves(
-            fn.fold(variables) if has_fold else {}
-        )
+        return jax.tree_util.tree_leaves(fold(variables))
 
     def main(variables, aux_flat, imgs, scales):
         aux_s = jax.tree_util.tree_unflatten(aux_tree, aux_flat)
-        if has_fold:
-            out = fn.jitted(variables, aux_s, imgs, scales)
-        else:
-            out = fn(variables, imgs, scales)
+        out = inner(variables, aux_s, imgs, scales)
         return out.det, out.kps, out.count
 
     kw = {"platforms": tuple(platforms)} if platforms else {}

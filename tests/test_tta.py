@@ -71,6 +71,17 @@ def test_bbox_vote_empty():
     assert merged.shape == (0, 5) and mkps is None
 
 
+def test_bbox_vote_degenerate_box_total():
+    """A zero-'+1'-area box has NaN self-IoU; the greedy loop must still
+    consume it instead of crashing on an empty group (review finding)."""
+    dets = np.array(
+        [[10, 10, 9, 9, 0.9], [20, 20, 40, 40, 0.5]], np.float32
+    )
+    merged, _ = bbox_vote(dets, None, iou_threshold=0.4)
+    assert merged.shape == (2, 5)
+    np.testing.assert_allclose(merged[1], dets[1], atol=1e-5)
+
+
 def test_tta_flip_invariance_and_fixture_face():
     """On the committed real-photo fixture: TTA(flip=True) re-finds the
     trained face, and its output is invariant to mirroring the input."""
@@ -124,6 +135,8 @@ def test_tta_nms_merge_mode():
     )
 
     class Fake:
+        image_size = (64, 64)  # duck-typed static size (host letterbox)
+
         def __call__(self, img):
             return dets.copy(), np.zeros((2, 5, 2), np.float32)
 

@@ -61,26 +61,19 @@ def build_scrfd_detector(args):
     """The eKYC pipeline's SCRFD detector (insightface's WIDER-trained
     family): --checkpoint takes a tools/import_checkpoint.py .npz; without
     one, $RSFD_CHECKPOINT_DIR/scrfd.npz is served if present."""
-    import jax
     import jax.numpy as jnp
 
     from rs_face_detection_tpu.models.checkpoint_io import (
-        build_from_meta,
-        load_imported,
+        load_imported_model,
         maybe_serve_checkpoint,
     )
     from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
 
     size = (args.size, args.size)
     if args.checkpoint:
-        loaded, meta = load_imported(args.checkpoint)
-        if meta is None or meta.get("family") != "scrfd":
-            raise ValueError(
-                f"{args.checkpoint} is not an imported scrfd checkpoint "
-                "(re-create it with tools/import_checkpoint.py)"
-            )
-        model, _template = build_from_meta(meta)
-        variables = jax.tree.map(jnp.asarray, loaded)
+        model, variables = load_imported_model(
+            args.checkpoint, expect_family="scrfd"
+        )
     else:
         served = maybe_serve_checkpoint("scrfd", expect_family="scrfd")
         if served is not None:
@@ -109,10 +102,15 @@ def wrap_tta(det, args):
         ):
             continue
         if isinstance(det, SCRFDDetection):
+            sel = det._sel_cfg  # the base detector's select/NMS settings
             detectors.append(
                 SCRFDDetection(
                     model=det.model, variables=det.variables,
                     image_size=(s, s), nms_mode=det.nms_mode, registry=None,
+                    confidence_threshold=sel.confidence_threshold,
+                    iou_threshold=sel.iou_threshold,
+                    max_candidates=sel.max_candidates,
+                    max_detections=sel.max_detections,
                 )
             )
         else:
@@ -275,7 +273,9 @@ def main() -> int:
         )
         return 0
 
-    if args.no_batched:
+    if args.no_batched and not args.tta:
+        # (--tta goes through make_detect_many, which honors it — this
+        # branch would silently run single-scale.)
         def detector(img):
             boxes, kps = det(img)
             return np.asarray(boxes, np.float32).reshape(-1, 5), kps

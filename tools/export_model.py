@@ -49,20 +49,13 @@ def main() -> int:
         from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
 
         if args.checkpoint:
-            import jax
-
             from rs_face_detection_tpu.models.checkpoint_io import (
-                build_from_meta,
-                load_imported,
+                load_imported_model,
             )
 
-            loaded, meta = load_imported(args.checkpoint)
-            if meta is None or meta.get("family") != "scrfd":
-                raise SystemExit(
-                    f"{args.checkpoint} is not an imported scrfd checkpoint"
-                )
-            model, _template = build_from_meta(meta)
-            variables = jax.tree.map(jnp.asarray, loaded)
+            model, variables = load_imported_model(
+                args.checkpoint, expect_family="scrfd"
+            )
         else:
             from rs_face_detection_tpu.models.scrfd import init_scrfd
 
