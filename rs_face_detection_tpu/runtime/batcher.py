@@ -31,17 +31,36 @@ _SENTINEL = object()
 
 
 class DynamicBatcher:
-    """Coalesces concurrent single-image detect requests into device batches.
+    """Coalesces concurrent single-item requests into device batches.
 
     Args:
       server: a parallel.serving.DetectionServer (its batch_size caps the
         coalesced batch; its letterbox/layout/jit pipeline does the work).
       max_delay_ms: how long the worker waits for more requests after the
         first one of a batch.  0 batches only what is already queued.
+      batch_fn / batch_size: generic alternative to `server` — any
+        callable taking a list of payloads and returning one result per
+        payload (e.g. FacePipeline.extract_batch), with the static batch
+        cap to coalesce to.  When `server` is given they default to its
+        detect_batch / batch_size.
     """
 
-    def __init__(self, server, max_delay_ms: float = 2.0) -> None:
+    def __init__(
+        self,
+        server=None,
+        max_delay_ms: float = 2.0,
+        *,
+        batch_fn=None,
+        batch_size: Optional[int] = None,
+    ) -> None:
         self._server = server
+        if server is not None:
+            batch_fn = batch_fn or server.detect_batch
+            batch_size = batch_size or server.batch_size
+        if batch_fn is None or not batch_size:
+            raise ValueError("need a server or (batch_fn, batch_size)")
+        self._batch_fn = batch_fn
+        self._batch_size = int(batch_size)
         self._max_delay = max(0.0, float(max_delay_ms)) / 1000.0
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._closed = threading.Event()
@@ -110,7 +129,7 @@ class DynamicBatcher:
         most max_delay for the rest.  Returns (items, saw_sentinel)."""
         items = [first]
         deadline = time.monotonic() + self._max_delay
-        while len(items) < self._server.batch_size:
+        while len(items) < self._batch_size:
             remaining = deadline - time.monotonic()
             try:
                 nxt = (
@@ -149,13 +168,13 @@ class DynamicBatcher:
             return
         payloads = [p for p, _ in items]
         try:
-            results = self._server.detect_batch(payloads)
+            results = self._batch_fn(payloads)
         except Exception:
             # One bad payload must not sink its batch neighbors: retry each
             # request alone so the exception lands only on the culprit(s).
             for p, fut in items:
                 try:
-                    self._resolve(fut, self._server.detect_batch([p])[0])
+                    self._resolve(fut, self._batch_fn([p])[0])
                 except Exception as e:
                     self._resolve(fut, exc=e)
         else:
@@ -184,6 +203,6 @@ class DynamicBatcher:
             if nxt is not _SENTINEL:
                 leftovers.append(nxt)
         while leftovers:
-            chunk = leftovers[: self._server.batch_size]
-            leftovers = leftovers[self._server.batch_size :]
+            chunk = leftovers[: self._batch_size]
+            leftovers = leftovers[self._batch_size :]
             self._run_batch(chunk)

@@ -87,6 +87,7 @@ class FacePipelineServicer:
         self._batch_delay_ms = batch_delay_ms
         self._batcher = None
         self._batcher_lock = threading.Lock()
+        self._extract_batcher_obj = None
         self._ekyc = ekyc_pipeline  # None -> built lazily on EkycVerify
         self._ekyc_lock = threading.Lock()
 
@@ -131,10 +132,35 @@ class FacePipelineServicer:
             )
         return self._stream_server
 
+    def _extract_batcher(self):
+        """Lazy shared DynamicBatcher over FacePipeline.extract_batch.
+
+        The Triton deployment would dynamic-batch EVERY model; here the
+        Extract verb coalesces through the pipeline's throughput path
+        (2 device dispatches per batch).  Note extract_batch's documented
+        sampling difference: face crops are warped from the letterboxed
+        canvas, so very large inputs are sampled at detector resolution.
+        """
+        if self._extract_batcher_obj is None:
+            pipeline = self.pipeline  # resolve OUTSIDE the lock (see above)
+            with self._batcher_lock:
+                if self._extract_batcher_obj is None:
+                    from .batcher import DynamicBatcher
+
+                    self._extract_batcher_obj = DynamicBatcher(
+                        max_delay_ms=self._batch_delay_ms,
+                        batch_fn=pipeline.extract_batch,
+                        batch_size=self._stream_batch_size,
+                    )
+        return self._extract_batcher_obj
+
     def extract(self, payload: bytes) -> bytes:
         try:
-            result = self.pipeline.extract(payload)
-        except ValueError as e:
+            if self._dynamic_batching:
+                result = self._extract_batcher().submit(payload).result()
+            else:
+                result = self.pipeline.extract(payload)
+        except Exception as e:
             return _json_bytes({"error": str(e)})
         return _json_bytes(
             {
@@ -338,6 +364,10 @@ class FacePipelineServicer:
         if self._batcher is not None:
             # Coalescing counters (the Triton batching-statistics analog).
             meta["dynamic_batching_stats"] = self._batcher.stats()
+        if self._extract_batcher_obj is not None:
+            meta["extract_dynamic_batching_stats"] = (
+                self._extract_batcher_obj.stats()
+            )
         return _json_bytes(meta)
 
     def model_metadata(self, payload: bytes) -> bytes:

@@ -360,3 +360,77 @@ def test_ekyc_verify_wire_round_trip():
         if c is not None:
             c.close()
         server.stop(0)
+
+
+def test_extract_wire_round_trip_with_dynamic_batching():
+    """serve(dynamic_batching=True): concurrent Extract calls coalesce
+    through FacePipeline.extract_batch (the 2-dispatch throughput path)
+    with the same JSON contract; ServerMetadata reports its counters."""
+    import threading
+
+    from conftest import attach_fast_head_builders
+
+    reg = ModelRegistry()
+    _attach_standard_builders(reg)
+    attach_fast_head_builders(reg)
+
+    def small_detection_builder():
+        from rs_face_detection_tpu.models.retinaface import init_retinaface
+
+        model, variables = init_retinaface("mobilenet025", (64, 64), seed=0)
+        return (
+            ModelSpec("face_detection_retina", (64, 64, 3), "maps"),
+            model,
+            variables,
+        )
+
+    reg.register_builder("face_detection_retina", small_detection_builder)
+    cfg = FacePipelineConfig(
+        detection=FaceDetectionConfig(
+            image_size=(64, 64),
+            confidence_threshold=0.3,
+            max_candidates=64,
+            max_detections=16,
+        )
+    )
+    pipeline = FacePipeline(cfg, registry=reg)
+    server = serve(
+        pipeline, reg, port=0, max_workers=8,
+        dynamic_batching=True, batch_delay_ms=25.0,
+    )
+    try:
+        c = FacePipelineClient("localhost", server._rsfd_port)
+        first = c.extract(_jpeg(0))  # compile the batch graphs pre-burst
+        assert "face_count" in first, first
+
+        outs = [None] * 8
+        start = threading.Barrier(4)
+
+        def client_thread(w):
+            start.wait()
+            for i in range(w, len(outs), 4):
+                outs[i] = c.extract(_jpeg(200 + i))
+
+        threads = [
+            threading.Thread(target=client_thread, args=(w,))
+            for w in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for out in outs:
+            assert "face_count" in out and "error" not in out, out
+
+        # Garbage bytes keep the JSON error contract through the batcher
+        # (per-item retry isolates the failure).
+        bad = c.extract(b"not an image")
+        assert "error" in bad
+
+        meta = c.server_metadata()
+        stats = meta["extract_dynamic_batching_stats"]
+        assert stats["requests"] >= 10
+        assert any(int(k) > 1 for k in stats["batch_size_counts"])
+        c.close()
+    finally:
+        server.stop(0)
