@@ -220,6 +220,17 @@ def main() -> int:
     )
     args = parser.parse_args()
 
+    t_start = time.perf_counter()
+    # Aux time budget: the headline fields always complete, but each aux
+    # block (vit / embed / scrfd / high-res / int8) first checks the
+    # remaining wall-clock budget so a slow remote-compile day cannot run
+    # the bench into a driver timeout (which would lose the WHOLE JSON
+    # line, not just the aux fields).
+    budget_s = float(os.environ.get("RSFD_BENCH_BUDGET_S", "2400"))
+
+    def over_budget() -> bool:
+        return time.perf_counter() - t_start > budget_s
+
     pin = os.environ.get("RSFD_MNET_PACKED")
     candidates = dict(MNET_PACKED_CANDIDATES)
     if pin is not None and pin != "default" and pin not in candidates:
@@ -408,6 +419,10 @@ def main() -> int:
         # the production eKYC anti-spoofing model at 224^2 batch 8 — proof
         # the graph executes on real hardware, with its throughput recorded.
         try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
             import jax
 
             from rs_face_detection_tpu.models.vit import init_vit
@@ -461,6 +476,10 @@ def main() -> int:
         # FacePipeline.extract_batch's fused warp/quality/embed tail embeds
         # aligned 112x112 crops through this backbone).
         try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
             from rs_face_detection_tpu.configs import FaceIdentificationConfig
             from rs_face_detection_tpu.models.arcface import init_arcface
             from rs_face_detection_tpu.models.precision import cast_kernels
@@ -496,6 +515,10 @@ def main() -> int:
         # (reference ekyc_pipeline/config.rs:10-27), the one model family
         # without a throughput number so far (SCRFDDetection.make_batched_fn).
         try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
             from rs_face_detection_tpu.models.precision import cast_kernels
             from rs_face_detection_tpu.models.scrfd import init_scrfd
             from rs_face_detection_tpu.pipeline.ekyc_pipeline import (
@@ -521,6 +544,10 @@ def main() -> int:
         # aligned 1088 rows), mnet b4, same fused detect-with-landmarks
         # graph.  85,680 anchors/image; reuses the b8 A/B's packed winner.
         try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
             from rs_face_detection_tpu.configs import FaceDetectionConfig
             from rs_face_detection_tpu.models.retinaface import init_retinaface
             from rs_face_detection_tpu.pipeline.detection import (
@@ -556,6 +583,10 @@ def main() -> int:
         # bf16 headline on the CURRENT XLA wheel.  bf16 has stayed ahead on
         # v5e so far; flip the serving default only if this reports faster.
         try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
             from rs_face_detection_tpu.models.retinaface import init_retinaface
             from rs_face_detection_tpu.ops.quantize import quantize_retinaface
             from rs_face_detection_tpu.pipeline.detection import (
