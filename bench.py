@@ -531,11 +531,18 @@ def main() -> int:
                 model=smodel, variables=svars, image_size=image_size,
                 nms_mode=args.nms, registry=None,
             )
-            sfn = sdet.make_batched_fn()
+            # Production path: the dense s4d front (ops/scrfd_s4d.py).
+            sfn = sdet.make_batched_fn(stem="s4d")
             scrfd_b8, _ = _throughput_device(
-                sfn, svars, batch_maker(8, "none"), 8, max(3, n_batches // 2)
+                sfn, svars, batch_maker(8, "s4d"), 8, max(3, n_batches // 2)
             )
             result["scrfd_b8_img_s"] = round(scrfd_b8, 2)
+            # Natural-layout baseline for the A/B evidence.
+            sfn_x = sdet.make_batched_fn()
+            scrfd_x, _ = _throughput_device(
+                sfn_x, svars, batch_maker(8, "none"), 8, max(3, n_batches // 2)
+            )
+            result["scrfd_b8_xla_img_s"] = round(scrfd_x, 2)
         except Exception as e:
             result["scrfd_error"] = str(e)[:200]
 

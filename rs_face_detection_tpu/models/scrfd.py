@@ -122,17 +122,26 @@ class SCRFD(nn.Module):
     neck_channels: int = 64
     num_anchors: int = 2
     dtype: Any = jnp.float32
+    #: Duck-type marker for the serving layout auto-selection
+    #: (parallel.serving.DetectionServer; ops/scrfd_s4d.py dense front).
+    backbone = "scrfd"
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, raw: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        raw: bool = False,
+        stem_precomputed: bool = False,
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         dt = self.dtype
         w = self.width
         x = x.astype(dt)
-        # Stem to stride 4.
-        x = ConvBN(w, (3, 3), (2, 2), act=nn.relu, dtype=dt, name="stem1")(x, train)
-        x = ConvBN(w, (3, 3), (2, 2), act=nn.relu, dtype=dt, name="stem2")(x, train)
+        if not stem_precomputed:
+            # Stem to stride 4 (skipped when the dense s4d front already
+            # produced the H/4 x W/4 x w feature — ops/scrfd_s4d.py).
+            x = ConvBN(w, (3, 3), (2, 2), act=nn.relu, dtype=dt, name="stem1")(x, train)
+            x = ConvBN(w, (3, 3), (2, 2), act=nn.relu, dtype=dt, name="stem2")(x, train)
         # Stages to strides 8/16/32.
         c3 = _ResBlock(w * 2, (2, 2), dtype=dt, name="s3a")(x, train)
         c3 = _ResBlock(w * 2, dtype=dt, name="s3b")(c3, train)

@@ -105,6 +105,12 @@ class DetectionServer:
                 # mnet: the dense front fold needs the standard 3x3 stem
                 # (ops/mnet_s4d.py).
                 or (backbone == "mobilenet025" and not uses_s2d)
+                # scrfd: the dense front folds stem1/stem2
+                # (ops/scrfd_s4d.py); imported mmdet-layout nets differ.
+                or (
+                    backbone == "scrfd"
+                    and "stem1" in self.detector.variables.get("params", {})
+                )
             )
             and not getattr(self.detector.model, "quant", False)
             and width % 4 == 0

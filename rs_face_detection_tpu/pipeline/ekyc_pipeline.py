@@ -159,16 +159,39 @@ class SCRFDDetection:
         if self._registry is not None:
             self._registry.record(self.cfg.model_name, n_images, duration_s)
 
-    def make_batched_fn(self):
-        """Jitted (variables, (B, H, W, 3) u8 BGR, (B,) det_scales) -> PaddedDetections batch.
+    def make_batched_fn(self, stem: str = "xla", pre_s2d: bool = False):
+        """Jitted (variables, images u8 BGR, (B,) det_scales) -> PaddedDetections batch.
 
         Batched serving path with the same contract as
-        RetinaFaceDetection.make_batched_fn (stem='xla'): images arrive
-        letterboxed host-side to the static `image_size`; normalize,
-        forward, distance decode, select and NMS trace into one vmapped
-        XLA program.  Decode math is identical to the single-image path
-        (`_jit_for_shape`) — parity-tested in tests/test_scrfd_decode.py.
+        RetinaFaceDetection.make_batched_fn: images arrive letterboxed
+        host-side to the static `image_size`; normalize, forward, distance
+        decode, select and NMS trace into one vmapped XLA program.  Decode
+        math is identical to the single-image path (`_jit_for_shape`) —
+        parity-tested in tests/test_scrfd_decode.py.
+
+        stem: "xla" (default; input (B, H, W, 3)) | "s4d" | "auto".
+          "s4d" switches the input contract to the 4x4 space-to-depth host
+          layout (B, H/4, W/4, 48) uint8 (ops.image.s4d_layout_host / the
+          native loader) and runs both stem convs as dense MXU-shaped 2x2
+          convs on the quarter grid (ops/scrfd_s4d.py, f32-exact); the
+          weight folds ride the fn.fold/fn.jitted aux protocol.
         """
+        if stem not in ("xla", "auto", "s4d"):
+            raise ValueError(f"stem={stem!r} not in ('xla', 'auto', 's4d')")
+        if pre_s2d:
+            raise ValueError("SCRFD has no s2d-stem layout")
+        width, height = self.image_size
+        use_s4d = stem == "s4d"
+        if use_s4d and not (
+            getattr(self.model, "backbone", None) == "scrfd"
+            and "stem1" in self.variables.get("params", {})
+            and width % 4 == 0
+            and height % 4 == 0
+        ):
+            raise ValueError(
+                "stem='s4d' needs the in-house SCRFD stem layout "
+                "(stem1/stem2 params) and image dims divisible by 4"
+            )
         mean, scale = self.cfg.mean, self.cfg.scale
 
         def decode_one(single, inv_scale):
@@ -182,13 +205,55 @@ class SCRFDDetection:
                 p.count,
             )
 
-        def batched(variables, imgs_u8, det_scales):
-            x = bgr_to_rgb(imgs_u8.astype(jnp.float32))
-            x = normalize(x, (mean,) * 3, (scale,) * 3)
-            net_out = self.model.apply(variables, x, train=False)
+        if not use_s4d:
+            def batched(variables, imgs_u8, det_scales):
+                x = bgr_to_rgb(imgs_u8.astype(jnp.float32))
+                x = normalize(x, (mean,) * 3, (scale,) * 3)
+                net_out = self.model.apply(variables, x, train=False)
+                return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
+
+            return jax.jit(batched)
+
+        from ..ops.scrfd_s4d import fold_scrfd_s4d_params, scrfd_s4d_front
+
+        def fold_aux(variables):
+            return {"front": fold_scrfd_s4d_params(variables, mean, scale)}
+
+        def batched_s4d(variables, aux, imgs_s4d_u8, det_scales):
+            dt = getattr(self.model, "dtype", jnp.float32)
+            front = scrfd_s4d_front(
+                imgs_s4d_u8, aux["front"], compute_dtype=dt, out_dtype=dt
+            )
+            net_out = self.model.apply(
+                variables, front, train=False, stem_precomputed=True
+            )
             return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
 
-        return jax.jit(batched)
+        jitted = jax.jit(batched_s4d)
+        jit_fold = jax.jit(fold_aux)
+        fold_cache: list = []  # [(variables, folded aux)], identity-keyed
+
+        def fn(variables, imgs_s4d_u8, det_scales):
+            leaves = jax.tree_util.tree_leaves(variables)
+            if leaves and isinstance(leaves[0], jax.core.Tracer):
+                # Re-traced under an outer transform: inline the fold.
+                return batched_s4d(
+                    variables, fold_aux(variables), imgs_s4d_u8, det_scales
+                )
+            aux = None
+            for v, a in fold_cache:
+                if v is variables:
+                    aux = a
+                    break
+            if aux is None:
+                aux = jit_fold(variables)
+                fold_cache.append((variables, aux))
+                del fold_cache[:-2]
+            return jitted(variables, aux, imgs_s4d_u8, det_scales)
+
+        fn.jitted = jitted
+        fn.fold = jit_fold
+        return fn
 
     def __call__(self, image_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, w = image_bgr.shape[:2]

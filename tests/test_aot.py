@@ -161,8 +161,9 @@ def test_bf16_artifact_accepts_f32_checkpoint():
 
 
 def test_scrfd_export_roundtrip():
-    """The duck-typed export path: SCRFD's batched detect graph (no fold
-    protocol, natural layout) exports and re-hydrates with parity."""
+    """The duck-typed export path: SCRFD's batched detect graph exports and
+    re-hydrates with parity — the s4d fast path (default) with its weight
+    fold, and the natural-layout stem='xla' variant."""
     from rs_face_detection_tpu.models.scrfd import init_scrfd
     from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
 
@@ -171,21 +172,29 @@ def test_scrfd_export_roundtrip():
         model=model, variables=variables, image_size=SIZE,
         confidence_threshold=0.4, registry=None,
     )
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (2, SIZE[1], SIZE[0], 3), dtype=np.uint8)
+    scales = jnp.ones((2,), jnp.float32)
+
+    # Default export = the s4d fast path (fold/aux protocol exercised).
     blob = export_detector(sdet, batch_size=2)
     loaded = load_detector(blob)
-    assert loaded.meta["layout"] == "none"
+    assert loaded.meta["layout"] == "s4d"
     assert loaded.meta["detector"] == "SCRFDDetection"
-
-    rng = np.random.default_rng(5)
-    imgs = jnp.asarray(
-        rng.integers(0, 255, (2, SIZE[1], SIZE[0], 3), dtype=np.uint8)
-    )
-    scales = jnp.ones((2,), jnp.float32)
-    d, k, c = loaded(variables, imgs, scales)
-    ref = sdet.make_batched_fn()(variables, imgs, scales)
+    x = jnp.asarray(s4d_layout_host(imgs))
+    d, k, c = loaded(variables, x, scales)
+    ref = sdet.make_batched_fn(stem="s4d")(variables, x, scales)
     np.testing.assert_array_equal(np.asarray(c), np.asarray(ref.count))
     np.testing.assert_allclose(np.asarray(d), np.asarray(ref.det), atol=1e-4)
     np.testing.assert_allclose(np.asarray(k), np.asarray(ref.kps), atol=1e-4)
 
-    with pytest.raises(ValueError):
-        export_detector(sdet, batch_size=2, packed_heads=False)
+    # Natural layout export (trivial empty fold path).
+    blob2 = export_detector(sdet, batch_size=2, stem="xla")
+    loaded2 = load_detector(blob2)
+    assert loaded2.meta["layout"] == "none"
+    d2, k2, c2 = loaded2(variables, jnp.asarray(imgs), scales)
+    ref2 = sdet.make_batched_fn()(variables, jnp.asarray(imgs), scales)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(ref2.count))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(ref2.det), atol=1e-4
+    )

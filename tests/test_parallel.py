@@ -125,7 +125,8 @@ def test_detection_server_serves_scrfd():
         confidence_threshold=0.4, registry=None,
     )
     server = DetectionServer(det, batch_size=4, use_native_loader=False)
-    assert server._layout == "none"
+    # The in-house SCRFD takes the dense s4d front (ops/scrfd_s4d.py).
+    assert server._layout == "s4d"
 
     rng = np.random.default_rng(7)
     imgs = [
