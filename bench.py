@@ -314,11 +314,21 @@ def main() -> int:
         ab_rates = {}
         best_fn = None
         for name, kw in MNET_PACKED_CANDIDATES:
+            if best_fn is not None and (
+                time.perf_counter() - t_start > 0.35 * budget_s
+            ):
+                # Remote compiles can eat the budget; keep the best so far
+                # rather than risk the whole run (the remaining fields and
+                # aux still need their share).
+                ab_rates["skipped_for_budget"] = name
+                break
             fc = detm.make_batched_fn(stem="s4d", **kw)
             rate, _ = _throughput_device(
                 fc, detm.variables, batch_maker(8, m_s2d), 8, ab_n
             )
             ab_rates[name] = round(rate, 2)
+            print(f"[bench] packed A/B {name}: {rate:.1f} img/s",
+                  file=sys.stderr, flush=True)
             if best_fn is None or rate > ab_rates[mnet_packed]:
                 mnet_packed, best_fn = name, fc
         fnm = best_fn
