@@ -280,3 +280,66 @@ def test_lr_schedule_and_decay_mask():
     step = trainer.make_train_step()
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_cli_val_best_and_resume(tmp_path):
+    """tools/train_detector.py: validation AP gating the exported weights,
+    orbax periodic save, and auto-resume from the latest step."""
+    import runpy
+    import sys
+
+    root = tmp_path / "data"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(8):
+        img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+        rel = f"s/im{i}.jpg"
+        os.makedirs(root / "s", exist_ok=True)
+        cv2.imwrite(str(root / rel), img)
+        lines.append(f"# {rel}")
+        lines.append(
+            "20 20 40 40 30.0 30.0 0.0 50.0 30.0 0.0 40.0 45.0 0.0 "
+            "32.0 52.0 0.0 48.0 52.0 0.0 1.0"
+        )
+    labels = tmp_path / "label.txt"
+    labels.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "trained.npz"
+    ckpt_dir = tmp_path / "ckpts"
+    batch = jax.device_count()
+    argv = [
+        "train_detector.py",
+        "--labels", str(labels), "--images", str(root),
+        "--out", str(out), "--size", "64x64",
+        "--batch", str(batch), "--steps", "2", "--log-every", "1",
+        "--val-labels", str(labels), "--val-max-images", "2",
+        "--eval-every", "1",
+        "--checkpoint-dir", str(ckpt_dir), "--save-every", "1",
+    ]
+    tool = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "train_detector.py"
+    )
+    old_argv = sys.argv
+    try:
+        sys.argv = argv
+        with pytest.raises(SystemExit) as e:
+            runpy.run_path(tool, run_name="__main__")
+        assert e.value.code in (0, None)
+    finally:
+        sys.argv = old_argv
+
+    assert out.exists()
+    from rs_face_detection_tpu.parallel.checkpoint import latest_step
+
+    assert latest_step(str(ckpt_dir)) == 2
+
+    # Resume: target step already reached -> restores, runs 0 steps, still
+    # exports weights.
+    try:
+        sys.argv = argv
+        with pytest.raises(SystemExit) as e:
+            runpy.run_path(tool, run_name="__main__")
+        assert e.value.code in (0, None)
+    finally:
+        sys.argv = old_argv

@@ -48,7 +48,25 @@ def main() -> int:
                    help=">0 tracks an EMA of params and exports THOSE "
                    "weights (e.g. 0.999)")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--val-labels", default=None,
+                   help="validation annotations (same format as --labels); "
+                   "with --eval-every, the exported checkpoint is the "
+                   "best-val-AP weights instead of the final step's")
+    p.add_argument("--val-images", default=None,
+                   help="validation image root (default: --images)")
+    p.add_argument("--val-max-images", type=int, default=64,
+                   help="cap on validation images per eval")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help=">0: evaluate val AP every N steps (needs "
+                   "--val-labels)")
+    p.add_argument("--val-iou", type=float, default=0.5)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax train-state directory: saves every "
+                   "--save-every steps and auto-resumes from the latest")
+    p.add_argument("--save-every", type=int, default=500)
     args = p.parse_args()
+    if args.eval_every > 0 and not args.val_labels:
+        raise SystemExit("--eval-every needs --val-labels")
 
     import jax
     import numpy as np
@@ -88,32 +106,116 @@ def main() -> int:
         batch_size=args.batch, max_faces=args.max_faces,
     )
 
+    # Validation set: (original BGR image, gt boxes in original coords) —
+    # ops.eval.evaluate_detector's contract, via the single-image detector.
+    val_set = None
+    val_det = None
+    if args.val_labels:
+        import cv2
+
+        from rs_face_detection_tpu.ops.eval import evaluate_detector
+        from rs_face_detection_tpu.pipeline.detection import (
+            RetinaFaceDetection,
+        )
+
+        val_examples = (
+            wider_examples(args.val_labels)
+            if args.wider_gt
+            else parse_retinaface_label(args.val_labels)
+        )[: args.val_max_images]
+        val_root = args.val_images or args.images
+        val_set = []
+        for ex in val_examples:
+            img = cv2.imread(os.path.join(val_root, ex.rel_path))
+            if img is not None:
+                val_set.append(
+                    (img, np.asarray(ex.boxes, np.float32).reshape(-1, 4))
+                )
+        print(f"{len(val_set)} validation images from {args.val_labels}")
+
+    def eval_ap(st) -> float:
+        nonlocal val_det
+        params = st.ema_params if st.ema_params is not None else st.params
+        variables = {"params": params, "batch_stats": st.batch_stats}
+        if val_det is None:
+            # One detector instance for the whole run: its per-shape jit
+            # cache persists across evals (variables are call arguments).
+            val_det = RetinaFaceDetection(
+                cfg, model=trainer.model, variables=variables
+            )
+        else:
+            val_det.variables = variables
+        return evaluate_detector(
+            val_det, val_set, iou_threshold=args.val_iou
+        )["ap"]
+
     state = trainer.init_state(seed=0)
+    start = 0
+    if args.checkpoint_dir:
+        from rs_face_detection_tpu.parallel.checkpoint import (
+            latest_step,
+            restore_train_state,
+            save_train_state,
+        )
+
+        if latest_step(args.checkpoint_dir) is not None:
+            state = restore_train_state(args.checkpoint_dir, state)
+            start = int(state.step)
+            print(f"resumed from step {start} ({args.checkpoint_dir})")
+
     step_fn = trainer.make_train_step()
     t0 = time.perf_counter()
     sharding = data_sharding(mesh)
+    best_ap, best_variables = -1.0, None
+    g = start
     for i, batch in enumerate(loader.batches(epochs=None, sharding=sharding)):
-        if i >= args.steps:
+        if g >= args.steps:
             break
         state, metrics = step_fn(state, batch)
-        if i % args.log_every == 0 or i == args.steps - 1:
+        g = start + i + 1
+        if (g - 1) % args.log_every == 0 or g == args.steps:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             print(
-                f"step {i}: loss={m['loss']:.4f} cls={m['cls_loss']:.4f} "
+                f"step {g - 1}: loss={m['loss']:.4f} cls={m['cls_loss']:.4f} "
                 f"box={m['box_loss']:.4f} lm={m['lm_loss']:.4f} "
                 f"pos={m['num_pos']:.1f} "
                 f"({(time.perf_counter() - t0) / (i + 1):.2f}s/step)"
             )
+        if args.eval_every > 0 and val_set and (
+            g % args.eval_every == 0 or g == args.steps
+        ):
+            ap = eval_ap(state)
+            marker = ""
+            if ap > best_ap:
+                best_ap = ap
+                params = (
+                    state.ema_params
+                    if state.ema_params is not None
+                    else state.params
+                )
+                best_variables = {
+                    "params": jax.device_get(params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                }
+                marker = "  (new best)"
+            print(f"step {g}: val AP {ap:.4f}{marker}")
+        if args.checkpoint_dir and (
+            g % args.save_every == 0 or g == args.steps
+        ):
+            save_train_state(args.checkpoint_dir, state, step=g)
 
-    export_params = (
-        state.ema_params if state.ema_params is not None else state.params
-    )
-    variables = {
-        "params": jax.device_get(export_params),
-        "batch_stats": jax.device_get(state.batch_stats),
-    }
+    if best_variables is not None:
+        variables, which = best_variables, f"best-val-AP {best_ap:.4f}"
+    else:
+        export_params = (
+            state.ema_params if state.ema_params is not None else state.params
+        )
+        variables = {
+            "params": jax.device_get(export_params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        which = "EMA" if state.ema_params is not None else "raw"
     save_variables(args.out, variables)
-    which = "EMA" if state.ema_params is not None else "raw"
     print(f"wrote {args.out} ({which} weights)")
     return 0
 
