@@ -123,6 +123,41 @@ def build_batched_fn(detector, *, stem: str = "xla", pre_s2d: bool = False):
     return detector.make_batched_fn()
 
 
+def make_folding_fn(batched, fold_aux):
+    """Wrap a (variables, aux, *args) graph and its pure weight fold into
+    the make_batched_fn calling convention with the fn.fold / fn.jitted
+    aux protocol.
+
+    Plain calls fold ONCE per weights object (identity-keyed 2-entry
+    cache) and pass the folded constants in as jit inputs so the fold
+    stays out of the per-batch graph; re-traces under an outer transform
+    (an enclosing jit/scan) inline the fold — semantics identical,
+    hoisting is then the outer caller's job via fn.fold + fn.jitted.
+    """
+    jitted = jax.jit(batched)
+    jit_fold = jax.jit(fold_aux)
+    fold_cache: list = []  # [(variables, folded aux)], identity-keyed
+
+    def fn(variables, *args):
+        leaves = jax.tree_util.tree_leaves(variables)
+        if leaves and isinstance(leaves[0], jax.core.Tracer):
+            return batched(variables, fold_aux(variables), *args)
+        aux = None
+        for v, a in fold_cache:
+            if v is variables:
+                aux = a
+                break
+        if aux is None:
+            aux = jit_fold(variables)
+            fold_cache.append((variables, aux))
+            del fold_cache[:-2]
+        return jitted(variables, aux, *args)
+
+    fn.jitted = jitted
+    fn.fold = jit_fold
+    return fn
+
+
 def resolve_fold(fn):
     """(fold, inner) for make_batched_fn's hoisted-fold aux protocol.
 
@@ -749,32 +784,8 @@ class RetinaFaceDetection:
             net_out = self.model.apply(variables, x, train=False)  # batched maps
             return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
 
-        jitted = jax.jit(batched)
-        jit_fold = jax.jit(fold_aux)
-        fold_cache: list = []  # [(variables, folded aux)], identity-keyed
-
-        def fn(variables, imgs_u8, det_scales):
-            leaves = jax.tree_util.tree_leaves(variables)
-            if leaves and isinstance(leaves[0], jax.core.Tracer):
-                # Re-traced under an outer transform (an enclosing jit/scan):
-                # inline the fold — semantics identical, hoisting is the
-                # outer caller's job (use fn.jitted + fn.fold, below).
-                return batched(variables, fold_aux(variables), imgs_u8, det_scales)
-            aux = None
-            for v, a in fold_cache:
-                if v is variables:
-                    aux = a
-                    break
-            if aux is None:
-                aux = jit_fold(variables)
-                fold_cache.append((variables, aux))
-                del fold_cache[:-2]
-            return jitted(variables, aux, imgs_u8, det_scales)
-
         # Advanced protocol for callers that wrap the graph themselves
         # (bench's scan harness, DetectionServer's sharded jit): fold once
         # with fn.fold(variables), then call fn.jitted(variables, aux, ...)
         # with aux as a plain argument so the fold stays out of the loop.
-        fn.jitted = jitted
-        fn.fold = jit_fold
-        return fn
+        return make_folding_fn(batched, fold_aux)

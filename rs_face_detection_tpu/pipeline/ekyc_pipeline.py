@@ -229,31 +229,9 @@ class SCRFDDetection:
             )
             return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
 
-        jitted = jax.jit(batched_s4d)
-        jit_fold = jax.jit(fold_aux)
-        fold_cache: list = []  # [(variables, folded aux)], identity-keyed
+        from .detection import make_folding_fn
 
-        def fn(variables, imgs_s4d_u8, det_scales):
-            leaves = jax.tree_util.tree_leaves(variables)
-            if leaves and isinstance(leaves[0], jax.core.Tracer):
-                # Re-traced under an outer transform: inline the fold.
-                return batched_s4d(
-                    variables, fold_aux(variables), imgs_s4d_u8, det_scales
-                )
-            aux = None
-            for v, a in fold_cache:
-                if v is variables:
-                    aux = a
-                    break
-            if aux is None:
-                aux = jit_fold(variables)
-                fold_cache.append((variables, aux))
-                del fold_cache[:-2]
-            return jitted(variables, aux, imgs_s4d_u8, det_scales)
-
-        fn.jitted = jitted
-        fn.fold = jit_fold
-        return fn
+        return make_folding_fn(batched_s4d, fold_aux)
 
     def __call__(self, image_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, w = image_bgr.shape[:2]

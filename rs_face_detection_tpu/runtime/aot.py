@@ -41,19 +41,23 @@ from .. import __version__
 def export_detector(
     detector,
     batch_size: int = 8,
-    stem: str = "s4d",
+    stem: Optional[str] = "auto",
     platforms: Optional[Sequence[str]] = None,
     **batched_kwargs,
 ) -> bytes:
     """Serialize the batched serving graph of a detector.
 
     Accepts any detector with the batched-fn duck type DetectionServer
-    serves (RetinaFaceDetection, SCRFDDetection).  Returns the artifact
-    bytes (write them wherever the deployment keeps models).
+    serves (RetinaFaceDetection, SCRFDDetection, imported nets).  Returns
+    the artifact bytes (write them wherever the deployment keeps models).
     `stem`/`batched_kwargs` select the same configuration surface as
-    RetinaFaceDetection.make_batched_fn; the exported input contract is
-    that path's host layout at (batch_size, H, W) — s4d: (B, H/4, W/4, 48)
-    uint8.  Detectors without layout options (SCRFD) ignore `stem` and
+    make_batched_fn; the exported input contract is that path's host
+    layout at (batch_size, H, W) — s4d: (B, H/4, W/4, 48) uint8.
+
+    stem="auto" (default) exports the s4d fast path when the detector is
+    eligible and falls back to the natural "xla" layout otherwise (e.g.
+    imported mmdet-layout SCRFD, odd image sizes); pass an explicit stem
+    to fail instead of falling back.  Detectors without layout options
     export the natural (B, H, W, 3) uint8 contract.
     """
     import inspect
@@ -69,7 +73,15 @@ def export_detector(
     image_size = detector_image_size(detector)
     fn_params = inspect.signature(detector.make_batched_fn).parameters
     if "stem" in fn_params:
-        fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
+        if stem in (None, "auto"):
+            try:
+                fn = detector.make_batched_fn(stem="s4d", **batched_kwargs)
+                stem = "s4d"
+            except ValueError:
+                fn = detector.make_batched_fn(stem="xla", **batched_kwargs)
+                stem = "xla"
+        else:
+            fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
         layout, imgs_shape = host_layout_shape(
             image_size,
             batch_size,

@@ -147,20 +147,41 @@ class FacePipelineServicer:
                 if self._extract_batcher_obj is None:
                     from .batcher import DynamicBatcher
 
+                    size = self._stream_batch_size
+                    dummy = np.zeros((8, 8, 3), np.uint8)
+
+                    def extract_padded(payloads):
+                        # Pad short coalesced batches to the STATIC size:
+                        # extract_batch jits per batch size (_batch_jits(n)),
+                        # so without padding every new coalesced size would
+                        # pay a fresh detect+tail compile (minutes on the
+                        # remote TPU) — the no-recompile contract Detect
+                        # gets from DetectionServer's zero-padding.  The
+                        # dummy frames select no faces and cost one tiny
+                        # letterbox each.
+                        n = len(payloads)
+                        padded = list(payloads) + [dummy] * (size - n)
+                        return pipeline.extract_batch(padded)[:n]
+
                     self._extract_batcher_obj = DynamicBatcher(
                         max_delay_ms=self._batch_delay_ms,
-                        batch_fn=pipeline.extract_batch,
-                        batch_size=self._stream_batch_size,
+                        batch_fn=extract_padded,
+                        batch_size=size,
                     )
         return self._extract_batcher_obj
 
     def extract(self, payload: bytes) -> bytes:
         try:
             if self._dynamic_batching:
-                result = self._extract_batcher().submit(payload).result()
+                # Batcher failures (incl. per-item retry results) keep the
+                # JSON error contract, mirroring detect()'s batching branch.
+                try:
+                    result = self._extract_batcher().submit(payload).result()
+                except Exception as e:
+                    return _json_bytes({"error": str(e)})
             else:
                 result = self.pipeline.extract(payload)
-        except Exception as e:
+        except ValueError as e:  # bad payloads; server bugs still surface
             return _json_bytes({"error": str(e)})
         return _json_bytes(
             {

@@ -166,7 +166,19 @@ def main() -> int:
     step_fn = trainer.make_train_step()
     t0 = time.perf_counter()
     sharding = data_sharding(mesh)
-    best_ap, best_variables = -1.0, None
+    # Best-val-AP is durable across resumes: each new best is written to
+    # --out IMMEDIATELY, with the AP recorded in a sidecar so a resumed
+    # process never overwrites a better earlier checkpoint.
+    import json as _json
+
+    sidecar = args.out + ".bestap.json"
+    best_ap, wrote_best = -1.0, False
+    if args.eval_every > 0 and os.path.exists(sidecar):
+        try:
+            best_ap = float(_json.load(open(sidecar))["ap"])
+            print(f"previous best val AP {best_ap:.4f} ({sidecar})")
+        except Exception:
+            pass
     g = start
     for i, batch in enumerate(loader.batches(epochs=None, sharding=sharding)):
         if g >= args.steps:
@@ -193,28 +205,41 @@ def main() -> int:
                     if state.ema_params is not None
                     else state.params
                 )
-                best_variables = {
+                save_variables(args.out, {
                     "params": jax.device_get(params),
                     "batch_stats": jax.device_get(state.batch_stats),
-                }
-                marker = "  (new best)"
+                })
+                _json.dump({"ap": ap, "step": g}, open(sidecar, "w"))
+                wrote_best = True
+                marker = f"  (new best -> {args.out})"
             print(f"step {g}: val AP {ap:.4f}{marker}")
         if args.checkpoint_dir and (
             g % args.save_every == 0 or g == args.steps
         ):
             save_train_state(args.checkpoint_dir, state, step=g)
 
-    if best_variables is not None:
-        variables, which = best_variables, f"best-val-AP {best_ap:.4f}"
-    else:
-        export_params = (
-            state.ema_params if state.ema_params is not None else state.params
-        )
-        variables = {
-            "params": jax.device_get(export_params),
-            "batch_stats": jax.device_get(state.batch_stats),
-        }
-        which = "EMA" if state.ema_params is not None else "raw"
+    if args.eval_every > 0:
+        # --out already holds the best-val-AP weights (written on each new
+        # best, possibly by an earlier run of a resumed job).
+        if wrote_best:
+            print(f"{args.out} = best-val-AP {best_ap:.4f} weights")
+        elif os.path.exists(args.out):
+            print(
+                f"no eval beat the recorded best ({best_ap:.4f}); "
+                f"{args.out} left untouched"
+            )
+        else:
+            print("WARNING: no eval ran and no prior checkpoint exists; "
+                  "nothing written")
+        return 0
+    export_params = (
+        state.ema_params if state.ema_params is not None else state.params
+    )
+    variables = {
+        "params": jax.device_get(export_params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    which = "EMA" if state.ema_params is not None else "raw"
     save_variables(args.out, variables)
     print(f"wrote {args.out} ({which} weights)")
     return 0
