@@ -13,8 +13,6 @@ face_quality_vp, face_anti_spoofing_{crop,fi}_l14).
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 

@@ -15,7 +15,7 @@ import dataclasses
 import enum
 import json
 from dataclasses import dataclass, field
-from typing import Dict, Mapping, Sequence, Tuple
+from typing import Dict, Tuple
 
 
 class FaceQualityClass(enum.IntEnum):

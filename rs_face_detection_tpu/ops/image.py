@@ -15,7 +15,6 @@ the (static) input shape, matching the reference formulas exactly.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

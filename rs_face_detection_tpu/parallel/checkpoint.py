@@ -14,7 +14,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .train import TrainState

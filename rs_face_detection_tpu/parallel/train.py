@@ -19,13 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..configs import RPN_ANCHOR_CFG, FaceDetectionConfig
 from ..models.retinaface import RetinaFace
 from ..ops.anchors import full_anchor_table
 from ..ops.box_decode import bbox_overlaps
-from .mesh import data_sharding, pytree_shardings, replicated, shard_pytree_fsdp
+from .mesh import data_sharding, replicated, shard_pytree_fsdp
 
 
 class TrainBatch(NamedTuple):

@@ -16,8 +16,7 @@ out-of-image crops; we implement the intended clamp and correct corner.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,7 @@ module, not invoked by FacePipeline.extract — same as the reference.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ Decode semantics preserved exactly (see tests/test_detection.py):
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Dict, NamedTuple, Optional, Tuple
 

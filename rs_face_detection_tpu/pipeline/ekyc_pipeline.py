@@ -19,7 +19,6 @@ runs as one batched jit graph, and verify() is the public API:
 
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -39,7 +38,7 @@ from ..configs import (
     FaceAlignmentConfig,
     FaceDetectionConfig,
 )
-from ..models.registry import ModelRegistry, ModelSpec, default_registry
+from ..models.registry import ModelRegistry, default_registry
 from ..ops.box_decode import clip_boxes, distance2bbox, distance2kps
 from ..ops.image import bgr_to_rgb, letterbox, normalize, resize_bilinear
 from ..utils.image_io import decode_image_bytes

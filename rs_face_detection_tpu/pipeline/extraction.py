@@ -15,7 +15,6 @@ deviation for batch > 1).
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Optional, Sequence
 

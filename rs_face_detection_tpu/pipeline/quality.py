@@ -13,7 +13,6 @@ class 0 and reports class 0's probability (:160-166).
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import List, Optional, Sequence, Tuple
 

@@ -10,7 +10,6 @@ FacePipeline.extract — same as the reference.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import List, Optional, Sequence, Tuple
 

@@ -13,7 +13,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

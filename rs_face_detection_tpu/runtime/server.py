@@ -39,7 +39,6 @@ import base64
 import json
 import threading
 from concurrent import futures
-from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,6 @@ and bench.py (the detector_ap quality gate, VERDICT r1 #8).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
