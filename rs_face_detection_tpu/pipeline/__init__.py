@@ -11,6 +11,7 @@ from .quality import FaceQuality
 from .quality_assessment import FaceQualityAssessment
 from .selection import FaceSelection
 from .tracking import IouTracker, VideoPipeline
+from .tta import TTADetection, bbox_vote
 
 __all__ = [
     "FaceAlignment",
@@ -29,4 +30,6 @@ __all__ = [
     "FaceSelection",
     "IouTracker",
     "VideoPipeline",
+    "TTADetection",
+    "bbox_vote",
 ]
