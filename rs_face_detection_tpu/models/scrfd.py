@@ -133,6 +133,7 @@ class SCRFD(nn.Module):
         train: bool = False,
         raw: bool = False,
         stem_precomputed: bool = False,
+        skip_head_levels: Tuple[int, ...] = (),
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         dt = self.dtype
         w = self.width
@@ -159,6 +160,11 @@ class SCRFD(nn.Module):
 
         out: Dict[int, Dict[str, jnp.ndarray]] = {}
         for stride, feat in zip((8, 16, 32), pyramid):
+            if stride in skip_head_levels:
+                # Caller runs the packed head externally
+                # (ops/scrfd_packed.py) on the raw pyramid feature.
+                out[stride] = {"feat": feat}
+                continue
             score, bbox, kps = head(feat, train)
             if not raw:
                 score = jax.nn.sigmoid(score)

@@ -109,14 +109,20 @@ class SCRFDDetection:
             max_detections=max_detections,
         )
 
-    def _decode(self, net_out):
+    def _decode(self, net_out, centers_table=None):
+        """Flatten per-stride maps and distance-decode against the center
+        table.  `centers_table` overrides self.centers (same row count) —
+        the packed-head path passes a packed_anchor_perm-permuted table so
+        packed-order maps decode without any relayout (decode is order-
+        agnostic past the center lookup)."""
         width, height = self.image_size
+        table = self.centers if centers_table is None else centers_table
         scores_l, boxes_l, kps_l = [], [], []
         offset = 0
         for stride, fh, fw, a in self.levels:
             maps = net_out[stride]
             k = fh * fw * a
-            centers = jax.lax.dynamic_slice_in_dim(self.centers, offset, k, 0)
+            centers = jax.lax.dynamic_slice_in_dim(table, offset, k, 0)
             scores_l.append(maps["score"].reshape(k))
             dist = maps["bbox"].reshape(fh, fw, a, 4).reshape(k, 4) * float(stride)
             boxes = clip_boxes(distance2bbox(centers, dist), (height, width))
@@ -158,7 +164,9 @@ class SCRFDDetection:
         if self._registry is not None:
             self._registry.record(self.cfg.model_name, n_images, duration_s)
 
-    def make_batched_fn(self, stem: str = "xla", pre_s2d: bool = False):
+    def make_batched_fn(
+        self, stem: str = "xla", pre_s2d: bool = False, packed_heads=None
+    ):
         """Jitted (variables, images u8 BGR, (B,) det_scales) -> PaddedDetections batch.
 
         Batched serving path with the same contract as
@@ -174,6 +182,14 @@ class SCRFDDetection:
           native loader) and runs both stem convs as dense MXU-shaped 2x2
           convs on the quarter grid (ops/scrfd_s4d.py, f32-exact); the
           weight folds ride the fn.fold/fn.jitted aux protocol.
+
+        packed_heads (s4d path only): run the shared head on the
+        half-resolution grid at 4x channels (ops/scrfd_packed.py — the
+        64-channel tower wastes half the MXU lanes at natural layout),
+        consuming packed-order maps through a permuted centers table.
+        Accepts an iterable of pyramid levels (0=stride 8, 1=16, 2=32),
+        True (all even-grid levels), False/None (off — opt-in pending a
+        hardware A/B, tools/ab_scrfd.py).
         """
         if stem not in ("xla", "auto", "s4d"):
             raise ValueError(f"stem={stem!r} not in ('xla', 'auto', 's4d')")
@@ -191,10 +207,54 @@ class SCRFDDetection:
                 "stem='s4d' needs the in-house SCRFD stem layout "
                 "(stem1/stem2 params) and image dims divisible by 4"
             )
+        grid_by_stride = {s: (fh, fw) for s, fh, fw, _a in self.levels}
+        eligible = tuple(
+            i
+            for i, s in enumerate((8, 16, 32))
+            if use_s4d
+            and s in grid_by_stride
+            and grid_by_stride[s][0] % 2 == 0
+            and grid_by_stride[s][1] % 2 == 0
+        )
+        if packed_heads in (None, False):
+            packed_levels = ()
+        elif packed_heads is True:
+            packed_levels = eligible
+            if not packed_levels:
+                raise ValueError(
+                    "packed_heads=True needs stem='s4d' and at least one "
+                    "even feature grid"
+                )
+        else:
+            packed_levels = tuple(sorted(set(int(i) for i in packed_heads)))
+            bad = [i for i in packed_levels if i not in eligible]
+            if bad:
+                raise ValueError(
+                    f"packed_heads levels {bad} not eligible (needs "
+                    f"stem='s4d' and even grids; eligible: {list(eligible)})"
+                )
+        packed_strides = tuple(8 * 2**i for i in packed_levels)
         mean, scale = self.cfg.mean, self.cfg.scale
 
+        centers_decode = self.centers
+        if packed_levels:
+            import numpy as _np
+
+            from ..ops.ssh_packed import packed_anchor_perm
+
+            centers_np = _np.asarray(self.centers)
+            parts, offset = [], 0
+            for s, fh, fw, a in self.levels:
+                k = fh * fw * a
+                sl = centers_np[offset : offset + k]
+                if s in packed_strides:
+                    sl = sl[packed_anchor_perm(fh, fw, a)]
+                parts.append(sl)
+                offset += k
+            centers_decode = jnp.asarray(_np.concatenate(parts, axis=0))
+
         def decode_one(single, inv_scale):
-            scores, boxes, kps = self._decode(single)
+            scores, boxes, kps = self._decode(single, centers_decode)
             p = select_and_nms(
                 scores, boxes, kps, self._sel_cfg, self.nms_mode
             )
@@ -216,7 +276,12 @@ class SCRFDDetection:
         from ..ops.scrfd_s4d import fold_scrfd_s4d_params, scrfd_s4d_front
 
         def fold_aux(variables):
-            return {"front": fold_scrfd_s4d_params(variables, mean, scale)}
+            aux = {"front": fold_scrfd_s4d_params(variables, mean, scale)}
+            if packed_levels:
+                from ..ops.scrfd_packed import fold_scrfd_head_packed
+
+                aux["head"] = fold_scrfd_head_packed(variables)
+            return aux
 
         def batched_s4d(variables, aux, imgs_s4d_u8, det_scales):
             dt = getattr(self.model, "dtype", jnp.float32)
@@ -224,8 +289,17 @@ class SCRFDDetection:
                 imgs_s4d_u8, aux["front"], compute_dtype=dt, out_dtype=dt
             )
             net_out = self.model.apply(
-                variables, front, train=False, stem_precomputed=True
+                variables, front, train=False, stem_precomputed=True,
+                skip_head_levels=packed_strides,
             )
+            if packed_levels:
+                from ..ops.scrfd_packed import scrfd_head_packed
+
+                net_out = dict(net_out)
+                for s in packed_strides:
+                    net_out[s] = scrfd_head_packed(
+                        net_out[s]["feat"], aux["head"], compute_dtype=dt
+                    )
             return jax.vmap(decode_one)(net_out, 1.0 / det_scales)
 
         from .detection import make_folding_fn

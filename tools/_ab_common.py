@@ -58,3 +58,16 @@ def measure(name, fn, variables, batch=8):
         flush=True,
     )
     return img_s
+
+
+def build_scrfd():
+    """The bench's SCRFD serving weights: bf16 compute, pre-cast kernels."""
+    from rs_face_detection_tpu.models.scrfd import init_scrfd
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import SCRFDDetection
+
+    model, variables = init_scrfd(SIZE, dtype=jnp.bfloat16, seed=0)
+    variables = cast_kernels(variables)
+    det = SCRFDDetection(
+        model=model, variables=variables, image_size=SIZE, registry=None
+    )
+    return det, variables

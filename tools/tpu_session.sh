@@ -42,6 +42,7 @@ grep -q "probe ok" "$OUT/probe.log" || { echo "TPU unreachable; aborting"; exit 
 
 run ab_packed python tools/ab_packed.py
 run ab_tail python tools/ab_tail.py
+run ab_scrfd python tools/ab_scrfd.py
 run vit_tpu_tests env RSFD_TEST_TPU=1 python -m pytest \
     tests/test_vit_fused_attention.py tests/test_nms_pallas.py -q
 run bench python bench.py
