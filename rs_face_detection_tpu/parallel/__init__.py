@@ -11,6 +11,7 @@ from .mesh import (
     shard_pytree_fsdp,
 )
 from .serving import DetectionServer, letterbox_host
+from .tp import make_tp_vit_fn, vit_tp_param_spec, vit_tp_shardings
 from .train import TrainBatch, Trainer, TrainState, detection_loss, match_anchors
 
 __all__ = [
@@ -26,6 +27,9 @@ __all__ = [
     "shard_pytree_fsdp",
     "DetectionServer",
     "letterbox_host",
+    "make_tp_vit_fn",
+    "vit_tp_param_spec",
+    "vit_tp_shardings",
     "TrainBatch",
     "Trainer",
     "TrainState",

@@ -6,10 +6,12 @@ jax.sharding.Mesh over ("data", "model") axes, batch sharded over "data"
 (data parallelism) and parameters sharded over "model" (FSDP-style ZeRO
 sharding).  XLA GSPMD inserts the all-gathers/psums over ICI.
 
-Tensor/pipeline/sequence/expert parallelism intentionally have no mapping
-here: the workload is small-CNN inference/training where DP saturates ICI
-long before TP would pay for itself (the reference has no analog either —
-SURVEY.md §2).
+For the CNN detectors, tensor/pipeline/sequence/expert parallelism
+intentionally have no mapping: DP saturates ICI long before TP would pay
+for itself (the reference has no analog either — SURVEY.md §2).  The one
+TP-shaped model family — the ViT-L/14 eKYC FAS graphs — gets real
+Megatron-style tensor parallelism in parallel/tp.py over this same
+("data", "model") mesh.
 """
 
 from __future__ import annotations
