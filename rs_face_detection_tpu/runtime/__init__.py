@@ -6,9 +6,20 @@ and AOT compiled-model artifacts.
   the reference's Triton client verb families.
 - `batcher.DynamicBatcher`: Triton-scheduler-style dynamic request batching.
 - `aot`: jax.export serving artifacts (compiled-model repository analog).
+- `shm`: POSIX shared-memory regions for zero-copy localhost ModelInfer
+  (Triton's system shared-memory verb family).
 """
 
-from . import aot, batcher, native
+from . import aot, batcher, native, shm
 from .batcher import DynamicBatcher
+from .shm import SharedMemoryRegistry, SharedRegion
 
-__all__ = ["native", "DynamicBatcher", "aot", "batcher"]
+__all__ = [
+    "native",
+    "DynamicBatcher",
+    "aot",
+    "batcher",
+    "shm",
+    "SharedMemoryRegistry",
+    "SharedRegion",
+]

@@ -89,6 +89,8 @@ class FacePipelineServicer:
         self._extract_batcher_obj = None
         self._ekyc = ekyc_pipeline  # None -> built lazily on EkycVerify
         self._ekyc_lock = threading.Lock()
+        self._shm = None  # SharedMemoryRegistry, built on first shm verb
+        self._shm_lock = threading.Lock()
 
     @property
     def pipeline(self):
@@ -299,14 +301,29 @@ class FacePipelineServicer:
         "/"-joined leaf paths.  Tensors ride .npy (dtype+shape
         self-describing), matching Triton's typed-tensor contract without
         a proto schema.
+
+        Shared-memory fast path (Triton's shm tensor references): instead of
+        "input", pass "input_shm": {"region", "offset", "dtype", "shape"} to
+        read the tensor from a registered system shared-memory region; add
+        "output_shm": {"region", "offset"} to have outputs written into a
+        region — the response then carries {"outputs_shm": [{"name",
+        "dtype", "shape", "offset"}, ...]} descriptors and no tensor bytes
+        cross the channel.
         """
         import io
 
         try:
             body = json.loads(payload or b"{}")
             name = body["name"]
-            raw = base64.b64decode(body["input"])
-            batch = np.load(io.BytesIO(raw), allow_pickle=False)
+            if "input_shm" in body:
+                ref = body["input_shm"]
+                region = self.shm.get(ref["region"])
+                batch = region.read_array(  # copies: client may reuse the region
+                    ref["dtype"], tuple(ref["shape"]), int(ref.get("offset", 0))
+                )
+            else:
+                raw = base64.b64decode(body["input"])
+                batch = np.load(io.BytesIO(raw), allow_pickle=False)
         except Exception as e:
             return _json_bytes({"error": f"bad ModelInfer request: {e}"})
         try:
@@ -332,6 +349,24 @@ class FacePipelineServicer:
         try:
             flat: list = []
             leaves("", out, flat)
+            if "output_shm" in body:
+                ref = body["output_shm"]
+                region = self.shm.get(ref["region"])
+                offset = int(ref.get("offset", 0))
+                descs = []
+                for n, v in flat:
+                    arr = np.asarray(v)
+                    region.write_array(arr, offset)
+                    descs.append(
+                        {
+                            "name": n,
+                            "dtype": arr.dtype.name,
+                            "shape": list(arr.shape),
+                            "offset": offset,
+                        }
+                    )
+                    offset += -(-arr.nbytes // 64) * 64  # 64B-aligned packing
+                return _json_bytes({"name": name, "outputs_shm": descs})
             return _json_bytes(
                 {
                     "name": name,
@@ -341,6 +376,65 @@ class FacePipelineServicer:
             )
         except Exception as e:  # keep the JSON error contract, never UNKNOWN
             return _json_bytes({"name": name, "error": f"unserializable output: {e}"})
+
+    # -- system shared-memory verb family (client.rs:148-188) ---------------
+
+    @property
+    def shm(self):
+        """Server-side shared-memory region table, built on first shm verb."""
+        if self._shm is None:
+            with self._shm_lock:
+                if self._shm is None:
+                    from .shm import SharedMemoryRegistry
+
+                    self._shm = SharedMemoryRegistry()
+        return self._shm
+
+    def system_shared_memory_register(self, payload: bytes) -> bytes:
+        """Attach a client-created POSIX shm segment under a region name.
+
+        Request: {"name", "key", "byte_size"} — `key` is the /dev/shm
+        filename the client created (runtime/shm.SharedRegion.create).
+        """
+        try:
+            req = json.loads(payload or b"{}")
+            self.shm.register(req["name"], req["key"], int(req["byte_size"]))
+        except Exception as e:
+            return _json_bytes({"error": str(e)})
+        return _json_bytes({"name": req["name"], "registered": True})
+
+    def system_shared_memory_status(self, payload: bytes) -> bytes:
+        try:
+            req = json.loads(payload or b"{}")
+            regions = self.shm.status(req.get("name"))
+        except Exception as e:
+            return _json_bytes({"error": str(e)})
+        return _json_bytes({"regions": regions})
+
+    def system_shared_memory_unregister(self, payload: bytes) -> bytes:
+        """Detach a region; empty/absent name unregisters ALL (Triton
+        semantics).  The client owns the segment file's lifetime."""
+        try:
+            req = json.loads(payload or b"{}")
+            removed = self.shm.unregister(req.get("name") or None)
+        except Exception as e:
+            return _json_bytes({"error": str(e)})
+        return _json_bytes({"unregistered": removed})
+
+    _CUDA_SHM_ERROR = (
+        "CUDA shared memory has no TPU analog: TPU HBM is not host-mappable; "
+        "use system shared memory (SystemSharedMemoryRegister) for zero-copy "
+        "same-host tensors"
+    )
+
+    def cuda_shared_memory_register(self, payload: bytes) -> bytes:
+        return _json_bytes({"error": self._CUDA_SHM_ERROR})
+
+    def cuda_shared_memory_status(self, payload: bytes) -> bytes:
+        return _json_bytes({"regions": {}})  # none can exist
+
+    def cuda_shared_memory_unregister(self, payload: bytes) -> bytes:
+        return _json_bytes({"error": self._CUDA_SHM_ERROR})
 
     def detect_stream(self, payload_iter):
         """Server-streaming detection (ModelStreamInfer analog).
@@ -534,6 +628,12 @@ def _handlers(servicer: FacePipelineServicer):
         "ModelMetadata": servicer.model_metadata,
         "TraceSetting": servicer.trace_setting,
         "EkycVerify": servicer.ekyc_verify,
+        "SystemSharedMemoryRegister": servicer.system_shared_memory_register,
+        "SystemSharedMemoryStatus": servicer.system_shared_memory_status,
+        "SystemSharedMemoryUnregister": servicer.system_shared_memory_unregister,
+        "CudaSharedMemoryRegister": servicer.cuda_shared_memory_register,
+        "CudaSharedMemoryStatus": servicer.cuda_shared_memory_status,
+        "CudaSharedMemoryUnregister": servicer.cuda_shared_memory_unregister,
     }
     rpcs = {
         name: grpc.unary_unary_rpc_method_handler(
@@ -601,6 +701,7 @@ class FacePipelineClient:
         if not _HAS_GRPC:
             raise RuntimeError("grpcio not available")
         self._channel = grpc.insecure_channel(f"{host}:{port}")
+        self._shm_names: dict = {}  # id(SharedRegion) -> registered name
 
     def _call(self, method: str, payload: bytes) -> dict:
         rpc = self._channel.unary_unary(
@@ -676,6 +777,85 @@ class FacePipelineClient:
         return [
             np.load(io.BytesIO(base64.b64decode(o)), allow_pickle=False)
             for o in res["outputs"]
+        ]
+
+    def system_shared_memory_register(self, name: str, key: str, byte_size: int) -> dict:
+        return self._call(
+            "SystemSharedMemoryRegister",
+            _json_bytes({"name": name, "key": key, "byte_size": byte_size}),
+        )
+
+    def system_shared_memory_status(self, name: str = None) -> dict:
+        body = {"name": name} if name else {}
+        return self._call("SystemSharedMemoryStatus", _json_bytes(body))
+
+    def system_shared_memory_unregister(self, name: str = None) -> dict:
+        body = {"name": name} if name else {}
+        return self._call("SystemSharedMemoryUnregister", _json_bytes(body))
+
+    def cuda_shared_memory_register(self, name: str, key: str = "", byte_size: int = 0) -> dict:
+        return self._call(
+            "CudaSharedMemoryRegister",
+            _json_bytes({"name": name, "key": key, "byte_size": byte_size}),
+        )
+
+    def cuda_shared_memory_status(self) -> dict:
+        return self._call("CudaSharedMemoryStatus", b"")
+
+    def cuda_shared_memory_unregister(self, name: str = None) -> dict:
+        return self._call(
+            "CudaSharedMemoryUnregister", _json_bytes({"name": name} if name else {})
+        )
+
+    def register_region(self, name: str, region) -> dict:
+        """Register a runtime.shm.SharedRegion this process created, and
+        remember its server-side name for model_infer_shm."""
+        res = self.system_shared_memory_register(name, region.key, region.byte_size)
+        if "error" in res:
+            raise RuntimeError(res["error"])
+        self._shm_names[id(region)] = name
+        return res
+
+    def model_infer_shm(self, name: str, batch, region, output_offset: int = None,
+                        **kwargs):
+        """Zero-copy ModelInfer through a registered shared-memory region.
+
+        Writes `batch` into `region` (a runtime.shm.SharedRegion previously
+        passed to register_region), references it by (region, offset, dtype,
+        shape), and asks for outputs in the same region starting at
+        `output_offset` (default: 64B-aligned past the input).  Returns the
+        output arrays as COPIES out of the region (so the region can be
+        reused immediately); tensor bytes never cross the gRPC channel.
+        """
+        try:
+            region_name = self._shm_names[id(region)]
+        except KeyError:
+            raise RuntimeError(
+                "region not registered through this client; call "
+                "register_region(name, region) first"
+            ) from None
+        arr = np.ascontiguousarray(np.asarray(batch))
+        region.write_array(arr, 0)
+        if output_offset is None:
+            output_offset = -(-arr.nbytes // 64) * 64
+        body = {
+            "name": name,
+            "input_shm": {
+                "region": region_name,
+                "offset": 0,
+                "dtype": arr.dtype.name,
+                "shape": list(arr.shape),
+            },
+            "output_shm": {"region": region_name, "offset": int(output_offset)},
+        }
+        if kwargs:
+            body["kwargs"] = kwargs
+        res = self._call("ModelInfer", _json_bytes(body))
+        if "error" in res:
+            raise RuntimeError(res["error"])
+        return [
+            region.read_array(d["dtype"], tuple(d["shape"]), d["offset"])
+            for d in res["outputs_shm"]
         ]
 
     def ekyc_verify(self, card_bytes: bytes, selfie_bytes: bytes) -> dict:

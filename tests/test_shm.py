@@ -1,0 +1,192 @@
+"""System shared-memory regions + the zero-copy ModelInfer wire path."""
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pytest
+
+from rs_face_detection_tpu.runtime.shm import (
+    SharedMemoryRegistry,
+    SharedRegion,
+)
+
+
+def _key():
+    return f"rsfd_test_{uuid.uuid4().hex[:12]}"
+
+
+def test_region_create_attach_roundtrip():
+    key = _key()
+    with SharedRegion.create(key, 1 << 16) as creator:
+        arr = np.arange(1000, dtype=np.float32).reshape(10, 100)
+        creator.write_array(arr, offset=128)
+        attached = SharedRegion.attach(key, 1 << 16)
+        got = attached.read_array("float32", (10, 100), offset=128)
+        np.testing.assert_array_equal(got, arr)
+        # Same physical pages: a write through one mapping is visible in
+        # the other without any copy.
+        creator.write_array(np.full((4,), 7, np.int64), offset=0)
+        np.testing.assert_array_equal(
+            attached.read_array("int64", (4,), 0), np.full((4,), 7, np.int64)
+        )
+        attached.close()
+    assert not os.path.exists(f"/dev/shm/{key}")  # creator unlinks
+
+
+def test_region_bounds_and_keys():
+    key = _key()
+    with SharedRegion.create(key, 256) as region:
+        with pytest.raises(ValueError):
+            region.write_array(np.zeros(1024, np.uint8), 0)
+        with pytest.raises(ValueError):
+            region.read_array("uint8", (16,), offset=250)
+        with pytest.raises(ValueError):
+            region.read_array("uint8", (16,), offset=-1)
+    with pytest.raises(ValueError):
+        SharedRegion.create("../escape", 64)
+    with pytest.raises(ValueError):
+        SharedRegion.create("", 64)
+    with pytest.raises(ValueError):
+        SharedRegion.create(_key(), 0)
+    # attach validates the claimed size against the real segment
+    key2 = _key()
+    with SharedRegion.create(key2, 128):
+        with pytest.raises(ValueError):
+            SharedRegion.attach(key2, 4096)
+
+
+def test_registry_register_status_unregister():
+    reg = SharedMemoryRegistry()
+    key = _key()
+    with SharedRegion.create(key, 512):
+        reg.register("regionA", key, 512)
+        assert reg.status() == {"regionA": {"key": key, "byte_size": 512}}
+        assert reg.status("regionA")["regionA"]["byte_size"] == 512
+        with pytest.raises(ValueError):
+            reg.register("regionA", key, 512)  # duplicate name
+        with pytest.raises(KeyError):
+            reg.status("nope")
+        with pytest.raises(KeyError):
+            reg.get("nope")
+        assert reg.unregister("regionA") == ["regionA"]
+        with pytest.raises(KeyError):
+            reg.unregister("regionA")
+        # unregister-all (Triton empty-name semantics)
+        reg.register("r1", key, 512)
+        reg.register("r2", key, 256)
+        assert sorted(reg.unregister(None)) == ["r1", "r2"]
+        assert reg.status() == {}
+    with pytest.raises(FileNotFoundError):
+        reg.register("gone", key, 512)
+
+
+def test_servicer_shm_verbs_and_infer():
+    """Drive the verb handlers directly (no gRPC socket needed)."""
+    from rs_face_detection_tpu.models.registry import ModelRegistry, ModelSpec
+    from rs_face_detection_tpu.runtime.server import FacePipelineServicer
+
+    reg = ModelRegistry()
+
+    def builder():
+        spec = ModelSpec("doubler", (4,), "array")
+
+        class M:
+            def apply(self, variables, x, train=False):
+                return x * 2.0
+
+        return spec, M(), {}
+
+    reg.register_builder("doubler", builder)
+    s = FacePipelineServicer(None, reg)
+
+    key = _key()
+    with SharedRegion.create(key, 4096) as region:
+        res = json.loads(
+            s.system_shared_memory_register(
+                json.dumps({"name": "r", "key": key, "byte_size": 4096}).encode()
+            )
+        )
+        assert res == {"name": "r", "registered": True}
+        res = json.loads(s.system_shared_memory_status(b"{}"))
+        assert res["regions"]["r"]["byte_size"] == 4096
+
+        x = np.arange(8, dtype=np.float32).reshape(2, 4)
+        region.write_array(x, 0)
+        body = {
+            "name": "doubler",
+            "input_shm": {
+                "region": "r",
+                "offset": 0,
+                "dtype": "float32",
+                "shape": [2, 4],
+            },
+            "output_shm": {"region": "r", "offset": 1024},
+        }
+        res = json.loads(s.model_infer(json.dumps(body).encode()))
+        assert "error" not in res, res
+        (desc,) = res["outputs_shm"]
+        out = region.read_array(desc["dtype"], tuple(desc["shape"]), desc["offset"])
+        np.testing.assert_allclose(out, x * 2.0)
+
+        # error contracts: unknown region, too-small output region
+        bad = dict(body, input_shm=dict(body["input_shm"], region="nope"))
+        assert "error" in json.loads(s.model_infer(json.dumps(bad).encode()))
+        tight = dict(body, output_shm={"region": "r", "offset": 4090})
+        assert "error" in json.loads(s.model_infer(json.dumps(tight).encode()))
+
+        res = json.loads(s.system_shared_memory_unregister(b"{}"))
+        assert res == {"unregistered": ["r"]}
+
+    # CUDA verbs: typed refusal + empty status.
+    assert "error" in json.loads(s.cuda_shared_memory_register(b"{}"))
+    assert json.loads(s.cuda_shared_memory_status(b"{}")) == {"regions": {}}
+
+
+def test_shm_model_infer_over_the_wire():
+    """Full client/server round trip: bytes stay out of the channel."""
+    grpc = pytest.importorskip("grpc")  # noqa: F841
+    from rs_face_detection_tpu.models.registry import ModelRegistry, ModelSpec
+    from rs_face_detection_tpu.runtime.server import FacePipelineClient, serve
+
+    reg = ModelRegistry()
+
+    def builder():
+        spec = ModelSpec("negate", (4,), "array")
+
+        class M:
+            def apply(self, variables, x, train=False):
+                return -x
+
+        return spec, M(), {}
+
+    reg.register_builder("negate", builder)
+    server = serve(None, reg, port=0)
+    client = FacePipelineClient("localhost", server._rsfd_port)
+    try:
+        key = _key()
+        with SharedRegion.create(key, 1 << 20) as region:
+            client.register_region("zones", region)
+            assert client.system_shared_memory_status()["regions"]["zones"][
+                "byte_size"
+            ] == 1 << 20
+
+            x = np.random.default_rng(0).normal(size=(32, 4)).astype(np.float32)
+            (out,) = client.model_infer_shm("negate", x, region)
+            np.testing.assert_allclose(out, -x, rtol=1e-6)
+            # parity with the inline path
+            inline = client.model_infer("negate", x)
+            np.testing.assert_allclose(out, inline, rtol=1e-6)
+
+            # unregistered region -> client-side error
+            with SharedRegion.create(_key(), 256) as other:
+                with pytest.raises(RuntimeError, match="not registered"):
+                    client.model_infer_shm("negate", x, other)
+
+            client.system_shared_memory_unregister("zones")
+            assert client.system_shared_memory_status()["regions"] == {}
+            assert "error" in client.cuda_shared_memory_register("c")
+    finally:
+        client.close()
+        server.stop(0)
