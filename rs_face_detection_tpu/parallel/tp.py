@@ -99,6 +99,14 @@ def make_tp_vit_fn(model, variables, mesh: Mesh):
     """
     from rs_face_detection_tpu.models.vit import _CONFIGS
 
+    if getattr(model, "fused_attention", False):
+        raise ValueError(
+            "fused_attention=True cannot be tensor-parallelized: the Pallas "
+            "flash-attention custom call is opaque to GSPMD, so the "
+            "head-sharded q/k/v activations cannot be partitioned through "
+            "it. Build the ViT with fused_attention=False for TP (XLA still "
+            "fuses the attention math per shard)."
+        )
     cfg = _CONFIGS[model.config]
     check_tp_compatible(cfg.heads, cfg.width * 4, mesh)
 

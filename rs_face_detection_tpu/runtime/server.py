@@ -350,22 +350,38 @@ class FacePipelineServicer:
             flat: list = []
             leaves("", out, flat)
             if "output_shm" in body:
+                from .shm import align_up
+
                 ref = body["output_shm"]
-                region = self.shm.get(ref["region"])
-                offset = int(ref.get("offset", 0))
+                try:
+                    region = self.shm.get(ref["region"])
+                    offset = int(ref.get("offset", 0))
+                    arrs = [np.asarray(v) for _, v in flat]
+                    # Validate the full packing BEFORE any write: an error
+                    # must not leave the client's region partially mutated.
+                    offsets, cur = [], offset
+                    for arr in arrs:
+                        offsets.append(cur)
+                        cur = align_up(cur + arr.nbytes)
+                    end = (offsets[-1] + arrs[-1].nbytes) if arrs else offset
+                    if offset < 0 or end > region.byte_size:
+                        raise ValueError(
+                            f"outputs need [{offset}, {end}) but region "
+                            f"{ref['region']!r} has {region.byte_size} bytes"
+                        )
+                except Exception as e:
+                    return _json_bytes({"name": name, "error": f"bad output_shm: {e}"})
                 descs = []
-                for n, v in flat:
-                    arr = np.asarray(v)
-                    region.write_array(arr, offset)
+                for (n, _), arr, off in zip(flat, arrs, offsets):
+                    region.write_array(arr, off)
                     descs.append(
                         {
                             "name": n,
                             "dtype": arr.dtype.name,
                             "shape": list(arr.shape),
-                            "offset": offset,
+                            "offset": off,
                         }
                     )
-                    offset += -(-arr.nbytes // 64) * 64  # 64B-aligned packing
                 return _json_bytes({"name": name, "outputs_shm": descs})
             return _json_bytes(
                 {
@@ -701,7 +717,7 @@ class FacePipelineClient:
         if not _HAS_GRPC:
             raise RuntimeError("grpcio not available")
         self._channel = grpc.insecure_channel(f"{host}:{port}")
-        self._shm_names: dict = {}  # id(SharedRegion) -> registered name
+        self._shm_names: dict = {}  # SharedRegion.key -> registered name
 
     def _call(self, method: str, payload: bytes) -> dict:
         rpc = self._channel.unary_unary(
@@ -791,7 +807,12 @@ class FacePipelineClient:
 
     def system_shared_memory_unregister(self, name: str = None) -> dict:
         body = {"name": name} if name else {}
-        return self._call("SystemSharedMemoryUnregister", _json_bytes(body))
+        res = self._call("SystemSharedMemoryUnregister", _json_bytes(body))
+        gone = set(res.get("unregistered", []))
+        self._shm_names = {
+            k: n for k, n in self._shm_names.items() if n not in gone
+        }
+        return res
 
     def cuda_shared_memory_register(self, name: str, key: str = "", byte_size: int = 0) -> dict:
         return self._call(
@@ -813,7 +834,7 @@ class FacePipelineClient:
         res = self.system_shared_memory_register(name, region.key, region.byte_size)
         if "error" in res:
             raise RuntimeError(res["error"])
-        self._shm_names[id(region)] = name
+        self._shm_names[region.key] = name
         return res
 
     def model_infer_shm(self, name: str, batch, region, output_offset: int = None,
@@ -827,8 +848,10 @@ class FacePipelineClient:
         output arrays as COPIES out of the region (so the region can be
         reused immediately); tensor bytes never cross the gRPC channel.
         """
+        from .shm import align_up
+
         try:
-            region_name = self._shm_names[id(region)]
+            region_name = self._shm_names[region.key]
         except KeyError:
             raise RuntimeError(
                 "region not registered through this client; call "
@@ -837,7 +860,7 @@ class FacePipelineClient:
         arr = np.ascontiguousarray(np.asarray(batch))
         region.write_array(arr, 0)
         if output_offset is None:
-            output_offset = -(-arr.nbytes // 64) * 64
+            output_offset = align_up(arr.nbytes)
         body = {
             "name": name,
             "input_shm": {

@@ -15,10 +15,19 @@ both processes map the same physical pages.
 
 CUDA shared memory (cuda_shared_memory_* RPCs) has no TPU analog — TPU HBM
 is not host-mappable; the facade's cuda verbs report exactly that.
+
+Trust boundary (same as Triton's shm path): the registering client is a
+same-host, same-user process.  Segments are created 0600 so only the owning
+user can open or resize them; the server refuses symlinked keys
+(O_NOFOLLOW) and re-checks the real size at registration.  A cooperating
+client that ftruncates a segment AFTER registering it can still SIGBUS the
+server on access — inherent to POSIX shared memory; don't register shm from
+processes you wouldn't run in-process.
 """
 
 from __future__ import annotations
 
+import math
 import mmap
 import os
 import threading
@@ -27,6 +36,14 @@ from typing import Dict, Optional
 import numpy as np
 
 DEFAULT_SHM_DIR = "/dev/shm"
+
+#: Output tensors are packed into regions at this alignment (server) and the
+#: default output_offset is computed with it (client) — keep the two in sync.
+ALIGN = 64
+
+
+def align_up(n: int, align: int = ALIGN) -> int:
+    return -(-int(n) // align) * align
 
 
 def _segment_path(key: str, shm_dir: str = DEFAULT_SHM_DIR) -> str:
@@ -74,17 +91,37 @@ class SharedRegion:
     def attach(cls, key: str, byte_size: int,
                shm_dir: str = DEFAULT_SHM_DIR) -> "SharedRegion":
         path = _segment_path(key, shm_dir)
-        actual = os.stat(path).st_size
-        if byte_size > actual:
-            raise ValueError(
-                f"segment {key!r} is {actual} bytes, registration claims {byte_size}"
-            )
-        fd = os.open(path, os.O_RDWR)
+        # O_NOFOLLOW: /dev/shm is world-writable+sticky, so a hostile local
+        # user could plant a symlink under a guessable key; glibc shm_open
+        # refuses symlinks for the same reason.  Size-check the fd we
+        # actually opened (fstat), not the path.
+        try:
+            fd = os.open(path, os.O_RDWR | os.O_NOFOLLOW)
+        except OSError as e:
+            import errno
+
+            if e.errno == errno.ELOOP:
+                raise ValueError(f"segment key {key!r} is a symlink; refusing") from None
+            raise
+        try:
+            import stat as stat_mod
+
+            st = os.fstat(fd)
+            if not stat_mod.S_ISREG(st.st_mode):
+                raise ValueError(f"segment {key!r} is not a regular file")
+            if byte_size > st.st_size:
+                raise ValueError(
+                    f"segment {key!r} is {st.st_size} bytes, "
+                    f"registration claims {byte_size}"
+                )
+        except BaseException:
+            os.close(fd)
+            raise
         return cls(key, byte_size, fd, owner=False, shm_dir=shm_dir)
 
     # -- typed tensor IO ----------------------------------------------------
     def _span(self, offset: int, nbytes: int) -> memoryview:
-        if offset < 0 or offset + nbytes > self.byte_size:
+        if nbytes < 0 or offset < 0 or offset + nbytes > self.byte_size:
             raise ValueError(
                 f"range [{offset}, {offset + nbytes}) outside region "
                 f"{self.key!r} of {self.byte_size} bytes"
@@ -95,7 +132,8 @@ class SharedRegion:
         """Copy `arr` into the region; returns the byte length written."""
         arr = np.ascontiguousarray(arr)
         span = self._span(offset, arr.nbytes)
-        span[:] = arr.tobytes()  # one memcpy into the shared pages
+        # One memcpy into the shared pages — no intermediate bytes object.
+        span[:] = memoryview(arr).cast("B")
         return arr.nbytes
 
     def read_array(self, dtype, shape, offset: int = 0, copy: bool = True) -> np.ndarray:
@@ -106,7 +144,10 @@ class SharedRegion:
         pins the mapping (close() would raise BufferError until it dies).
         """
         dt = np.dtype(dtype)
-        nbytes = dt.itemsize * int(np.prod(shape, dtype=np.int64)) if shape else dt.itemsize
+        dims = [int(d) for d in (shape if shape else ())]
+        if any(d < 0 for d in dims):
+            raise ValueError(f"negative dimension in shape {tuple(shape)}")
+        nbytes = dt.itemsize * math.prod(dims)  # exact int math, no overflow
         span = self._span(offset, nbytes)
         arr = np.frombuffer(span, dtype=dt).reshape(shape)
         if copy:

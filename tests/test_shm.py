@@ -57,6 +57,26 @@ def test_region_bounds_and_keys():
             SharedRegion.attach(key2, 4096)
 
 
+def test_negative_shape_rejected():
+    key = _key()
+    with SharedRegion.create(key, 256) as region:
+        with pytest.raises(ValueError, match="negative dimension"):
+            region.read_array("float32", (-1,), 0)
+        with pytest.raises(ValueError):
+            region.read_array("float32", (4, -2), 0)
+
+
+def test_attach_refuses_symlink():
+    target_key, link_key = _key(), _key()
+    with SharedRegion.create(target_key, 256):
+        os.symlink(f"/dev/shm/{target_key}", f"/dev/shm/{link_key}")
+        try:
+            with pytest.raises(ValueError, match="symlink"):
+                SharedRegion.attach(link_key, 256)
+        finally:
+            os.unlink(f"/dev/shm/{link_key}")
+
+
 def test_registry_register_status_unregister():
     reg = SharedMemoryRegistry()
     key = _key()
@@ -134,7 +154,23 @@ def test_servicer_shm_verbs_and_infer():
         bad = dict(body, input_shm=dict(body["input_shm"], region="nope"))
         assert "error" in json.loads(s.model_infer(json.dumps(bad).encode()))
         tight = dict(body, output_shm={"region": "r", "offset": 4090})
-        assert "error" in json.loads(s.model_infer(json.dumps(tight).encode()))
+        sentinel = np.full((1,), 123.0, np.float32)
+        region.write_array(sentinel, 4090 - 4090 % 4)
+        res = json.loads(s.model_infer(json.dumps(tight).encode()))
+        assert "bad output_shm" in res["error"]
+        # the failed request must not have mutated the region
+        np.testing.assert_array_equal(
+            region.read_array("float32", (1,), 4090 - 4090 % 4), sentinel
+        )
+        bad_out = dict(body, output_shm={"region": "nope", "offset": 0})
+        assert "bad output_shm" in json.loads(
+            s.model_infer(json.dumps(bad_out).encode())
+        )["error"]
+        # a negative client-supplied shape must be a request error, not data
+        neg = dict(body, input_shm=dict(body["input_shm"], shape=[-1]))
+        assert "bad ModelInfer request" in json.loads(
+            s.model_infer(json.dumps(neg).encode())
+        )["error"]
 
         res = json.loads(s.system_shared_memory_unregister(b"{}"))
         assert res == {"unregistered": ["r"]}

@@ -58,6 +58,15 @@ def test_check_tp_compatible():
         check_tp_compatible(16, 4095, mesh)
 
 
+def test_fused_attention_rejected():
+    from rs_face_detection_tpu.models.vit import ViT
+
+    model = ViT(config="clip_tiny_test", fused_attention=True)
+    mesh = make_mesh(8, model_parallel=2)
+    with pytest.raises(ValueError, match="fused_attention"):
+        make_tp_vit_fn(model, {"params": {}}, mesh)
+
+
 def test_tp_forward_parity(tiny_vit):
     model, variables = tiny_vit
     mesh = make_mesh(8, model_parallel=2)  # DP 4 x TP 2
