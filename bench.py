@@ -542,11 +542,47 @@ def main() -> int:
                 nms_mode=args.nms, registry=None,
             )
             # Production path: the dense s4d front (ops/scrfd_s4d.py).
-            sfn = sdet.make_batched_fn(stem="s4d")
-            scrfd_b8, _ = _throughput_device(
-                sfn, svars, batch_maker(8, "s4d"), 8, max(3, n_batches // 2)
-            )
-            result["scrfd_b8_img_s"] = round(scrfd_b8, 2)
+            # Self-tuning A/B over the packed-head knob (ops/scrfd_packed.py
+            # — a hardware question like the mnet packed sets): measure s4d
+            # plain vs s4d+packed, report the winner as the headline SCRFD
+            # rate.  RSFD_SCRFD_PACKED pins ("none" | "packed"); --no-ab
+            # skips (plain s4d).  tools/ab_scrfd.py has the fuller grid.
+            scrfd_candidates = {
+                "none": {},
+                "packed": dict(packed_heads=True),
+            }
+            spin = os.environ.get("RSFD_SCRFD_PACKED", "")
+            if spin and spin not in scrfd_candidates:
+                raise ValueError(
+                    f"RSFD_SCRFD_PACKED={spin!r} not in "
+                    f"{sorted(scrfd_candidates)}"
+                )
+            if spin:
+                chosen = {spin: scrfd_candidates[spin]}
+            elif (args.force_ab or not args.smoke) and not args.no_ab:
+                chosen = scrfd_candidates
+            else:
+                chosen = {"none": {}}
+            scrfd_ab = {}
+            scrfd_config = None
+            for sname, skw in chosen.items():
+                if scrfd_ab and over_budget():
+                    print(f"[bench] scrfd A/B stopped at budget before {sname}",
+                          file=sys.stderr, flush=True)
+                    break
+                sfn = sdet.make_batched_fn(stem="s4d", **skw)
+                rate, _ = _throughput_device(
+                    sfn, svars, batch_maker(8, "s4d"), 8, max(3, n_batches // 2)
+                )
+                scrfd_ab[sname] = round(rate, 2)
+                print(f"[bench] scrfd A/B {sname}: {rate:.1f} img/s",
+                      file=sys.stderr, flush=True)
+                if scrfd_config is None or rate > scrfd_ab[scrfd_config]:
+                    scrfd_config = sname
+            result["scrfd_b8_img_s"] = scrfd_ab[scrfd_config]
+            result["scrfd_packed_config"] = scrfd_config
+            if len(scrfd_ab) > 1:
+                result["scrfd_packed_ab_img_s"] = scrfd_ab
             # Natural-layout baseline for the A/B evidence.
             sfn_x = sdet.make_batched_fn()
             scrfd_x, _ = _throughput_device(
