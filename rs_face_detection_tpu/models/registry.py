@@ -49,6 +49,8 @@ class ModelStats:
     execution_count: int = 0
     cumulative_duration_s: float = 0.0
     last_duration_s: float = 0.0
+    #: executions per batch size (Triton's batch_stats analog)
+    batch_size_counts: Dict[int, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -144,7 +146,11 @@ class ModelRegistry:
         return self._entry(name).variables
 
     def statistics(self, name: str) -> ModelStats:
-        return dataclasses.replace(self._entry(name).stats)
+        stats = self._entry(name).stats
+        with self._lock:  # snapshot: the counts dict mutates under the lock
+            return dataclasses.replace(
+                stats, batch_size_counts=dict(stats.batch_size_counts)
+            )
 
     def _entry(self, name: str) -> _Entry:
         with self._lock:
@@ -174,6 +180,10 @@ class ModelRegistry:
             entry.stats.execution_count += 1
             entry.stats.cumulative_duration_s += duration_s
             entry.stats.last_duration_s = duration_s
+            b = int(batch_size)
+            entry.stats.batch_size_counts[b] = (
+                entry.stats.batch_size_counts.get(b, 0) + 1
+            )
 
     def infer(self, name: str, batch: Any, **kwargs) -> Any:
         """Standalone timed forward pass (the model_infer analog).
@@ -187,10 +197,12 @@ class ModelRegistry:
         out = jax.block_until_ready(out)
         dur = time.perf_counter() - start
         with self._lock:
-            e.stats.inference_count += int(np.shape(batch)[0]) if np.ndim(batch) else 1
+            b = int(np.shape(batch)[0]) if np.ndim(batch) else 1
+            e.stats.inference_count += b
             e.stats.execution_count += 1
             e.stats.cumulative_duration_s += dur
             e.stats.last_duration_s = dur
+            e.stats.batch_size_counts[b] = e.stats.batch_size_counts.get(b, 0) + 1
         return out
 
 

@@ -70,6 +70,13 @@ class DynamicBatcher:
         self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._batch_sizes: "collections.Counter" = collections.Counter()
+        # Duration accounting (Triton model_statistics parity: its
+        # inference_stats splits queue vs compute).  Cumulative plus a
+        # bounded sample window for percentiles.
+        self._cum_queue_s = 0.0
+        self._cum_compute_s = 0.0
+        self._queue_samples: "collections.deque" = collections.deque(maxlen=2048)
+        self._compute_samples: "collections.deque" = collections.deque(maxlen=2048)
         self._worker = threading.Thread(
             target=self._loop, name="rsfd-dynamic-batcher", daemon=True
         )
@@ -83,7 +90,7 @@ class DynamicBatcher:
             if self._closed.is_set():
                 raise RuntimeError("DynamicBatcher is closed")
             fut: "Future" = Future()
-            self._queue.put((payload, fut))
+            self._queue.put((payload, fut, time.monotonic()))
         return fut
 
     def detect(
@@ -97,14 +104,33 @@ class DynamicBatcher:
 
         Returns {"batches": total batches run, "requests": total requests,
         "batch_size_counts": {size: count}} — the analog of Triton's
-        inference_statistics batching counters.
+        inference_statistics batching counters — plus the duration split
+        Triton's inference_stats carries (queue vs compute): cumulative
+        seconds and p50/p95/p99 milliseconds over a bounded sample window.
+        Queue time is per REQUEST (submit -> its batch starts); compute
+        time is per BATCH (one batch_fn call).
         """
+        def pct(samples, q):
+            if not samples:
+                return 0.0
+            s = sorted(samples)
+            return round(s[min(len(s) - 1, int(q * len(s)))] * 1e3, 3)
+
         with self._stats_lock:
             sizes = dict(self._batch_sizes)
+            queue_s, compute_s = self._cum_queue_s, self._cum_compute_s
+            qs = list(self._queue_samples)
+            cs = list(self._compute_samples)
         return {
             "batches": sum(sizes.values()),
             "requests": sum(k * v for k, v in sizes.items()),
             "batch_size_counts": {str(k): v for k, v in sorted(sizes.items())},
+            "cumulative_queue_s": round(queue_s, 6),
+            "cumulative_compute_s": round(compute_s, 6),
+            "queue_ms": {"p50": pct(qs, 0.50), "p95": pct(qs, 0.95),
+                         "p99": pct(qs, 0.99)},
+            "compute_ms": {"p50": pct(cs, 0.50), "p95": pct(cs, 0.95),
+                           "p99": pct(cs, 0.99)},
         }
 
     def close(self, timeout: float = 10.0) -> None:
@@ -156,32 +182,39 @@ class DynamicBatcher:
         except Exception:
             pass  # cancelled / already resolved: nothing to deliver
 
-    def _run_batch(self, items: List[Tuple[Any, "Future"]]) -> None:
+    def _run_batch(self, items: List[Tuple[Any, "Future", float]]) -> None:
         # Claim each Future (blocks late cancel()); drop already-cancelled
         # requests before paying for their device work.
         items = [
-            (p, fut)
-            for p, fut in items
+            (p, fut, t)
+            for p, fut, t in items
             if fut.set_running_or_notify_cancel()
         ]
         if not items:
             return
-        payloads = [p for p, _ in items]
+        t_start = time.monotonic()
+        queue_waits = [t_start - t for _, _, t in items]
+        payloads = [p for p, _, _ in items]
         try:
             results = self._batch_fn(payloads)
         except Exception:
             # One bad payload must not sink its batch neighbors: retry each
             # request alone so the exception lands only on the culprit(s).
-            for p, fut in items:
+            for p, fut, _ in items:
                 try:
                     self._resolve(fut, self._batch_fn([p])[0])
                 except Exception as e:
                     self._resolve(fut, exc=e)
         else:
-            for (_, fut), res in zip(items, results):
+            for (_, fut, _), res in zip(items, results):
                 self._resolve(fut, res)
+        compute_s = time.monotonic() - t_start
         with self._stats_lock:
             self._batch_sizes[len(items)] += 1
+            self._cum_queue_s += sum(queue_waits)
+            self._cum_compute_s += compute_s
+            self._queue_samples.extend(queue_waits)
+            self._compute_samples.append(compute_s)
 
     def _loop(self) -> None:
         while True:

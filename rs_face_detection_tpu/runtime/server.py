@@ -623,6 +623,10 @@ class FacePipelineServicer:
                 "inference_count": s.inference_count,
                 "execution_count": s.execution_count,
                 "cumulative_duration_s": s.cumulative_duration_s,
+                # Triton batch_stats analog: executions per batch size.
+                "batch_size_counts": {
+                    str(k): v for k, v in sorted(s.batch_size_counts.items())
+                },
             }
         )
 

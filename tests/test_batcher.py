@@ -68,6 +68,11 @@ def test_concurrent_submits_coalesce_and_match(server):
     # fewer batches than requests, and at least one multi-request batch.
     assert stats["batches"] < len(imgs)
     assert any(int(k) > 1 for k in stats["batch_size_counts"])
+    # Triton inference_stats parity: queue/compute duration split.
+    assert stats["cumulative_compute_s"] > 0
+    assert stats["cumulative_queue_s"] >= 0
+    assert stats["compute_ms"]["p50"] > 0
+    assert stats["queue_ms"]["p99"] >= stats["queue_ms"]["p50"] >= 0
     for (b, k), (eb, ek) in zip(results, expected):
         np.testing.assert_allclose(b, eb, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(k, ek, rtol=1e-4, atol=1e-3)

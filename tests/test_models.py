@@ -92,6 +92,11 @@ def test_registry_lifecycle_and_statistics():
     assert stats.execution_count == 1
     assert stats.inference_count == 2
     assert stats.cumulative_duration_s > 0
+    assert stats.batch_size_counts == {2: 1}  # Triton batch_stats analog
+    # the snapshot is detached from live mutation
+    reg.infer("toy", jnp.zeros((2, 32, 32, 3)), train=False)
+    assert stats.batch_size_counts == {2: 1}
+    assert reg.statistics("toy").batch_size_counts == {2: 2}
 
     reg.unload("toy")
     assert not reg.model_ready("toy")
