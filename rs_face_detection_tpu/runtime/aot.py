@@ -268,3 +268,106 @@ class LoadedModel:
 def load_model(blob: bytes) -> LoadedModel:
     """Re-hydrate an export_model artifact."""
     return LoadedModel(blob)
+
+
+# -- sharded (multi-chip) artifacts ------------------------------------------
+
+
+def export_tp_vit(model, variables, mesh, batch_size: int,
+                  image_size: Sequence[int] = (224, 224)) -> bytes:
+    """Serialize the tensor-parallel ViT forward for a device mesh.
+
+    Completes the deployment story for the multi-chip path: the Megatron-
+    sharded program (parallel/tp.py — head/MLP-column parameter shardings,
+    GSPMD-inserted psums) exported as StableHLO with its shardings baked
+    in, so a serving pod re-hydrates the exact collective schedule without
+    the model Python.  jax.export records per-argument HLO shardings and
+    the device count; load_tp_vit re-binds them to a same-shape mesh.
+
+    Weights stay outside (the same model/weights split as every artifact
+    here): pass any same-architecture checkpoint's variables at call time,
+    placed by parallel.tp.vit_tp_shardings.  Shapes are static, matching
+    the repo convention (one artifact per batch size).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.tp import make_tp_vit_fn
+
+    if batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch {batch_size} not divisible by data axis {mesh.shape['data']}"
+        )
+    fwd, sharded_vars = make_tp_vit_fn(model, variables, mesh)
+    # Export from ShapeDtypeStructs carrying the real NamedShardings, so no
+    # example batch is materialized.
+    var_avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        sharded_vars,
+    )
+    w, h = image_size
+    img = jax.ShapeDtypeStruct(
+        (batch_size, h, w, 3), jnp.float32,
+        sharding=NamedSharding(mesh, P("data")),
+    )
+    exp = jax_export.export(fwd)(var_avals, img)
+    meta = {
+        "format": "rsfd-aot-tp-vit-v1",
+        "framework_version": __version__,
+        "config": model.config,
+        "num_classes": model.num_classes,
+        "batch_size": batch_size,
+        "image_size": [w, h],
+        "mesh_shape": dict(mesh.shape),
+        "mesh_axes": list(mesh.axis_names),
+        "nr_devices": mesh.size,
+        "jax_version": jax.__version__,
+    }
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        main=np.frombuffer(exp.serialize(), dtype=np.uint8),
+    )
+    return buf.getvalue()
+
+
+class LoadedTPViT:
+    """A deserialized export_tp_vit artifact bound to a live mesh.
+
+    Call with an UNSHARDED variables tree (e.g. straight from a registry
+    .npz): prepare_variables places it under the recorded Megatron rule —
+    pay that once, then every call is dispatch-only.
+    """
+
+    def __init__(self, blob: bytes, mesh) -> None:
+        with np.load(io.BytesIO(blob)) as z:
+            self.meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            if self.meta.get("format") != "rsfd-aot-tp-vit-v1":
+                raise ValueError(f"not an rsfd TP-ViT artifact: {self.meta}")
+            self._main = jax_export.deserialize(bytearray(z["main"].tobytes()))
+        if dict(mesh.shape) != self.meta["mesh_shape"]:
+            raise ValueError(
+                f"artifact was exported for mesh {self.meta['mesh_shape']}, "
+                f"got {dict(mesh.shape)}"
+            )
+        self.mesh = mesh
+
+    def prepare_variables(self, variables):
+        """Place a host/unsharded variables tree under the artifact's rule."""
+        from ..parallel.tp import vit_tp_shardings
+
+        return jax.device_put(variables, vit_tp_shardings(variables, self.mesh))
+
+    def __call__(self, variables, images):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        images = jax.device_put(
+            images, NamedSharding(self.mesh, P("data"))
+        )
+        return self._main.call(variables, images)
+
+
+def load_tp_vit(blob: bytes, mesh) -> LoadedTPViT:
+    """Re-hydrate an export_tp_vit artifact onto a same-shape mesh."""
+    return LoadedTPViT(blob, mesh)

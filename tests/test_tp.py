@@ -97,3 +97,31 @@ def test_tp_shardings_cover_all_params(tiny_vit):
     # 2 blocks x (3 qkv kernels + 3 qkv biases + out kernel + fc1 kernel +
     # fc1 bias + fc2 kernel) = 10 sharded leaves per block.
     assert len(sharded) == 2 * 10
+
+
+def test_tp_vit_aot_roundtrip(tiny_vit):
+    """Sharded AOT artifact: export the TP program, re-hydrate, parity."""
+    from rs_face_detection_tpu.runtime.aot import export_tp_vit, load_tp_vit
+
+    model, variables = tiny_vit
+    mesh = make_mesh(8, model_parallel=2)
+    blob = export_tp_vit(model, variables, mesh, batch_size=8,
+                         image_size=(32, 32))
+    assert isinstance(blob, bytes) and len(blob) > 1000
+
+    loaded = load_tp_vit(blob, mesh)
+    assert loaded.meta["mesh_shape"] == {"data": 4, "model": 2}
+    svars = loaded.prepare_variables(variables)
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    out = loaded(svars, imgs)
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # wrong-shape mesh refused
+    with pytest.raises(ValueError, match="mesh"):
+        load_tp_vit(blob, make_mesh(8, model_parallel=1))
+    # indivisible batch refused at export
+    with pytest.raises(ValueError, match="divisible"):
+        export_tp_vit(model, variables, mesh, batch_size=3, image_size=(32, 32))
