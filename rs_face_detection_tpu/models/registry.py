@@ -145,6 +145,18 @@ class ModelRegistry:
     def variables(self, name: str) -> Any:
         return self._entry(name).variables
 
+    def memory_usage_bytes(self, name: str) -> int:
+        """Parameter-buffer bytes of a loaded model (the memory-usage field
+        Triton's model_statistics carries, grpc_service.proto:1089-1173)."""
+        variables = self._entry(name).variables
+        return int(
+            sum(
+                int(np.prod(np.shape(x), dtype=np.int64))
+                * np.dtype(getattr(x, "dtype", np.float32)).itemsize
+                for x in jax.tree_util.tree_leaves(variables)
+            )
+        )
+
     def statistics(self, name: str) -> ModelStats:
         stats = self._entry(name).stats
         with self._lock:  # snapshot: the counts dict mutates under the lock

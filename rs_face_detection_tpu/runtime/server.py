@@ -627,6 +627,8 @@ class FacePipelineServicer:
                 "batch_size_counts": {
                     str(k): v for k, v in sorted(s.batch_size_counts.items())
                 },
+                # Triton memory-usage analog: parameter-buffer bytes.
+                "memory_usage_bytes": self.registry.memory_usage_bytes(name),
             }
         )
 

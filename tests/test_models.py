@@ -97,6 +97,15 @@ def test_registry_lifecycle_and_statistics():
     reg.infer("toy", jnp.zeros((2, 32, 32, 3)), train=False)
     assert stats.batch_size_counts == {2: 1}
     assert reg.statistics("toy").batch_size_counts == {2: 2}
+    # memory-usage analog: f32 params -> 4 bytes/element, nonzero
+    mem = reg.memory_usage_bytes("toy")
+    import jax
+
+    n_params = sum(
+        int(np.prod(np.shape(x)))
+        for x in jax.tree_util.tree_leaves(reg.variables("toy"))
+    )
+    assert mem == 4 * n_params > 0
 
     reg.unload("toy")
     assert not reg.model_ready("toy")
