@@ -101,10 +101,13 @@ def main() -> int:
             FacePipelineClient,
             serve,
         )
+
+        # serve() is what raises when grpcio is missing (the module imports
+        # fine — it guards grpc behind a flag), so it must sit in the try.
+        server = serve(None, reg, port=0, ekyc_pipeline=ekyc)
     except RuntimeError:
         print("  (grpcio not available; skipped)")
         return 0
-    server = serve(None, reg, port=0, ekyc_pipeline=ekyc)
     try:
         client = FacePipelineClient("localhost", server._rsfd_port)
         wire = client.ekyc_verify(card, selfie)

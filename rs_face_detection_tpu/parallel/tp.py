@@ -83,14 +83,17 @@ def check_tp_compatible(heads: int, hidden: int, mesh: Mesh) -> None:
         raise ValueError(f"MLP hidden {hidden} not divisible by model axis {model}")
 
 
-def make_tp_vit_fn(model, variables, mesh: Mesh):
+def make_tp_vit_fn(model, variables, mesh: Mesh, *, place_variables: bool = True):
     """Jit a ViT forward with DP batch + TP parameter shardings.
 
     Returns (fn, sharded_variables): `fn(variables, images)` is compiled with
     in_shardings matching the Megatron parameter layout and the batch sharded
     over "data"; outputs come back batch-sharded.  Pass the returned
     sharded_variables (device_put under the same shardings) so dispatch is
-    transfer-free.
+    transfer-free.  place_variables=False skips that device_put (returns
+    None in its place) for callers that only trace/export the program and
+    never run it — e.g. runtime/aot.export_tp_vit, where uploading the full
+    weight tree through a tunneled device would be pure waste.
 
     The per-chip program: every block runs its heads/MLP columns locally and
     XLA inserts one all-reduce after `attn.out` and one after `fc2` — 2
@@ -112,7 +115,9 @@ def make_tp_vit_fn(model, variables, mesh: Mesh):
 
     param_shardings = vit_tp_shardings(variables, mesh)
     data = NamedSharding(mesh, P("data"))
-    sharded_vars = jax.device_put(variables, param_shardings)
+    sharded_vars = (
+        jax.device_put(variables, param_shardings) if place_variables else None
+    )
 
     @functools.partial(
         jax.jit,

@@ -298,12 +298,19 @@ def export_tp_vit(model, variables, mesh, batch_size: int,
         raise ValueError(
             f"batch {batch_size} not divisible by data axis {mesh.shape['data']}"
         )
-    fwd, sharded_vars = make_tp_vit_fn(model, variables, mesh)
-    # Export from ShapeDtypeStructs carrying the real NamedShardings, so no
-    # example batch is materialized.
+    from ..parallel.tp import vit_tp_shardings
+
+    fwd, _ = make_tp_vit_fn(model, variables, mesh, place_variables=False)
+    # Export from ShapeDtypeStructs carrying the real NamedShardings — no
+    # example batch is materialized and the weight tree never leaves the
+    # host (device_put of ~300 MB through a tunneled device would be waste
+    # the export never needs).
     var_avals = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-        sharded_vars,
+        lambda x, s: jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", np.float32), sharding=s
+        ),
+        variables,
+        vit_tp_shardings(variables, mesh),
     )
     w, h = image_size
     img = jax.ShapeDtypeStruct(

@@ -615,7 +615,8 @@ class FacePipelineServicer:
         name = json.loads(payload or b"{}").get("name", "")
         try:
             s = self.registry.statistics(name)
-        except KeyError:
+            mem = self.registry.memory_usage_bytes(name)
+        except KeyError:  # incl. a concurrent unload between the two calls
             return _json_bytes({"error": f"model {name!r} not loaded"})
         return _json_bytes(
             {
@@ -628,7 +629,7 @@ class FacePipelineServicer:
                     str(k): v for k, v in sorted(s.batch_size_counts.items())
                 },
                 # Triton memory-usage analog: parameter-buffer bytes.
-                "memory_usage_bytes": self.registry.memory_usage_bytes(name),
+                "memory_usage_bytes": mem,
             }
         )
 

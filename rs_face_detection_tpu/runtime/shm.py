@@ -132,8 +132,10 @@ class SharedRegion:
         """Copy `arr` into the region; returns the byte length written."""
         arr = np.ascontiguousarray(arr)
         span = self._span(offset, arr.nbytes)
-        # One memcpy into the shared pages — no intermediate bytes object.
-        span[:] = memoryview(arr).cast("B")
+        # One memcpy into the shared pages, no intermediate bytes object.
+        # Byte-view via numpy (not memoryview.cast) so extension dtypes the
+        # buffer protocol rejects — bfloat16 and friends — work too.
+        np.frombuffer(span, dtype=np.uint8)[:] = arr.reshape(-1).view(np.uint8)
         return arr.nbytes
 
     def read_array(self, dtype, shape, offset: int = 0, copy: bool = True) -> np.ndarray:
@@ -210,8 +212,15 @@ class SharedMemoryRegistry:
                 if name not in self._regions:
                     raise KeyError(f"shared-memory region {name!r} not registered")
                 victims = [name]
-            for n in victims:
-                self._regions.pop(n).close(unlink=False)
+            popped = [self._regions.pop(n) for n in victims]
+        for region in popped:
+            try:
+                region.close(unlink=False)
+            except BufferError:
+                # A concurrent ModelInfer still holds a view over the pages.
+                # Drop our reference instead: the mapping closes when the
+                # in-flight view dies and the mmap object is collected.
+                pass
         return victims
 
     def get(self, name: str) -> SharedRegion:

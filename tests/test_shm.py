@@ -57,6 +57,24 @@ def test_region_bounds_and_keys():
             SharedRegion.attach(key2, 4096)
 
 
+def test_bfloat16_roundtrip():
+    """Extension dtypes (bf16) must ride the shm path — the buffer protocol
+    rejects them, so write_array byte-views via numpy, not memoryview."""
+    import ml_dtypes
+
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    key = _key()
+    with SharedRegion.create(key, 4096) as region:
+        arr = np.arange(64, dtype=np.float32).astype(bf16).reshape(8, 8)
+        n = region.write_array(arr, offset=64)
+        assert n == 128  # 2 bytes/element
+        got = region.read_array(bf16, (8, 8), offset=64)
+        np.testing.assert_array_equal(got, arr)
+        # dtype-name round trip (what the wire carries)
+        got2 = region.read_array(arr.dtype.name, (8, 8), offset=64)
+        assert got2.dtype == bf16
+
+
 def test_negative_shape_rejected():
     key = _key()
     with SharedRegion.create(key, 256) as region:
