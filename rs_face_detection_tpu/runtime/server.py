@@ -38,6 +38,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
+from typing import Optional
 from concurrent import futures
 
 import numpy as np
@@ -720,10 +721,20 @@ def serve(
 class FacePipelineClient:
     """Client mirroring the reference's TritonInferenceClient verb surface."""
 
-    def __init__(self, host: str = "localhost", port: int = 8001) -> None:
+    def __init__(
+        self, host: str = "localhost", port: int = 8001,
+        timeout_s: Optional[float] = None,
+    ) -> None:
+        """timeout_s: per-RPC deadline applied to every unary verb.  The
+        reference carried `timeout: 20` config fields it never read
+        (face_pipeline/config.rs:15,61); here the deadline is real — a slow
+        or wedged server raises grpc.RpcError(DEADLINE_EXCEEDED) instead of
+        blocking the caller forever.  None (default) keeps unbounded calls
+        (first-inference compiles can legitimately take minutes on TPU)."""
         if not _HAS_GRPC:
             raise RuntimeError("grpcio not available")
         self._channel = grpc.insecure_channel(f"{host}:{port}")
+        self._timeout_s = timeout_s
         self._shm_names: dict = {}  # SharedRegion.key -> registered name
 
     def _call(self, method: str, payload: bytes) -> dict:
@@ -732,7 +743,7 @@ class FacePipelineClient:
             request_serializer=_identity,
             response_deserializer=_identity,
         )
-        return json.loads(rpc(payload))
+        return json.loads(rpc(payload, timeout=self._timeout_s))
 
     def extract(self, image_bytes: bytes) -> dict:
         return self._call("Extract", image_bytes)

@@ -244,3 +244,40 @@ def test_shm_model_infer_over_the_wire():
     finally:
         client.close()
         server.stop(0)
+
+
+def test_client_timeout_deadline():
+    """timeout_s turns a wedged verb into DEADLINE_EXCEEDED, not a hang."""
+    import time
+
+    grpc = pytest.importorskip("grpc")
+    from rs_face_detection_tpu.models.registry import ModelRegistry, ModelSpec
+    from rs_face_detection_tpu.runtime.server import FacePipelineClient, serve
+
+    reg = ModelRegistry()
+
+    def builder():
+        spec = ModelSpec("slow", (1,), "array")
+
+        class M:
+            def apply(self, v, x, train=False):
+                time.sleep(3.0)
+                return x
+
+        return spec, M(), {}
+
+    reg.register_builder("slow", builder)
+    server = serve(None, reg, port=0)
+    client = FacePipelineClient("localhost", server._rsfd_port, timeout_s=0.5)
+    try:
+        reg.load("slow")  # don't count builder time against the deadline
+        t0 = time.monotonic()
+        with pytest.raises(grpc.RpcError) as err:
+            client.model_infer("slow", np.zeros((1, 1), np.float32))
+        assert err.value.code() == grpc.StatusCode.DEADLINE_EXCEEDED
+        assert time.monotonic() - t0 < 2.5
+        # liveness verbs still answer within the deadline
+        assert client.server_live() is True
+    finally:
+        client.close()
+        server.stop(0)
