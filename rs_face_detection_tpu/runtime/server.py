@@ -62,6 +62,34 @@ def _json_bytes(obj) -> bytes:
     return json.dumps(obj).encode("utf-8")
 
 
+def _req_body(payload: bytes):
+    """Parse a JSON-object request body; (body, None) or (None, error bytes).
+
+    Every unary verb keeps the JSON error contract even for hostile bytes —
+    a malformed payload must never surface as gRPC UNKNOWN
+    (tests/test_server_fuzz.py drives this)."""
+    try:
+        body = json.loads(payload or b"{}")
+    except Exception as e:
+        return None, _json_bytes({"error": f"bad request: not JSON ({e})"})
+    if not isinstance(body, dict):
+        return None, _json_bytes(
+            {"error": "bad request: body must be a JSON object"}
+        )
+    return body, None
+
+
+def _req_name(payload: bytes):
+    """Parse {"name": str} bodies; (name, None) or (None, error bytes)."""
+    body, err = _req_body(payload)
+    if err:
+        return None, err
+    name = body.get("name", "")
+    if not isinstance(name, str):
+        return None, _json_bytes({"error": "bad request: name must be a string"})
+    return name, None
+
+
 class FacePipelineServicer:
     """Method implementations; independent of the gRPC plumbing for testing."""
 
@@ -183,7 +211,8 @@ class FacePipelineServicer:
                     return _json_bytes({"error": str(e)})
             else:
                 result = self.pipeline.extract(payload)
-        except ValueError as e:  # bad payloads; server bugs still surface
+        except Exception as e:  # bad payloads, decode errors, build failures:
+            # the JSON error contract, never gRPC UNKNOWN.
             return _json_bytes({"error": str(e)})
         return _json_bytes(
             {
@@ -227,16 +256,16 @@ class FacePipelineServicer:
 
         try:
             image = decode_image_bytes(payload)
-        except ValueError as e:
+        except Exception as e:  # incl. cv2.error on truncated/empty bytes
             return _json_bytes({"error": str(e)})
-        if self._dynamic_batching:
-            # Concurrent gRPC handler threads coalesce into one device batch.
-            try:
+        try:
+            if self._dynamic_batching:
+                # Concurrent gRPC handler threads coalesce into one batch.
                 boxes, kps = self._dynamic_batcher().detect(image)
-            except Exception as e:
-                return _json_bytes({"error": str(e)})
-        else:
-            boxes, kps = self.pipeline.face_detection(image)
+            else:
+                boxes, kps = self.pipeline.face_detection(image)
+        except Exception as e:
+            return _json_bytes({"error": str(e)})
         return _json_bytes(
             {
                 "boxes": np.asarray(boxes).tolist(),
@@ -251,7 +280,9 @@ class FacePipelineServicer:
         return _json_bytes({"ready": self.registry.server_ready()})
 
     def model_ready(self, payload: bytes) -> bytes:
-        name = json.loads(payload or b"{}").get("name", "")
+        name, err = _req_name(payload)
+        if err:
+            return err
         return _json_bytes({"name": name, "ready": self.registry.model_ready(name)})
 
     def repository_index(self, _: bytes) -> bytes:
@@ -259,7 +290,9 @@ class FacePipelineServicer:
 
     def repository_model_load(self, payload: bytes) -> bytes:
         """repository_model_load over the wire (client.rs:127-136)."""
-        name = json.loads(payload or b"{}").get("name", "")
+        name, err = _req_name(payload)
+        if err:
+            return err
         try:
             self.registry.load(name)
         except Exception as e:  # unknown name, builder/compile failure, OOM:
@@ -269,13 +302,17 @@ class FacePipelineServicer:
 
     def repository_model_unload(self, payload: bytes) -> bytes:
         """repository_model_unload over the wire (client.rs:138-146)."""
-        name = json.loads(payload or b"{}").get("name", "")
+        name, err = _req_name(payload)
+        if err:
+            return err
         self.registry.unload(name)
         return _json_bytes({"name": name, "loaded": False})
 
     def model_config(self, payload: bytes) -> bytes:
         """ModelConfig verb (client.rs:113-118): the registered ModelSpec."""
-        name = json.loads(payload or b"{}").get("name", "")
+        name, err = _req_name(payload)
+        if err:
+            return err
         try:
             spec = self.registry.spec(name)
         except KeyError:
@@ -465,7 +502,11 @@ class FacePipelineServicer:
         reported as a final JSON `{"error": ...}` message and the stream
         terminates; results queued after the failing payload are dropped.
         """
-        server = self._detection_server()
+        try:
+            server = self._detection_server()
+        except Exception as e:  # lazy pipeline build failure
+            yield _json_bytes({"error": str(e)})
+            return
         try:
             for batch in server.detect_stream(payload_iter):
                 for boxes, kps in batch:
@@ -507,7 +548,9 @@ class FacePipelineServicer:
         Mirrors Triton's ModelMetadataResponse shape (name, versions,
         platform, inputs, outputs) from the registry's ModelSpec.
         """
-        name = json.loads(payload or b"{}").get("name", "")
+        name, err = _req_name(payload)
+        if err:
+            return err
         try:
             spec = self.registry.spec(name)
         except KeyError:
@@ -539,8 +582,12 @@ class FacePipelineServicer:
 
         import jax
 
-        req = json.loads(payload or b"{}")
+        req, err = _req_body(payload)
+        if err:
+            return err
         action = req.get("action", "status")
+        if not isinstance(action, str):
+            return _json_bytes({"error": "bad request: action must be a string"})
         if action == "start":
             if getattr(self, "_trace_dir", None):
                 return _json_bytes(
@@ -613,7 +660,9 @@ class FacePipelineServicer:
         )
 
     def model_statistics(self, payload: bytes) -> bytes:
-        name = json.loads(payload or b"{}").get("name", "")
+        name, err = _req_name(payload)
+        if err:
+            return err
         try:
             s = self.registry.statistics(name)
             mem = self.registry.memory_usage_bytes(name)
