@@ -24,6 +24,7 @@ and the p50 single-batch latency.  Baseline: 2,000 img/s/chip (BASELINE.md).
 
 import argparse
 import json
+import threading
 import os
 import statistics
 import sys
@@ -241,6 +242,48 @@ def main() -> int:
             f"{['default', *candidates]}", file=sys.stderr,
         )
         return 2
+
+    # Fast-fail device probe.  A dead TPU relay makes the FIRST backend
+    # touch block indefinitely (observed: 13+ h relay outages) — the driver
+    # would then record NOTHING for the round.  Probe the default backend in
+    # a daemon thread; on timeout/failure emit an explanatory JSON line and
+    # exit, so the record says "device unreachable", not "bench crashed".
+    probe_timeout = float(os.environ.get("RSFD_BENCH_PROBE_TIMEOUT_S", "300"))
+    probe_result: list = []
+
+    def _probe():
+        try:
+            import jax
+            import jax.numpy as _jnp
+
+            x = _jnp.ones((128, 128))
+            (x @ x).block_until_ready()
+            probe_result.append(("ok", jax.devices()[0].platform))
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            probe_result.append(("error", f"{type(e).__name__}: {e}"))
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(probe_timeout)
+    if not probe_result or probe_result[0][0] != "ok":
+        detail = (
+            probe_result[0][1]
+            if probe_result
+            else f"no response within {probe_timeout:.0f}s (relay down?)"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "images/sec/chip (device unreachable)",
+                    "value": 0.0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"device probe failed: {detail}",
+                }
+            )
+        )
+        sys.stdout.flush()
+        os._exit(3)  # daemon thread may be wedged in a C call; skip teardown
 
     import jax.numpy as jnp
 
