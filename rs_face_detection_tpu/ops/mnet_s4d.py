@@ -73,6 +73,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from .ssh_packed import _conv
 import numpy as np
 
 
@@ -325,12 +327,6 @@ def mnet_s4d_mid(
     y = _conv(y, mp.k_h.astype(compute_dtype), ((1, 0), (1, 0)))
     y = bn_leaky(y, mp.a_h, mp.b_h)
     return y.astype(out_dtype)
-
-
-def _conv(x, k, pad):
-    return jax.lax.conv_general_dilated(
-        x, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )
 
 
 def mnet_s4d_front(

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .ssh_packed import (
+    _conv,
     block_diag_1x1_packed,
     dense_kernel_packed,
     space_to_depth2,
@@ -105,12 +106,6 @@ def gn_packed(
     y = (y - m) * jax.lax.rsqrt(v + eps)
     y = y.reshape(b, h, w, 4, c) * scale + bias
     return y.reshape(b, h, w, c4)
-
-
-def _conv(x, k, pad):
-    return jax.lax.conv_general_dilated(
-        x, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )
 
 
 def scrfd_head_packed(

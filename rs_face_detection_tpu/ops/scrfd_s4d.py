@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mnet_s4d import _bn_affine, _stem_kernel_s4d
+from .mnet_s4d import _conv, _bn_affine, _stem_kernel_s4d
 
 
 class ScrfdS4DParams(NamedTuple):
@@ -122,12 +122,6 @@ def fold_scrfd_s4d_params(
         k_b,
         a2.astype(jnp.float32),
         b2.astype(jnp.float32),
-    )
-
-
-def _conv(x, k, pad):
-    return jax.lax.conv_general_dilated(
-        x, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
 
 

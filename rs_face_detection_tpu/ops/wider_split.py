@@ -74,18 +74,39 @@ def _cell_list(obj) -> List:
     return [obj]
 
 
+def _outer_cells(obj) -> List:
+    """Top-level per-EVENT cell -> list of per-event payloads, WITHOUT
+    collapsing a single-event (1,1) cell.
+
+    _cell_list's unwrap would drill a 1-event file_list straight into its
+    inner per-image cell and return the M image entries as if they were M
+    events (silently evaluating only the first image).  Top-level lists
+    must therefore iterate the outer object array as-is.
+    """
+    obj = np.asarray(obj)
+    if obj.dtype == object:
+        return list(obj.reshape(-1))
+    return [obj]
+
+
 def load_gt_mat(path: str) -> Dict[str, np.ndarray]:
     """Parse wider_face_val.mat -> {'event/img_stem': (N, 4) x1y1x2y2 boxes}.
 
-    The mat stores [x y w h]; converted here to inclusive-corner x1y1x2y2
-    matching ops/wider.parse_gt_file's convention.
+    The mat stores [x y w h]; the official eval_tools (evaluation step)
+    converts with x2 = x + w, y2 = y + h — NOT the inclusive x+w-1 — and
+    then computes overlaps with the +1 area convention, so GT areas score
+    as (w+1)(h+1).  Replicated exactly here (iou_matrix_np carries the +1);
+    detector corner predictions pass through unchanged, matching the
+    official chain where submissions store [x1 y1 x2-x1 y2-y1] and the
+    scorer re-adds the corners.  (ops/wider.parse_gt_file — the simplified
+    non-official protocol — differs deliberately.)
     """
     from scipy.io import loadmat
 
     f = loadmat(path)
-    events = [_unwrap_str(e) for e in _cell_list(f["event_list"])]
-    file_list = _cell_list(f["file_list"])
-    bbx_list = _cell_list(f["face_bbx_list"])
+    events = [_unwrap_str(e) for e in _outer_cells(f["event_list"])]
+    file_list = _outer_cells(f["file_list"])
+    bbx_list = _outer_cells(f["face_bbx_list"])
     gt: Dict[str, np.ndarray] = {}
     for event, files, bbxs in zip(events, file_list, bbx_list):
         names = [_unwrap_str(x) for x in _cell_list(files)]
@@ -93,8 +114,8 @@ def load_gt_mat(path: str) -> Dict[str, np.ndarray]:
         for name, b in zip(names, boxes):
             b = np.asarray(b, np.float32).reshape(-1, 4)
             out = b.copy()
-            out[:, 2] = b[:, 0] + b[:, 2] - 1.0
-            out[:, 3] = b[:, 1] + b[:, 3] - 1.0
+            out[:, 2] = b[:, 0] + b[:, 2]
+            out[:, 3] = b[:, 1] + b[:, 3]
             gt[f"{event}/{name}"] = out
     return gt
 
@@ -109,15 +130,18 @@ def load_split_mat(path: str) -> Dict[str, np.ndarray]:
     from scipy.io import loadmat
 
     f = loadmat(path)
-    # The split files carry their own file_list naming the same images.
-    events = [_unwrap_str(e) for e in _cell_list(f["event_list"])] if (
-        "event_list" in f
-    ) else None
-    file_list = _cell_list(f["file_list"])
-    gt_list = _cell_list(f["gt_list"])
+    if "event_list" not in f:
+        # A synthesized event name could never match load_gt_mat's
+        # 'event/img' keys — every image would silently score 0.0.
+        raise ValueError(
+            f"{path}: no event_list variable; cannot align keep indices "
+            "with the GT mat's event/img keys"
+        )
+    events = [_unwrap_str(e) for e in _outer_cells(f["event_list"])]
+    file_list = _outer_cells(f["file_list"])
+    gt_list = _outer_cells(f["gt_list"])
     keep: Dict[str, np.ndarray] = {}
-    for i, (files, gts) in enumerate(zip(file_list, gt_list)):
-        event = events[i] if events is not None else str(i)
+    for event, files, gts in zip(events, file_list, gt_list):
         names = [_unwrap_str(x) for x in _cell_list(files)]
         idx_cells = _cell_list(gts)
         for name, idx in zip(names, idx_cells):
@@ -246,6 +270,11 @@ def evaluate_predictions(
             keep_idx = keep.get(key)
             if keep_idx is None:
                 continue
+            if boxes.shape[0] == 0:
+                # Official protocol: images with no GT are skipped entirely
+                # (eval_tools' `if isempty ... continue`) — their detections
+                # do NOT count as false positives.
+                continue
             keep_mask = np.zeros(boxes.shape[0], bool)
             valid = keep_idx[(keep_idx >= 0) & (keep_idx < boxes.shape[0])]
             keep_mask[valid] = True
@@ -300,7 +329,10 @@ def collect_predictions(
     paths = [os.path.join(images_root, f"{k}{ext}") for k in keys]
     predictions: Dict[str, np.ndarray] = {}
     for i, (key, (dets, _)) in enumerate(zip(keys, detect_many(paths))):
-        predictions[key] = np.asarray(dets, np.float32).reshape(-1, dets.shape[-1] if np.size(dets) else 5)[:, :5]
+        dets = np.asarray(dets, np.float32)
+        predictions[key] = dets.reshape(
+            -1, dets.shape[-1] if dets.size else 5
+        )[:, :5]
         if progress_every and (i + 1) % progress_every == 0:
             print(f"  {i + 1}/{len(keys)} images")
     return predictions

@@ -109,10 +109,11 @@ def test_mat_parsing_roundtrip(tmp_path):
     gt_mat, split_mats = _write_mats(tmp_path)
     gt = load_gt_mat(gt_mat)
     assert set(gt) == {"0--Ev/img_a", "0--Ev/img_b", "1--Ev/img_c"}
-    # x y w h -> inclusive x1y1x2y2
+    # x y w h -> x2 = x + w (official eval_tools arithmetic; the +1 area
+    # convention then scores GT as (w+1)(h+1), matching published numbers)
     np.testing.assert_allclose(
         gt["0--Ev/img_a"],
-        [[0, 0, 9, 9], [20, 0, 29, 9], [40, 0, 49, 9]],
+        [[0, 0, 10, 10], [20, 0, 30, 10], [40, 0, 50, 10]],
     )
     easy = load_split_mat(split_mats["easy"])
     np.testing.assert_array_equal(easy["0--Ev/img_a"], [0])  # 1-based -> 0-based
@@ -163,6 +164,62 @@ def test_missed_kept_face_caps_recall(tmp_path):
     # easy keeps only face 1 of img_a -> unaffected; hard loses 2 of 5.
     assert res["easy"]["ap"] == pytest.approx(1.0, abs=2e-3)
     assert res["hard"]["ap"] == pytest.approx(3.0 / 5.0, abs=0.02)
+
+
+def test_single_event_mat_parses_all_images(tmp_path):
+    """A 1-event mat must not collapse into its per-image cell (each image
+    would otherwise be treated as an event and only the first parsed)."""
+    gt_mat = str(tmp_path / "one_event.mat")
+    scipy_io.savemat(
+        gt_mat,
+        {
+            "event_list": _cell(["0--Solo"]),
+            "file_list": _cell([_cell(["img_x", "img_y"])]),
+            "face_bbx_list": _cell(
+                [
+                    _cell(
+                        [
+                            np.array([[0, 0, 10, 10]], float),
+                            np.array([[5, 5, 8, 8], [30, 30, 6, 6]], float),
+                        ]
+                    )
+                ]
+            ),
+        },
+    )
+    gt = load_gt_mat(gt_mat)
+    assert set(gt) == {"0--Solo/img_x", "0--Solo/img_y"}
+    assert gt["0--Solo/img_y"].shape == (2, 4)
+
+
+def test_split_mat_without_event_list_is_loud(tmp_path):
+    path = str(tmp_path / "broken.mat")
+    scipy_io.savemat(
+        path,
+        {
+            "file_list": _cell([_cell(["img_a"])]),
+            "gt_list": _cell([_cell([np.array([[1.0]])])]),
+        },
+    )
+    with pytest.raises(ValueError, match="event_list"):
+        load_split_mat(path)
+
+
+def test_zero_gt_images_do_not_count_detections_as_fp(tmp_path):
+    """Official semantics: images with no GT faces are skipped entirely."""
+    gt_mat, split_mats = _write_mats(tmp_path)
+    gt = load_gt_mat(gt_mat)
+    splits = {d: load_split_mat(p) for d, p in split_mats.items()}
+    # Give img_b zero GT boxes and a high-scoring detection: the detection
+    # must be invisible to the curve, not a false positive.
+    gt["0--Ev/img_b"] = np.zeros((0, 4), np.float32)
+    for keep in splits.values():
+        keep["0--Ev/img_b"] = np.zeros((0,), np.int64)
+    preds = _perfect_predictions()
+    preds["0--Ev/img_b"] = np.array([[50, 50, 60, 60, 0.99]], np.float32)
+    res = evaluate_predictions(preds, gt, splits)
+    assert res["easy"]["ap"] == pytest.approx(1.0, abs=2e-3)
+    assert res["hard"]["ap"] == pytest.approx(1.0, abs=2e-3)
 
 
 def test_image_eval_ignore_semantics():
