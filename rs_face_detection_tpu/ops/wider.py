@@ -67,6 +67,11 @@ def parse_gt_file(path: str) -> List[WiderImage]:
                 x, y, w, h = vals[:4]
                 if w <= 0 or h <= 0:
                     continue
+                # Inclusive corners (x+w-1), the project's own convention —
+                # this simplified harness is internally consistent with the
+                # detector's boxes.  The OFFICIAL per-difficulty scorer
+                # (ops/wider_split.py) instead replicates eval_tools'
+                # x2 = x + w arithmetic for published-number parity.
                 box = (x, y, x + w - 1.0, y + h - 1.0)
                 is_invalid = len(vals) > 7 and vals[7] == 1
                 (invalid if is_invalid else valid).append(box)
