@@ -343,3 +343,33 @@ def test_train_cli_val_best_and_resume(tmp_path):
         assert e.value.code in (0, None)
     finally:
         sys.argv = old_argv
+
+
+def test_trainer_cli_rejects_undersized_dataset(tmp_path):
+    """Fewer examples than --batch must SystemExit, not busy-spin forever
+    through empty epochs (review finding)."""
+    import runpy
+    import sys
+
+    import cv2
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    cv2.imwrite(str(root / "one.jpg"), np.zeros((32, 32, 3), np.uint8))
+    labels = tmp_path / "label.txt"
+    labels.write_text("# one.jpg\n10 10 12 12 "
+                      + " ".join(["-1.0"] * 15) + " 1.0\n")
+    tool = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "train_detector.py"
+    )
+    old_argv = sys.argv
+    try:
+        sys.argv = [
+            "train_detector.py", "--labels", str(labels), "--images",
+            str(root), "--out", str(tmp_path / "o.npz"), "--size", "64x64",
+            "--batch", "8", "--steps", "1",
+        ]
+        with pytest.raises(SystemExit, match="--batch"):
+            runpy.run_path(tool, run_name="__main__")
+    finally:
+        sys.argv = old_argv

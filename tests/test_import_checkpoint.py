@@ -152,3 +152,82 @@ def test_plain_npz_without_meta_rejected(tmp_path, monkeypatch):
     monkeypatch.setenv("RSFD_CHECKPOINT_DIR", str(tmp_path))
     with pytest.raises(ValueError, match="__meta__"):
         maybe_serve_checkpoint("face_quality")
+
+
+def test_loader_wrapped_and_torchscript(tmp_path):
+    """Wrapper dicts with loose tensors unwrap; TorchScript archives load."""
+    from import_checkpoint import load_torch_state_dict
+
+    mirror = randomize_state_dict(ResNet18ClassifierMirror(2), seed=5)
+    # {"state_dict": ..., "step": tensor} — the wrapper's loose tensor must
+    # not defeat the unwrap (review finding).
+    src = str(tmp_path / "wrapped.pth")
+    torch.save(
+        {"state_dict": mirror.state_dict(), "step": torch.tensor(5000)}, src
+    )
+    sd = load_torch_state_dict(src)
+    assert "conv1.weight" in sd and "step" not in sd
+
+    # Official-CLIP-style TorchScript archive (torch.jit.save).
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = torch.nn.Linear(4, 2)
+
+        def forward(self, x):
+            return self.lin(x)
+
+    jit_src = str(tmp_path / "scripted.pt")
+    torch.jit.save(torch.jit.script(Tiny()), jit_src)
+    sd = load_torch_state_dict(jit_src)
+    assert "lin.weight" in sd and sd["lin.weight"].shape == (2, 4)
+
+    with pytest.raises(ValueError, match="state_dict"):
+        bad = str(tmp_path / "scalars.pth")
+        torch.save({"epoch": 3, "note": "hi"}, bad)
+        load_torch_state_dict(bad)
+
+
+def test_eval_and_export_accept_imported_retinaface(tmp_path):
+    """The import -> eval/export last mile: a CLI .npz (with __meta__) must
+    build a working detector in eval_wider and export through
+    export_model's checkpoint path (review findings: the raw variables
+    loaders kept __meta__ and crashed flax apply)."""
+    from import_checkpoint import main as import_main
+
+    mirror = randomize_state_dict(RetinaFaceMirror("mobilenet025"), seed=7)
+    src = str(tmp_path / "mnet.pth")
+    torch.save(mirror.state_dict(), src)
+    out = str(tmp_path / "face_detection_retina.npz")
+    assert import_main([src, out, "--image-size", "64x64"]) == 0
+
+    import argparse
+
+    from eval_wider import build_detector
+
+    args = argparse.Namespace(
+        detector="retinaface", backbone="mobilenet025", size=64,
+        checkpoint=out,
+    )
+    det = build_detector(args)
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    boxes, kps = det(img)  # must not raise ApplyScopeInvalidVariablesTypeError
+    assert np.asarray(boxes).shape[-1] == 5
+
+    from export_model import main as export_main
+
+    artifact = str(tmp_path / "det.rsfdx")
+    assert export_main is not None
+    import sys as _sys
+
+    argv = [
+        artifact, "--backbone", "mobilenet025", "--size", "64x64",
+        "--batch", "2", "--checkpoint", out, "--dtype", "float32",
+    ]
+    old = _sys.argv
+    _sys.argv = ["export_model.py"] + argv
+    try:
+        assert export_main() == 0
+    finally:
+        _sys.argv = old
+    assert os.path.getsize(artifact) > 1000

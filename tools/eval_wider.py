@@ -40,6 +40,24 @@ def build_detector(args):
         backbone=args.backbone, image_size=(args.size, args.size)
     )
     if args.checkpoint:
+        import numpy as np
+
+        with np.load(args.checkpoint) as z:
+            has_meta = "__meta__" in z.files
+        if has_meta:
+            # tools/import_checkpoint.py output: rebuild the architecture
+            # from the embedded meta (a raw variables load would keep the
+            # __meta__ entry and crash flax apply on the first image).
+            from rs_face_detection_tpu.models.checkpoint_io import (
+                load_imported_model,
+            )
+
+            model, variables = load_imported_model(
+                args.checkpoint,
+                expect_family="retinaface",
+                image_size=cfg.image_size,
+            )
+            return RetinaFaceDetection(cfg, model=model, variables=variables)
         from rs_face_detection_tpu.utils.fixtures import load_trained_detector
 
         return load_trained_detector(args.checkpoint, cfg)

@@ -79,21 +79,37 @@ def main() -> int:
         return 0
 
     cfg = FaceDetectionConfig(backbone=args.backbone, image_size=(w, h))
-    model, variables = init_retinaface(
-        args.backbone, (w, h), dtype=dt, seed=0,
-        stem_s2d=None if args.backbone == "mobilenet025" else True,
-    )
     if args.checkpoint:
-        from rs_face_detection_tpu.models.registry import load_variables
+        # import_checkpoint output: architecture (incl. the stem layout the
+        # import recorded) rebuilt from the embedded meta — NOT a raw
+        # variables load, which would keep the __meta__ entry and crash
+        # flax apply.  Same loader as the scrfd branch / eval_wider.
+        from rs_face_detection_tpu.models.checkpoint_io import (
+            load_imported_model,
+        )
 
-        variables = load_variables(args.checkpoint)
+        model, variables = load_imported_model(
+            args.checkpoint, expect_family="retinaface", image_size=(w, h)
+        )
+        if getattr(model, "backbone", args.backbone) != args.backbone:
+            raise SystemExit(
+                f"{args.checkpoint} holds backbone "
+                f"{model.backbone!r}, but --backbone is {args.backbone!r}"
+            )
+    else:
+        model, variables = init_retinaface(
+            args.backbone, (w, h), dtype=dt, seed=0,
+            stem_s2d=None if args.backbone == "mobilenet025" else True,
+        )
     if dt == jnp.bfloat16:
         variables = cast_kernels(variables)
     det = RetinaFaceDetection(cfg, model=model, variables=variables)
 
     platforms = (args.platform,) if args.platform else None
+    # stem="auto": the dense s4d fast path when the model/size is eligible,
+    # natural-layout fallback otherwise (an explicit "s4d" errors instead).
     blob = export_detector(
-        det, batch_size=args.batch, stem="s4d", platforms=platforms
+        det, batch_size=args.batch, stem="auto", platforms=platforms
     )
     with open(args.out, "wb") as f:
         f.write(blob)

@@ -18,8 +18,11 @@ Supported layouts (autodetected from state_dict keys; --kind to force):
   - insightface arcface_torch   backbone.pth (iresnet18/34/50/100)
   - Silent-Face-Anti-Spoofing   MiniFASNet V1/V2(/SE) .pth
   - torchvision                 resnet18 classifier state_dicts
+  - mmdet/insightface SCRFD     scrfd_*.pth (shape-derived architecture)
   - OpenAI CLIP                 visual tower (ViT-B/16, ViT-L/14), with an
-                                optional fine-tuned `head.*` classifier
+                                optional fine-tuned `head.*` classifier;
+                                both plain state_dicts and the official
+                                TorchScript .pt archives load
 
 The heavy lifting (layout maps, architecture derivation, meta embedding)
 lives in rs_face_detection_tpu.models.checkpoint_io; layout fidelity is
@@ -41,21 +44,34 @@ def load_torch_state_dict(path: str):
     import numpy as np
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # The official OpenAI CLIP releases are TorchScript archives, not
+        # plain state_dict pickles — extract the weights from the scripted
+        # module instead.
+        obj = dict(torch.jit.load(path, map_location="cpu").state_dict())
     # Training checkpoints often wrap the weights: {"state_dict": ...} etc.
-    if isinstance(obj, dict) and not any(
-        hasattr(v, "numpy") for v in obj.values()
-    ):
+    # Prefer the conventional wrapper keys even when the wrapper ALSO
+    # carries loose tensors (e.g. {"state_dict": ..., "step": tensor}).
+    if isinstance(obj, dict):
         for key in ("state_dict", "model", "net", "weights"):
             if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
                 break
     if not isinstance(obj, dict):
         raise ValueError(f"{path} does not contain a state_dict")
-    return {
+    # Keep tensor-valued entries only: wrappers carry loose scalars
+    # ("epoch": 3) that are not weights; nested dicts here mean the
+    # unwrap failed and the error should name the file, not np.asarray.
+    tensors = {
         k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
         for k, v in obj.items()
+        if hasattr(v, "numpy") or isinstance(v, np.ndarray)
     }
+    if not tensors:
+        raise ValueError(f"{path} does not contain a state_dict")
+    return tensors
 
 
 def main(argv=None) -> int:
@@ -68,7 +84,7 @@ def main(argv=None) -> int:
         "--kind",
         default="auto",
         choices=("auto", "retinaface_mnet025", "retinaface_resnet50",
-                 "iresnet", "minifas", "resnet18", "clip_visual"),
+                 "iresnet", "minifas", "resnet18", "scrfd", "clip_visual"),
         help="checkpoint layout (default: autodetect from keys)",
     )
     parser.add_argument(

@@ -87,6 +87,13 @@ def main() -> int:
         else parse_retinaface_label(args.labels)
     )
     print(f"{len(examples)} annotated images from {args.labels}")
+    if len(examples) < args.batch:
+        # The loader yields only full batches per epoch; fewer examples
+        # than --batch would busy-spin through empty epochs forever.
+        raise SystemExit(
+            f"{len(examples)} examples < --batch {args.batch}; lower "
+            f"--batch or check the labels file format"
+        )
 
     w, h = (int(v) for v in args.size.lower().split("x"))
     n_dev = jax.device_count()
@@ -132,6 +139,13 @@ def main() -> int:
                     (img, np.asarray(ex.boxes, np.float32).reshape(-1, 4))
                 )
         print(f"{len(val_set)} validation images from {args.val_labels}")
+        if args.eval_every > 0 and not val_set:
+            # Silently disabling every eval would train the full --steps
+            # budget and export NOTHING — fail before burning the time.
+            raise SystemExit(
+                f"no readable validation images under {val_root!r} "
+                f"(--eval-every {args.eval_every} would never run)"
+            )
 
     def eval_ap(st) -> float:
         nonlocal val_det
@@ -174,11 +188,17 @@ def main() -> int:
     sidecar = args.out + ".bestap.json"
     best_ap, wrote_best = -1.0, False
     if args.eval_every > 0 and os.path.exists(sidecar):
-        try:
-            best_ap = float(_json.load(open(sidecar))["ap"])
-            print(f"previous best val AP {best_ap:.4f} ({sidecar})")
-        except Exception:
-            pass
+        if os.path.exists(args.out):
+            try:
+                best_ap = float(_json.load(open(sidecar))["ap"])
+                print(f"previous best val AP {best_ap:.4f} ({sidecar})")
+            except Exception:
+                pass
+        else:
+            # A stale sidecar without its checkpoint (user deleted --out to
+            # retrain) would suppress every write this run.
+            print(f"ignoring stale {sidecar} (no {args.out} next to it)")
+            os.remove(sidecar)
     g = start
     for i, batch in enumerate(loader.batches(epochs=None, sharding=sharding)):
         if g >= args.steps:
