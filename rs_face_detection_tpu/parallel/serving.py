@@ -52,8 +52,13 @@ def letterbox_host(
     else:
         from PIL import Image
 
+        # Explicit BILINEAR: PIL's default resample is BICUBIC, which would
+        # break parity with the cv2 INTER_LINEAR path and the in-graph
+        # letterbox (still approximate — PIL antialiases on downscale).
         resized = np.asarray(
-            Image.fromarray(img[:, :, ::-1]).resize((new_w, new_h))
+            Image.fromarray(img[:, :, ::-1]).resize(
+                (new_w, new_h), resample=Image.BILINEAR
+            )
         )[:, :, ::-1]
     out = np.zeros((dst_h, dst_w, 3), np.uint8)
     out[:new_h, :new_w] = resized
@@ -91,41 +96,28 @@ class DetectionServer:
             if _native.available():
                 self._native = _native
 
-        # Host layout: eligible R50 models take the dense-stem 48-channel s4d
-        # layout (ops/stem_s4d.py — the whole stem chain as one MXU-shaped
-        # conv); s2d-stem models take the 12-channel s2d layout.  The native
-        # loader / ops.image.*_layout_host emit both; see
-        # detection.make_batched_fn.
+        # Host layout: probe the detector's own make_batched_fn validation
+        # (s4d -> s2d -> natural) instead of re-deriving eligibility here —
+        # an inline copy of those rules drifted once already.  Each
+        # detector rejects layouts it can't serve with ValueError (quant
+        # models, mmdet-layout SCRFD, odd sizes, missing stem options);
+        # the first accepted build wins.  See detection.make_batched_fn
+        # for what each layout means on the host side.
         width, height = self.image_size
-        backbone = getattr(self.detector.model, "backbone", None)
-        uses_s2d = getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
-        s4d = (
-            (
-                (backbone == "resnet50" and uses_s2d)
-                # mnet: the dense front fold needs the standard 3x3 stem
-                # (ops/mnet_s4d.py).
-                or (backbone == "mobilenet025" and not uses_s2d)
-                # scrfd: the dense front folds stem1/stem2
-                # (ops/scrfd_s4d.py); imported mmdet-layout nets differ.
-                or (
-                    backbone == "scrfd"
-                    and "stem1" in self.detector.variables.get("params", {})
-                )
-            )
-            and not getattr(self.detector.model, "quant", False)
-            and width % 4 == 0
-            and height % 4 == 0
-        )
-        pre_s2d = (
-            not s4d
-            and getattr(self.detector.model, "uses_s2d_stem", lambda: False)()
-            and width % 2 == 0
-            and height % 2 == 0
-        )
-        self._layout = "s4d" if s4d else ("s2d" if pre_s2d else "none")
-        base_fn = build_batched_fn(
-            self.detector, stem="s4d" if s4d else "xla", pre_s2d=pre_s2d
-        )
+        base_fn = None
+        self._layout = "none"
+        if width % 4 == 0 and height % 4 == 0:
+            try:
+                base_fn = build_batched_fn(self.detector, stem="s4d")
+                self._layout = "s4d"
+            except ValueError:
+                base_fn = None
+        if base_fn is None:
+            try:
+                base_fn = build_batched_fn(self.detector, pre_s2d=True)
+                self._layout = "s2d"
+            except ValueError:
+                base_fn = build_batched_fn(self.detector)
         if mesh is not None:
             if batch_size % mesh.shape["data"]:
                 raise ValueError(
@@ -139,7 +131,10 @@ class DetectionServer:
             # graph would re-run it on every batch.  Plain batched fns get
             # the trivial empty fold (pipeline.detection.resolve_fold).
             fold, inner = resolve_fold(base_fn)
+            self._fold = fold
+            self._repl_sharding = repl
             self._aux = jax.device_put(fold(self.detector.variables), repl)
+            self._aux_src = self.detector.variables
             self._fn = jax.jit(
                 lambda variables, aux, imgs, scales: inner(
                     variables, aux, imgs, scales
@@ -213,6 +208,8 @@ class DetectionServer:
         """Detect faces in up to batch_size images (bytes or BGR arrays)."""
         if len(payloads) > self.batch_size:
             raise ValueError(f"batch larger than configured size {self.batch_size}")
+        if not payloads:  # don't burn a full device batch (or stats) on zero
+            return []
         start = time.perf_counter()
         imgs, scales, n = self._prepare_batch(payloads)
         out = self._run(imgs, scales)
@@ -227,7 +224,9 @@ class DetectionServer:
     ) -> Iterator[List[Tuple[np.ndarray, np.ndarray]]]:
         """Pipelined streaming: host prep of batch k+1 overlaps device compute
         of batch k (double buffering via a bounded queue + worker thread)."""
-        batches: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        # maxsize=0 would mean UNBOUNDED in queue.Queue — clamp so the
+        # double-buffering bound survives a prefetch=0 caller.
+        batches: "queue.Queue" = queue.Queue(maxsize=max(1, int(prefetch)))
         sentinel = object()
         abandoned = threading.Event()
 
@@ -295,15 +294,26 @@ class DetectionServer:
             abandoned.set()
 
     def _run(self, imgs: np.ndarray, scales: np.ndarray) -> PaddedDetections:
-        imgs_d = jnp.asarray(imgs)
-        scales_d = jnp.asarray(scales)
         if self._in_sharding is not None:
-            imgs_d = jax.device_put(imgs_d, self._in_sharding)
-            scales_d = jax.device_put(scales_d, self._in_sharding)
+            # One-hop host->shards transfer: device_put on the numpy arrays
+            # shards directly (jnp.asarray first would commit the full
+            # unsharded batch to device 0, then reshard device-to-device).
+            imgs_d = jax.device_put(imgs, self._in_sharding)
+            scales_d = jax.device_put(scales, self._in_sharding)
+            if self.detector.variables is not self._aux_src:
+                # Weights were swapped (e.g. a checkpoint reload): re-fold
+                # the dense-front constants, like the unsharded path's
+                # identity-keyed fold cache does.
+                self._aux = jax.device_put(
+                    self._fold(self.detector.variables), self._repl_sharding
+                )
+                self._aux_src = self.detector.variables
             return self._fn(
                 self.detector.variables, self._aux, imgs_d, scales_d
             )
-        return self._fn(self.detector.variables, imgs_d, scales_d)
+        return self._fn(
+            self.detector.variables, jnp.asarray(imgs), jnp.asarray(scales)
+        )
 
     def _unpack(
         self, out: PaddedDetections, n: int

@@ -149,7 +149,10 @@ def make_folding_fn(batched, fold_aux):
         if aux is None:
             aux = jit_fold(variables)
             fold_cache.append((variables, aux))
-            del fold_cache[:-2]
+            # ONE entry: serving swaps weights (checkpoint reload) rather
+            # than alternating them, and a deeper cache would pin the
+            # superseded model's device buffers (~100 MB for R50) in HBM.
+            del fold_cache[:-1]
         return jitted(variables, aux, *args)
 
     fn.jitted = jitted
@@ -248,6 +251,24 @@ def topk_decode_and_nms(
     lm_sel = lm_raw[top_idx].reshape(k, 5, 2)
     top_lms = landmark_pred(anchor_sel, lm_sel * cfg.landmark_std)
 
+    return _nms_and_compact(top_boxes, top_scores, top_lms, valid, cfg, nms_mode)
+
+
+def _nms_and_compact(
+    top_boxes: jnp.ndarray,
+    top_scores: jnp.ndarray,
+    top_lms: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: FaceDetectionConfig,
+    nms_mode: str,
+) -> PaddedDetections:
+    """NMS over score-sorted candidates, then compact kept rows
+    (score-descending) into the first `count` of max_detections rows.
+
+    Shared tail of topk_decode_and_nms and select_and_nms (SCRFD reuses the
+    latter) — one copy so the scatter/count semantics can't drift between
+    the detector families.
+    """
     keep = nms_mask(top_boxes, valid, cfg.iou_threshold, mode=nms_mode)
 
     max_det = cfg.max_detections
@@ -279,20 +300,7 @@ def select_and_nms(
     valid = top_scores > neg_inf
     top_boxes = boxes[top_idx]
     top_lms = lms[top_idx]
-
-    keep = nms_mask(top_boxes, valid, cfg.iou_threshold, mode=nms_mode)
-
-    # Compact kept rows (score-descending) into the first `count` output rows.
-    max_det = cfg.max_detections
-    rank = jnp.cumsum(keep) - 1
-    target = jnp.where(keep & (rank < max_det), rank, max_det)
-    det_rows = jnp.concatenate([top_boxes, top_scores[:, None]], axis=1)
-    det = jnp.zeros((max_det + 1, 5), jnp.float32).at[target].set(det_rows)[:max_det]
-    kps = (
-        jnp.zeros((max_det + 1, 5, 2), jnp.float32).at[target].set(top_lms)[:max_det]
-    )
-    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), max_det)
-    return PaddedDetections(det, kps, count)
+    return _nms_and_compact(top_boxes, top_scores, top_lms, valid, cfg, nms_mode)
 
 
 def _descale(padded: PaddedDetections, det_scale: float) -> PaddedDetections:
@@ -319,7 +327,15 @@ class RetinaFaceDetection:
         model=None,
     ) -> None:
         self.cfg = cfg or FaceDetectionConfig()
-        if model is None or variables is None:
+        if (model is None) != (variables is None):
+            # Half a pair would be silently overwritten by the registry's —
+            # the caller's fine-tuned weights (or custom architecture) must
+            # never be discarded without error.
+            raise ValueError(
+                "pass model AND variables together (or neither, to take "
+                "both from the registry)"
+            )
+        if model is None:
             registry = registry or default_registry()
             model, variables = registry.get(self.cfg.model_name)
         self.model = model
@@ -458,6 +474,11 @@ class RetinaFaceDetection:
             raise ValueError(
                 f"stem={stem!r} not in ('xla', 'auto', 's4d', 'pallas')"
             )
+        if stem == "s4d" and pre_s2d:
+            # Conflicting input contracts: pre_s2d promises the (B, H/2,
+            # W/2, 12) host layout but the s4d graph consumes (B, H/4,
+            # W/4, 48) — fail at build time, not deep inside the trace.
+            raise ValueError("stem='s4d' and pre_s2d=True are mutually exclusive")
         cfg = self.cfg
         width, height = cfg.image_size
         s2d_stem = (

@@ -89,7 +89,12 @@ class SCRFDDetection:
         variables=None,
     ) -> None:
         self.cfg = cfg or EkycFaceDetectionConfig()
-        if model is None or variables is None:
+        if (model is None) != (variables is None):
+            raise ValueError(
+                "pass model AND variables together (or neither, to take "
+                "both from the registry)"
+            )
+        if model is None:
             registry = registry or default_registry()
             model, variables = registry.get(self.cfg.model_name)
         self.model = model
