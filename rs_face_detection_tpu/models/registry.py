@@ -453,9 +453,16 @@ def _attach_ekyc_builders(registry: ModelRegistry) -> None:
 
     def face_id_builder():
         from .arcface import init_arcface
+        from .checkpoint_io import maybe_serve_checkpoint
 
         cfg = EkycFaceIDConfig()
-        model, variables = init_arcface("iresnet50", 512, (cfg.imsize, cfg.imsize))
+        served = maybe_serve_checkpoint(cfg.model_name, expect_family="iresnet")
+        if served is not None:
+            model, variables = served
+        else:
+            model, variables = init_arcface(
+                "iresnet50", 512, (cfg.imsize, cfg.imsize)
+            )
         return (
             ModelSpec(cfg.model_name, (cfg.imsize, cfg.imsize, 3), "(B, 512) embedding"),
             model,

@@ -146,6 +146,52 @@ def packed_anchor_perm(fh: int, fw: int, a: int) -> np.ndarray:
     return ((y * fw + x) * a + aa).reshape(-1)
 
 
+def resolve_packed_levels(requested, eligible, what="packed_heads", hint=""):
+    """The shared True/False/explicit-levels validation ladder.
+
+    `requested` True -> all eligible (error when none); False/None -> ();
+    an iterable -> validated explicit levels.  Callers resolve their own
+    None-default semantics BEFORE calling (RetinaFace defaults to all
+    eligible, SCRFD to off).  One copy so the RetinaFace and SCRFD packed
+    paths cannot drift (pipeline/detection.py, pipeline/ekyc_pipeline.py).
+    """
+    suffix = f" ({hint})" if hint else ""
+    if requested is True:
+        if not eligible:
+            raise ValueError(f"{what}=True needs at least one eligible level{suffix}")
+        return tuple(eligible)
+    if requested is False or requested is None:
+        return ()
+    levels = tuple(sorted(set(int(i) for i in requested)))
+    bad = [i for i in levels if i not in eligible]
+    if bad:
+        raise ValueError(
+            f"{what} levels {bad} not eligible{suffix} "
+            f"(eligible: {list(eligible)})"
+        )
+    return levels
+
+
+def permute_table_for_packed(table: np.ndarray, level_info, packed_strides):
+    """Permute a per-anchor row table ((N, k) anchors or centers) so rows
+    pair with the packed heads' (by, bx, phase, a) flatten order.
+
+    level_info rows are (stride, fh, fw, a) in the table's concatenation
+    order; levels whose stride is in `packed_strides` get packed_anchor_perm
+    applied, others pass through.  Decode is order-agnostic past the table
+    lookup, so this costs zero relayout copies in-graph.
+    """
+    parts, offset = [], 0
+    for stride, fh, fw, a in level_info:
+        k = fh * fw * a
+        sl = table[offset : offset + k]
+        if stride in packed_strides:
+            sl = sl[packed_anchor_perm(fh, fw, a)]
+        parts.append(sl)
+        offset += k
+    return np.concatenate(parts, axis=0)
+
+
 def block_diag_1x1_packed(w: jnp.ndarray) -> jnp.ndarray:
     """1x1 (1,1,Cin,Cout) kernel -> (1,1,4Cin,4Cout) acting per phase on the
     2x2 phase-packed grid (phase-major channels): block-diagonal, phase p's

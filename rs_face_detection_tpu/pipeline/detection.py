@@ -552,26 +552,15 @@ class RetinaFaceDetection:
             and grid_by_stride[stride][0] % 2 == 0
             and grid_by_stride[stride][1] % 2 == 0
         )
-        if packed_heads is None:
-            packed_levels = eligible_levels
-        elif packed_heads is True:
-            packed_levels = eligible_levels
-            if not packed_levels:
-                raise ValueError(
-                    "packed_heads=True needs stem='s4d' on a mobilenet025 "
-                    "model with at least one even feature grid"
-                )
-        elif packed_heads is False:
-            packed_levels = ()
-        else:
-            packed_levels = tuple(sorted(set(int(i) for i in packed_heads)))
-            bad = [i for i in packed_levels if i not in eligible_levels]
-            if bad:
-                raise ValueError(
-                    f"packed_heads levels {bad} not eligible: needs "
-                    "stem='s4d' on a mobilenet025 model and an even feature "
-                    f"grid per level (eligible: {list(eligible_levels)})"
-                )
+        from ..ops.ssh_packed import resolve_packed_levels
+
+        # RetinaFace default (None) = all eligible levels.
+        packed_levels = resolve_packed_levels(
+            eligible_levels if packed_heads is None else packed_heads,
+            eligible_levels,
+            hint="needs stem='s4d' on a mobilenet025 model and an even "
+            "feature grid per level",
+        )
         packed_strides = {8 * 2**i for i in packed_levels}
         # FPN level i's packed chain needs level i's head packed (it emits
         # the packed layout) and level i+1's pyramid feature available
@@ -581,51 +570,33 @@ class RetinaFaceDetection:
             for i in (0, 1)
             if i in packed_levels and (i + 1) in packed_levels
         )
-        if packed_fpn is None:
-            fpn_levels = (0,) if 0 in fpn_eligible else ()
-        elif packed_fpn is True:
-            fpn_levels = fpn_eligible
-            if not fpn_levels:
-                raise ValueError(
-                    "packed_fpn=True needs adjacent pyramid levels packed "
-                    "(packed_heads) — each packed FPN chain consumes the "
-                    "next-coarser level's feature"
-                )
-        elif packed_fpn is False:
-            fpn_levels = ()
-        else:
-            fpn_levels = tuple(sorted(set(int(i) for i in packed_fpn)))
-            bad = [i for i in fpn_levels if i not in fpn_eligible]
-            if bad:
-                raise ValueError(
-                    f"packed_fpn levels {bad} not eligible (eligible: "
-                    f"{list(fpn_eligible)}): each needs its own and the "
-                    "next-coarser pyramid level in packed_heads"
-                )
-            if any(j not in fpn_levels for i in fpn_levels for j in range(i)):
-                raise ValueError(
-                    f"packed_fpn {fpn_levels} must be downward-closed "
-                    "(skipping FPN level 1 re-expresses P4, which level 0's "
-                    "natural merge would need)"
-                )
+        fpn_levels = resolve_packed_levels(
+            ((0,) if 0 in fpn_eligible else ()) if packed_fpn is None
+            else packed_fpn,
+            fpn_eligible,
+            what="packed_fpn",
+            hint="each packed FPN chain needs its own and the next-coarser "
+            "pyramid level in packed_heads",
+        )
+        if any(j not in fpn_levels for i in fpn_levels for j in range(i)):
+            raise ValueError(
+                f"packed_fpn {fpn_levels} must be downward-closed "
+                "(skipping FPN level 1 re-expresses P4, which level 0's "
+                "natural merge would need)"
+            )
 
         anchors_decode = self.anchors
         if packed_levels:
             # The packed head maps flatten as (by, bx, phase, a); pair them
             # with anchor rows permuted to that order (decode is
             # order-agnostic past the anchor lookup) — no relayout copies.
-            from ..ops.ssh_packed import packed_anchor_perm
+            from ..ops.ssh_packed import permute_table_for_packed
 
-            anchors_np = np.asarray(self.anchors)
-            parts, offset = [], 0
-            for stride, fh, fw, a in self.level_info:
-                k = fh * fw * a
-                sl = anchors_np[offset : offset + k]
-                if stride in packed_strides:
-                    sl = sl[packed_anchor_perm(fh, fw, a)]
-                parts.append(sl)
-                offset += k
-            anchors_decode = jnp.asarray(np.concatenate(parts, axis=0))
+            anchors_decode = jnp.asarray(
+                permute_table_for_packed(
+                    np.asarray(self.anchors), self.level_info, packed_strides
+                )
+            )
 
         def decode_one(single, inv_scale):
             padded = topk_decode_and_nms(

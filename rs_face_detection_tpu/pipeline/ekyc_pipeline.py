@@ -221,23 +221,13 @@ class SCRFDDetection:
             and grid_by_stride[s][0] % 2 == 0
             and grid_by_stride[s][1] % 2 == 0
         )
-        if packed_heads in (None, False):
-            packed_levels = ()
-        elif packed_heads is True:
-            packed_levels = eligible
-            if not packed_levels:
-                raise ValueError(
-                    "packed_heads=True needs stem='s4d' and at least one "
-                    "even feature grid"
-                )
-        else:
-            packed_levels = tuple(sorted(set(int(i) for i in packed_heads)))
-            bad = [i for i in packed_levels if i not in eligible]
-            if bad:
-                raise ValueError(
-                    f"packed_heads levels {bad} not eligible (needs "
-                    f"stem='s4d' and even grids; eligible: {list(eligible)})"
-                )
+        from ..ops.ssh_packed import resolve_packed_levels
+
+        # SCRFD default (None) = off, pending a hardware A/B.
+        packed_levels = resolve_packed_levels(
+            packed_heads, eligible,
+            hint="needs stem='s4d' and even feature grids",
+        )
         packed_strides = tuple(8 * 2**i for i in packed_levels)
         mean, scale = self.cfg.mean, self.cfg.scale
 
@@ -245,18 +235,13 @@ class SCRFDDetection:
         if packed_levels:
             import numpy as _np
 
-            from ..ops.ssh_packed import packed_anchor_perm
+            from ..ops.ssh_packed import permute_table_for_packed
 
-            centers_np = _np.asarray(self.centers)
-            parts, offset = [], 0
-            for s, fh, fw, a in self.levels:
-                k = fh * fw * a
-                sl = centers_np[offset : offset + k]
-                if s in packed_strides:
-                    sl = sl[packed_anchor_perm(fh, fw, a)]
-                parts.append(sl)
-                offset += k
-            centers_decode = jnp.asarray(_np.concatenate(parts, axis=0))
+            centers_decode = jnp.asarray(
+                permute_table_for_packed(
+                    _np.asarray(self.centers), self.levels, set(packed_strides)
+                )
+            )
 
         def decode_one(single, inv_scale):
             scores, boxes, kps = self._decode(single, centers_decode)
@@ -336,6 +321,7 @@ class EKYCResult:
     selfie_face_found: bool = False
     selfie_mask: Optional[bool] = None
     selfie_quality: Optional[float] = None
+    selfie_covered: Optional[bool] = None
     selfie_live_crop: Optional[bool] = None
     selfie_live_full: Optional[bool] = None
     card_face_box: Optional[np.ndarray] = None
@@ -416,7 +402,9 @@ class EKYCPipeline:
 
         return jax.jit(run)
 
-    def _run_head(self, which: str, imgs: np.ndarray) -> np.ndarray:
+    def _dispatch_head(self, which: str, imgs: np.ndarray):
+        """Async head dispatch: returns the device array future (gather with
+        np.asarray) so independent heads overlap on device."""
         fn = self._head_jit(which, imgs.shape[0], imgs.shape[1], imgs.shape[2])
         variables = {
             "attribute": self._attribute,
@@ -424,7 +412,10 @@ class EKYCPipeline:
             "fas_crop": self._fas_crop,
             "fas_full": self._fas_full,
         }[which][1]
-        return np.asarray(fn(variables, jnp.asarray(imgs)))
+        return fn(variables, jnp.asarray(imgs))
+
+    def _run_head(self, which: str, imgs: np.ndarray) -> np.ndarray:
+        return np.asarray(self._dispatch_head(which, imgs))
 
     # -- public API --------------------------------------------------------
 
@@ -466,14 +457,48 @@ class EKYCPipeline:
         result.same_person = result.similarity >= self.id_cfg.threshold_same_person
         result.same_ekyc = result.similarity >= self.id_cfg.threshold_same_ekyc
 
-        attr = self._run_head("attribute", selfie_face[None])
+        # The full-frame FAS input is resized to the model's static size on
+        # HOST (matching the serving letterbox's cv2 INTER_LINEAR) so the
+        # ViT-L/14 graph compiles ONCE — an in-graph resize keyed on the
+        # selfie's (H, W) would recompile the largest model in the system
+        # for every novel phone resolution (minutes each on the remote TPU).
+        full_size = self.fas_full_cfg.imsize
+        try:
+            import cv2 as _cv2
+
+            selfie_full = _cv2.resize(
+                selfie_bgr, (full_size, full_size),
+                interpolation=_cv2.INTER_LINEAR,
+            )
+        except ImportError:  # cv2-less host: the in-graph resize still works
+            selfie_full = selfie_bgr
+
+        # Dispatch every independent head before the first host sync: XLA's
+        # async dispatch overlaps them, and through the tunneled TPU each
+        # synchronous round trip costs ~29 ms of fixed latency.
+        face1 = selfie_face[None]
+        attr_d = self._dispatch_head("attribute", face1)
+        quality_d = self._dispatch_head("quality", face1)
+        fas_crop_d = self._dispatch_head("fas_crop", face1)
+        fas_full_d = self._dispatch_head(
+            "fas_full", selfie_full[None].astype(np.float32)
+        )
+
+        attr = np.asarray(attr_d)
         result.selfie_mask = bool(attr[0, 1] > self.attr_cfg.threshold_face_mask)
-
-        quality = self._run_head("quality", selfie_face[None])
+        # Builder output spec: col 0 = P(not covered), col 1 = P(covered).
+        # selfie_quality reports P(uncovered); threshold_cover gates the
+        # boolean.  threshold_all is carried from the reference config
+        # (ekyc_pipeline/config.rs:74-87) whose stub pipeline never read
+        # it — kept for config-surface parity only.
+        quality = np.asarray(quality_d)
         result.selfie_quality = float(quality.reshape(-1)[0])
+        result.selfie_covered = bool(
+            quality[0, 1] > self.quality_cfg.threshold_cover
+        )
 
-        fas_crop = self._run_head("fas_crop", selfie_face[None])
+        fas_crop = np.asarray(fas_crop_d)
         result.selfie_live_crop = bool(fas_crop[0, 1] > self.fas_crop_cfg.threshold)
-        fas_full = self._run_head("fas_full", selfie_bgr[None].astype(np.float32))
+        fas_full = np.asarray(fas_full_d)
         result.selfie_live_full = bool(fas_full[0, 1] > self.fas_full_cfg.threshold)
         return result

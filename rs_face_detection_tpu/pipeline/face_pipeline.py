@@ -131,29 +131,25 @@ class FacePipeline:
         from .extraction import EMBED_MEAN, EMBED_SCALE
         from .quality import _MEAN as _Q_MEAN, _STD as _Q_STD
 
-        # Eligible R50 configs detect through the dense-stem s4d fast path
-        # (ops/stem_s4d.py): the detect graph then consumes a host-side
-        # (B, H/4, W/4, 48) reshuffle (cheap; native loader does it threaded)
-        # while the fused tail still warps faces from the full canvases —
-        # two small uploads instead of one, for ~12% less detect-graph time.
-        # Other models keep the single shared canvas upload (an in-graph s2d
-        # reshuffle would cost more in relayout copies than it saves).
-        det_model = self.face_detection.model
+        # Eligible configs detect through the dense-stem s4d fast path
+        # (ops/stem_s4d.py for R50, ops/mnet_s4d.py for the default
+        # MobileNet0.25): the detect graph then consumes a host-side
+        # (B, H/4, W/4, 48) reshuffle (cheap; native loader does it
+        # threaded) while the fused tail still warps faces from the full
+        # canvases — two small uploads instead of one.  Eligibility is the
+        # detector's own make_batched_fn validation (probe, don't copy the
+        # rules — the serving layer's inline copy drifted once already).
         width_d, height_d = self.config.detection.image_size
-        self._detect_layout = (
-            "s4d"
-            if (
-                getattr(det_model, "backbone", None) == "resnet50"
-                and getattr(det_model, "uses_s2d_stem", lambda: False)()
-                and not getattr(det_model, "quant", False)
-                and width_d % 4 == 0
-                and height_d % 4 == 0
-            )
-            else "none"
-        )
-        detect_fn = self.face_detection.make_batched_fn(
-            stem="s4d" if self._detect_layout == "s4d" else "xla"
-        )
+        detect_fn = None
+        self._detect_layout = "none"
+        if width_d % 4 == 0 and height_d % 4 == 0:
+            try:
+                detect_fn = self.face_detection.make_batched_fn(stem="s4d")
+                self._detect_layout = "s4d"
+            except ValueError:
+                detect_fn = None
+        if detect_fn is None:
+            detect_fn = self.face_detection.make_batched_fn()
         out_w, out_h = self.config.alignment.image_size
         q_w, q_h = self.config.quality.image_size
         e_w, e_h = self.config.identification.image_size
@@ -316,13 +312,21 @@ class FacePipeline:
                 results[i].quality_score = score
                 results[i].facial_feature = embs[i]
 
-        for i, box, points in staged:
-            aligned = self.face_alignment(images[i], box, points)
-            scores_q, classes_q = self.face_quality([aligned])
-            feats = self.face_extraction([aligned])
-            results[i].face_quality = FaceQualityClass(classes_q[0])
-            results[i].quality_score = scores_q[0]
-            results[i].facial_feature = feats[0]
+        if staged:
+            # Crop-fallback images (degenerate landmarks): align each on
+            # host, then ONE batched quality call and ONE batched embed call
+            # — the aligned crops share the static (112, 112, 3) shape, so
+            # per-image dispatches would pay k extra device round trips.
+            aligned = [
+                self.face_alignment(images[i], box, points)
+                for i, box, points in staged
+            ]
+            scores_q, classes_q = self.face_quality(aligned)
+            feats = self.face_extraction(aligned)
+            for j, (i, _, _) in enumerate(staged):
+                results[i].face_quality = FaceQualityClass(classes_q[j])
+                results[i].quality_score = scores_q[j]
+                results[i].facial_feature = feats[j]
         return results
 
     def extract_image(self, image_bgr: np.ndarray) -> FaceExtractionResult:
