@@ -100,6 +100,10 @@ def detect_kind(state_dict: Mapping[str, Any]) -> str:
         "conv1.weight" in keys
         and "layer1.0.conv1.weight" in keys
         and "layer1.0.conv3.weight" not in keys
+        # resnet34 shares the basic-block layout but has 3 blocks in
+        # layer1; without this check a lenient import would silently build
+        # a truncated hybrid from the first 2 blocks per stage.
+        and "layer1.2.conv1.weight" not in keys
         and "fc.weight" in keys
     ):
         return "resnet18"
@@ -267,7 +271,14 @@ def save_imported(path: str, variables: Any, meta: Mapping[str, Any]) -> None:
     flat["__meta__"] = np.frombuffer(
         json.dumps(dict(meta)).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **flat)
+    # Write the EXACT path the caller named: bare np.savez silently appends
+    # '.npz' to suffix-less paths, landing the file somewhere else.
+    import io as _io
+
+    buf = _io.BytesIO()
+    np.savez(buf, **flat)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
 
 
 def load_imported(path: str) -> Tuple[Dict[str, Any], Optional[Dict[str, Any]]]:
@@ -380,8 +391,11 @@ def registry_checkpoint_path(name: str) -> Optional[str]:
 
 
 def _assert_tree_compatible(template: Any, loaded: Any, name: str) -> None:
-    t_flat = _flatten(jax.tree.map(np.asarray, template))
-    l_flat = _flatten(jax.tree.map(np.asarray, loaded))
+    # Shape/key comparison only — never np.asarray the template: its leaves
+    # are device arrays and the download would drag the whole random-init
+    # tree back through the (slow) device link just to read .shape.
+    t_flat = _flatten(template)
+    l_flat = _flatten(loaded)
     missing = sorted(set(t_flat) - set(l_flat))
     extra = sorted(set(l_flat) - set(t_flat))
     if missing or extra:

@@ -103,21 +103,26 @@ def detector_image_size(detector) -> Tuple[int, int]:
     return tuple(size)
 
 
-def build_batched_fn(detector, *, stem: str = "xla", pre_s2d: bool = False):
+def build_batched_fn(detector, *, stem: str = "xla", pre_s2d: bool = False,
+                     **kwargs):
     """make_batched_fn via signature probe (the duck-type dispatch).
 
-    Detectors without layout options (SCRFDDetection) are called bare and
-    only support the natural (B, H, W, 3) layout.
+    Detectors without layout options are called bare and only support the
+    natural (B, H, W, 3) layout — requesting anything else raises instead
+    of silently exporting/serving a different contract.  Extra kwargs
+    (packed_heads, s4d_mid, ...) forward to make_batched_fn when present.
     """
     import inspect
 
     params = inspect.signature(detector.make_batched_fn).parameters
     if "stem" in params:
-        return detector.make_batched_fn(pre_s2d=pre_s2d, stem=stem)
-    if stem != "xla" or pre_s2d:
+        return detector.make_batched_fn(pre_s2d=pre_s2d, stem=stem, **kwargs)
+    if stem != "xla" or pre_s2d or kwargs:
         raise ValueError(
             f"{type(detector).__name__}.make_batched_fn has no layout "
-            f"options; stem={stem!r}/pre_s2d={pre_s2d} unsupported"
+            f"options; stem={stem!r}/pre_s2d={pre_s2d}"
+            + (f"/{sorted(kwargs)}" if kwargs else "")
+            + " unsupported"
         )
     return detector.make_batched_fn()
 

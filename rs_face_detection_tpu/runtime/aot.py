@@ -60,43 +60,34 @@ def export_detector(
     to fail instead of falling back.  Detectors without layout options
     export the natural (B, H, W, 3) uint8 contract.
     """
-    import inspect
-
     import jax.numpy as jnp
 
     from ..pipeline.detection import (
+        build_batched_fn,
         detector_image_size,
         host_layout_shape,
         resolve_fold,
     )
 
     image_size = detector_image_size(detector)
-    fn_params = inspect.signature(detector.make_batched_fn).parameters
-    if "stem" in fn_params:
-        if stem in (None, "auto"):
-            try:
-                fn = detector.make_batched_fn(stem="s4d", **batched_kwargs)
-                stem = "s4d"
-            except ValueError:
-                fn = detector.make_batched_fn(stem="xla", **batched_kwargs)
-                stem = "xla"
-        else:
-            fn = detector.make_batched_fn(stem=stem, **batched_kwargs)
-        layout, imgs_shape = host_layout_shape(
-            image_size,
-            batch_size,
-            stem=stem,
-            pre_s2d=bool(batched_kwargs.get("pre_s2d")),
-        )
+    # The duck-type dispatch is build_batched_fn — the ONE probe shared
+    # with DetectionServer, so an explicit stem a detector can't honor
+    # raises here too instead of silently exporting a different contract.
+    if stem in (None, "auto"):
+        try:
+            fn = build_batched_fn(detector, stem="s4d", **batched_kwargs)
+            stem = "s4d"
+        except ValueError:
+            fn = build_batched_fn(detector, **batched_kwargs)
+            stem = "xla"
     else:
-        if batched_kwargs:
-            raise ValueError(
-                f"{type(detector).__name__}.make_batched_fn takes no "
-                f"options; got {sorted(batched_kwargs)}"
-            )
-        fn = detector.make_batched_fn()
-        stem = "none"
-        layout, imgs_shape = host_layout_shape(image_size, batch_size)
+        fn = build_batched_fn(detector, stem=stem, **batched_kwargs)
+    layout, imgs_shape = host_layout_shape(
+        image_size,
+        batch_size,
+        stem=stem,
+        pre_s2d=bool(batched_kwargs.get("pre_s2d")),
+    )
     variables = detector.variables
     # Detectors without the fold/aux protocol export a trivial (empty) fold
     # (pipeline.detection.resolve_fold) so the artifact layout — and
@@ -130,7 +121,8 @@ def export_detector(
         "layout": layout,
         "stem": stem,
         "detector": type(detector).__name__,
-        "backbone": getattr(detector.model, "backbone", None),
+        # duck-typed detectors may carry no .model — meta stays best-effort
+        "backbone": getattr(getattr(detector, "model", None), "backbone", None),
         "jax_version": jax.__version__,
     }
     buf = io.BytesIO()
@@ -177,6 +169,15 @@ class LoadedDetector:
                 f"variables tree has {len(leaves)} leaves; artifact expects "
                 f"{len(expected)}"
             )
+        for i, (l, a) in enumerate(zip(leaves, expected)):
+            # Same-count wrong-architecture checkpoints must fail HERE with
+            # the offending leaf named, not deep inside Exported.call.
+            if tuple(np.shape(l)) != tuple(a.shape):
+                raise ValueError(
+                    f"variables leaf {i} has shape {tuple(np.shape(l))}; "
+                    f"artifact expects {tuple(a.shape)} — wrong checkpoint "
+                    "for this artifact?"
+                )
         cast = [
             l if getattr(l, "dtype", None) == a.dtype else jnp.asarray(l, a.dtype)
             for l, a in zip(leaves, expected)
@@ -190,7 +191,10 @@ class LoadedDetector:
         prepared = self.prepare_variables(variables)
         aux = self._fold.call(prepared)
         self._aux_cache.append((variables, prepared, aux))
-        del self._aux_cache[:-2]
+        # ONE entry, like make_folding_fn's fold cache: weights get swapped
+        # (checkpoint reload), not alternated, and a deeper cache pins the
+        # superseded model's device buffers (~100 MB for R50) in HBM.
+        del self._aux_cache[:-1]
         return prepared, aux
 
     def __call__(
@@ -369,6 +373,12 @@ class LoadedTPViT:
     def __call__(self, variables, images):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        leaves = jax.tree_util.tree_leaves(variables)
+        if leaves and not isinstance(leaves[0], jax.Array):
+            # Host/numpy tree passed directly: place it once as a
+            # convenience.  For repeated calls, prepare_variables yourself
+            # and reuse the result — that is what makes calls dispatch-only.
+            variables = self.prepare_variables(variables)
         images = jax.device_put(
             images, NamedSharding(self.mesh, P("data"))
         )
