@@ -114,7 +114,10 @@ def parse_retinaface_label(path: str) -> List[FaceExample]:
             boxes.append((x, y, x + w - 1.0, y + h - 1.0))
             if len(vals) >= 19:
                 pts = np.asarray(vals[4:19], np.float32).reshape(5, 3)[:, :2]
-                ok = bool((pts >= 0).all())
+                # The public label.txt marks un-annotated landmarks with a
+                # -1 SENTINEL in the first value; a legitimately negative
+                # coordinate (edge face, occluded point) is still annotated.
+                ok = bool(vals[4] >= 0)
             else:
                 pts, ok = np.zeros((5, 2), np.float32), False
             lms.append(pts)
@@ -206,9 +209,10 @@ class DetectionDataLoader:
 
     # -- per-image host work -------------------------------------------------
 
-    def _load_one(
-        self, ex: FaceExample
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    def _load_one(self, ex: FaceExample) -> Tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray
+    ]:
+        """(image, boxes, lms, valid, lm_valid, ignore) for one example."""
         from ..parallel.serving import letterbox_host
 
         w, h = self.image_size
@@ -226,22 +230,37 @@ class DetectionDataLoader:
         lms = np.zeros((m, 5, 2), np.float32)
         valid = np.zeros((m,), bool)
         lm_valid = np.zeros((m,), bool)
+        dropped = np.zeros((0, 4), np.float32)
         if ex.boxes.shape[0]:
             order = np.argsort(
                 -(ex.boxes[:, 2] - ex.boxes[:, 0])
                 * (ex.boxes[:, 3] - ex.boxes[:, 1])
-            )[:m]
-            n = order.shape[0]
-            boxes[:n] = ex.boxes[order] * det_scale
-            lms[:n] = ex.lms[order] * det_scale
+            )
+            kept = order[:m]
+            n = kept.shape[0]
+            boxes[:n] = ex.boxes[kept] * det_scale
+            lms[:n] = ex.lms[kept] * det_scale
             valid[:n] = True
-            lm_valid[:n] = ex.lm_valid[order]
-        # Ignore regions ride as zero-padded rows: a zero-area box has zero
-        # IoU with every anchor, so padding is inert in the loss.
+            lm_valid[:n] = ex.lm_valid[kept]
+            # Faces beyond max_faces must NOT vanish: as plain negatives,
+            # OHEM would mine exactly those anchors (they look like faces).
+            # They join the ignore rows instead.
+            dropped = ex.boxes[order[m:]] * det_scale
+        # Ignore regions ride as near-zero padding rows; the loss masks
+        # degenerate (zero-extent) rows out explicitly (detection_loss).
         ignore = np.zeros((m, 4), np.float32)
-        k = min(ex.ignore_boxes.shape[0], m)
+        ign_src = np.concatenate(
+            [dropped, ex.ignore_boxes.reshape(-1, 4) * det_scale]
+        )
+        if ign_src.shape[0] > m:
+            # keep the largest when truncating (most anchor overlap)
+            areas = (ign_src[:, 2] - ign_src[:, 0]) * (
+                ign_src[:, 3] - ign_src[:, 1]
+            )
+            ign_src = ign_src[np.argsort(-areas)[:m]]
+        k = ign_src.shape[0]
         if k:
-            ignore[:k] = ex.ignore_boxes[:k] * det_scale
+            ignore[:k] = ign_src
         return image, boxes, lms, valid, lm_valid, ignore
 
     # -- batching --------------------------------------------------------------

@@ -31,7 +31,9 @@ from .mesh import data_sharding, replicated, shard_pytree_fsdp
 class TrainBatch(NamedTuple):
     """One training batch with fixed-shape (padded) ground truth.
 
-    images: (B, H, W, 3) float32 normalized RGB.
+    images: (B, H, W, 3) float32 RGB in the RAW 0-255 pixel range — the
+    same convention the serving graphs consume (the model normalizes
+    in-graph); parallel/data.py feeds exactly this.
     gt_boxes: (B, M, 4) corner boxes; gt_lms: (B, M, 5, 2); gt_valid: (B, M).
     """
 
@@ -64,17 +66,41 @@ def _smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
     return jnp.where(absx < beta, 0.5 * x * x / beta, absx - 0.5 * beta)
 
 
+def _centers_sizes(boxes: jnp.ndarray):
+    """(w, h, cx, cy) under the +1 inclusive-corner convention — the ONE
+    copy shared by box encoding and landmark targets (they must never
+    desynchronize)."""
+    w = boxes[:, 2] - boxes[:, 0] + 1.0
+    h = boxes[:, 3] - boxes[:, 1] + 1.0
+    cx = boxes[:, 0] + 0.5 * (w - 1.0)
+    cy = boxes[:, 1] + 0.5 * (h - 1.0)
+    return w, h, cx, cy
+
+
+def _intersection_over_min(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) intersection area over the smaller box area (+1 convention)."""
+    iw = jnp.maximum(
+        jnp.minimum(a[:, None, 2], b[None, :, 2])
+        - jnp.maximum(a[:, None, 0], b[None, :, 0])
+        + 1.0,
+        0.0,
+    )
+    ih = jnp.maximum(
+        jnp.minimum(a[:, None, 3], b[None, :, 3])
+        - jnp.maximum(a[:, None, 1], b[None, :, 1])
+        + 1.0,
+        0.0,
+    )
+    area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
+    area_b = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
+    return iw * ih / jnp.minimum(area_a[:, None], area_b[None, :])
+
+
 def _encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     """Inverse of ops.box_decode.bbox_pred (nonlinear_transform semantics,
     bbox_transform.rs:67-88): corner gt -> center/size deltas vs anchors."""
-    aw = anchors[:, 2] - anchors[:, 0] + 1.0
-    ah = anchors[:, 3] - anchors[:, 1] + 1.0
-    acx = anchors[:, 0] + 0.5 * (aw - 1.0)
-    acy = anchors[:, 1] + 0.5 * (ah - 1.0)
-    gw = gt[:, 2] - gt[:, 0] + 1.0
-    gh = gt[:, 3] - gt[:, 1] + 1.0
-    gcx = gt[:, 0] + 0.5 * (gw - 1.0)
-    gcy = gt[:, 1] + 0.5 * (gh - 1.0)
+    aw, ah, acx, acy = _centers_sizes(anchors)
+    gw, gh, gcx, gcy = _centers_sizes(gt)
     return jnp.stack(
         [
             (gcx - acx) / (aw + 1e-14),
@@ -95,7 +121,7 @@ def match_anchors(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Match (N,) anchors to (M,) padded ground truth.
 
-    Returns (labels, best_gt, weights): labels in {1 pos, 0 neg, -1 ignore},
+    Returns (labels, best_gt, max_iou): labels in {1 pos, 0 neg, -1 ignore},
     best_gt the matched gt row per anchor.  Every valid gt's best anchor is
     forced positive (the paper's low-quality matching rule).
     """
@@ -173,11 +199,22 @@ def detection_loss(
         anchors, gt_boxes, gt_valid, pos_iou=pos_iou, neg_iou=neg_iou
     )
     if ignore_boxes is not None and ignore_boxes.shape[0]:
-        # Ignore regions (WIDER invalid faces): anchors overlapping them
-        # must not train as negatives — they look like faces.  Zero-area
-        # padding rows have zero IoU with everything and are inert.
-        iou_ign = jnp.max(bbox_overlaps(anchors, ignore_boxes), axis=1)
-        labels = jnp.where((labels == 0) & (iou_ign >= neg_iou), -1, labels)
+        # Ignore regions (WIDER invalid faces + max_faces overflow): anchors
+        # overlapping them must not train as negatives — they look like
+        # faces.  Symmetric IoU cannot flag a sub-anchor-scale ignore face
+        # (a 6x6 face centered in the smallest 16x16 anchor has IoU ~0.17),
+        # so the criterion is intersection-over-MIN-area: it fires both
+        # when the ignore face sits inside the anchor and when the anchor
+        # sits inside a large ignore region (mmdet's iof handles only the
+        # latter).  Degenerate padding rows are masked out explicitly.
+        valid_ign = (ignore_boxes[:, 2] > ignore_boxes[:, 0]) & (
+            ignore_boxes[:, 3] > ignore_boxes[:, 1]
+        )
+        iom = _intersection_over_min(anchors, ignore_boxes)
+        iom = jnp.where(valid_ign[None, :], iom, 0.0)
+        labels = jnp.where(
+            (labels == 0) & (jnp.max(iom, axis=1) >= 0.5), -1, labels
+        )
     pos = labels == 1
     neg = labels == 0
     num_pos = jnp.maximum(jnp.sum(pos), 1)
@@ -205,10 +242,7 @@ def detection_loss(
     )
 
     # Landmark regression on positives (encoded like landmark_pred's inverse).
-    aw = anchors[:, 2] - anchors[:, 0] + 1.0
-    ah = anchors[:, 3] - anchors[:, 1] + 1.0
-    acx = anchors[:, 0] + 0.5 * (aw - 1.0)
-    acy = anchors[:, 1] + 0.5 * (ah - 1.0)
+    aw, ah, acx, acy = _centers_sizes(anchors)
     matched_lms = gt_lms[best_gt]  # (N, 5, 2)
     lm_targets = jnp.stack(
         [
@@ -319,7 +353,12 @@ class Trainer:
             self.cfg.dense_anchor,
         )
         self.anchors = jnp.asarray(anchors)
-        num_anchors = level_info[0][3]
+        counts = {a for _stride, _fh, _fw, a in level_info}
+        if len(counts) != 1:
+            # level_info is in (32, 16, 8) reference order — never index it
+            # positionally (CLAUDE.md); the heads share one anchor count.
+            raise ValueError(f"per-level anchor counts differ: {sorted(counts)}")
+        num_anchors = counts.pop()
         # remat: rematerialize backbone blocks on the backward pass
         # (nn.remat) — trades ~1 extra forward of block FLOPs for O(depth)
         # less activation HBM, the standard lever when a batch/resolution
@@ -460,7 +499,8 @@ class Trainer:
         """Synthetic batch for smoke tests / dryruns."""
         rng = np.random.default_rng(seed)
         width, height = self.cfg.image_size
-        images = rng.uniform(0, 1, (batch_size, height, width, 3)).astype(np.float32)
+        # raw 0-255 pixel range (the TrainBatch convention)
+        images = rng.uniform(0, 255, (batch_size, height, width, 3)).astype(np.float32)
         x1 = rng.uniform(0, width * 0.6, (batch_size, max_faces))
         y1 = rng.uniform(0, height * 0.6, (batch_size, max_faces))
         bw = rng.uniform(8, width * 0.3, (batch_size, max_faces))
