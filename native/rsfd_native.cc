@@ -46,7 +46,13 @@ int rsfd_nms(const float* dets, int n, float thresh, int* keep_out) {
   std::vector<int> order(n);
   std::iota(order.begin(), order.end(), 0);
   std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
-    return dets[a * 5 + 4] > dets[b * 5 + 4];
+    // NaN-safe strict weak order (a plain `>` with NaN present is UB in
+    // std::stable_sort): NaN rows sort LAST, matching the numpy oracle's
+    // argsort(-scores) placement (ops/nms.py).
+    const float sa = dets[a * 5 + 4], sb = dets[b * 5 + 4];
+    const bool na = std::isnan(sa), nb = std::isnan(sb);
+    if (na != nb) return nb;
+    return sa > sb;
   });
 
   std::vector<float> x1(n), y1(n), x2(n), y2(n), area(n);
@@ -118,7 +124,20 @@ static int decode_jpeg_bgr(const uint8_t* data, size_t len,
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
-  out->resize(static_cast<size_t>(*w) * (*h) * 3);
+  // Header-declared dimensions are attacker-controlled: cap them before
+  // allocating (a 65500x65500 header would ask for ~13 GB, and the
+  // bad_alloc would escape the extern "C" boundary / std::thread worker
+  // and abort the serving process).  16384^2 x 3 = 768 MB worst case.
+  if (*w <= 0 || *h <= 0 || *w > 16384 || *h > 16384) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  try {
+    out->resize(static_cast<size_t>(*w) * (*h) * 3);
+  } catch (const std::bad_alloc&) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
   const int stride = *w * 3;
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * stride;
@@ -179,6 +198,11 @@ int rsfd_decode_letterbox(const uint8_t* data, size_t len, int dst_w,
     new_w = dst_w;
     new_h = static_cast<int>(new_w * im_ratio);
   }
+  // Degenerate aspect ratios truncate to 0 -> det_scale 0 and a float
+  // division by zero in the resize; clamp to one row/column instead
+  // (ops/image.letterbox_geometry clamps identically).
+  if (new_w < 1) new_w = 1;
+  if (new_h < 1) new_h = 1;
   *det_scale = static_cast<float>(new_h) / sh;
 
   std::memset(out, 0, static_cast<size_t>(dst_w) * dst_h * 3);
@@ -303,6 +327,6 @@ void rsfd_s4d_batch(const uint8_t* src, int n, int h, int w, uint8_t* dst,
 }
 
 // Version tag for the ctypes wrapper to sanity-check the ABI.
-int rsfd_abi_version() { return 3; }
+int rsfd_abi_version() { return 4; }
 
 }  // extern "C"

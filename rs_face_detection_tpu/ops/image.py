@@ -39,6 +39,10 @@ def letterbox_geometry(
     else:
         new_w = dst_w
         new_h = int(new_w * im_ratio)
+    # Degenerate aspect ratios truncate to 0, which would make det_scale 0
+    # (and downstream box descaling divide by it): clamp to one row/column.
+    new_w = max(new_w, 1)
+    new_h = max(new_h, 1)
     det_scale = new_h / src_h
     return new_w, new_h, det_scale
 

@@ -21,6 +21,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "librsfd_native.so"))
 
 _lib = None
+_load_failed = False  # memoized negative: don't re-spawn make per call
 _lib_lock = threading.Lock()
 
 
@@ -36,30 +37,50 @@ def ensure_built(force: bool = False) -> str:
 
 
 def load(build_if_missing: bool = True):
-    """Load (and memoize) the native library; None if unavailable."""
-    global _lib
+    """Load (and memoize) the native library; None if unavailable.
+
+    NEVER raises (the 'None if unavailable' contract): build failures and
+    ABI mismatches degrade to the numpy/cv2 fallbacks.  Failures are
+    memoized too, so hot paths probing available() per batch don't re-spawn
+    a doomed `make` every call.
+    """
+    global _lib, _load_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _load_failed:
+            return None
         try:
             if build_if_missing:
                 ensure_built()
             lib = ctypes.CDLL(_LIB_PATH)
-        except (OSError, subprocess.CalledProcessError):
-            return None
-
-        lib.rsfd_abi_version.restype = ctypes.c_int
-        if lib.rsfd_abi_version() != 3:
-            # Stale build from an older source tree: rebuild once.
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
-                check=True,
-                capture_output=True,
-            )
-            lib = ctypes.CDLL(_LIB_PATH)
             lib.rsfd_abi_version.restype = ctypes.c_int
-            if lib.rsfd_abi_version() != 3:
-                raise RuntimeError("rsfd_native ABI mismatch; rebuild native/")
+            if lib.rsfd_abi_version() != 4:
+                # Stale build from an older source tree: rebuild once.
+                # dlopen caches by pathname, so re-CDLLing the same path
+                # would return the OLD mapping (and truncating a mapped .so
+                # in place risks SIGBUS) — load the rebuilt library through
+                # a fresh temp copy instead.
+                import shutil
+                import tempfile
+
+                subprocess.run(
+                    ["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
+                    check=True,
+                    capture_output=True,
+                )
+                tmp = tempfile.NamedTemporaryFile(
+                    suffix=".so", delete=False
+                )
+                with tmp:
+                    shutil.copyfile(_LIB_PATH, tmp.name)
+                lib = ctypes.CDLL(tmp.name)
+                lib.rsfd_abi_version.restype = ctypes.c_int
+                if lib.rsfd_abi_version() != 4:
+                    raise OSError("rsfd_native ABI mismatch after rebuild")
+        except (OSError, subprocess.CalledProcessError):
+            _load_failed = True
+            return None
 
         lib.rsfd_nms.restype = ctypes.c_int
         lib.rsfd_nms.argtypes = [
@@ -114,6 +135,10 @@ def nms(dets: np.ndarray, thresh: float) -> List[int]:
     if lib is None:
         raise RuntimeError("native library unavailable; run ensure_built()")
     dets = np.ascontiguousarray(dets, dtype=np.float32)
+    if dets.ndim != 2 or dets.shape[1] != 5:
+        # nms_numpy would raise on the same input; the C side would read
+        # past the buffer instead — validate before crossing the boundary.
+        raise ValueError(f"dets must be (N, 5) [x1 y1 x2 y2 score]; got {dets.shape}")
     n = dets.shape[0]
     keep = np.zeros(n, dtype=np.int32)
     num = lib.rsfd_nms(
@@ -159,7 +184,10 @@ def s2d_batch(imgs: np.ndarray, num_threads: int = 0) -> np.ndarray:
         raise RuntimeError("native library unavailable; run ensure_built()")
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     n, h, w, c = imgs.shape
-    assert c == 3 and h % 2 == 0 and w % 2 == 0, imgs.shape
+    if c != 3 or h % 2 or w % 2:
+        # the C function silently no-ops on bad dims (and assert vanishes
+        # under python -O) — an un-written np.empty buffer must never leak
+        raise ValueError(f"need (N, H%2==0, W%2==0, 3); got {imgs.shape}")
     out = np.empty((n, h // 2, w // 2, 12), dtype=np.uint8)
     lib.rsfd_s2d_batch(
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -183,7 +211,8 @@ def s4d_batch(imgs: np.ndarray, num_threads: int = 0) -> np.ndarray:
         raise RuntimeError("native library unavailable; run ensure_built()")
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     n, h, w, c = imgs.shape
-    assert c == 3 and h % 4 == 0 and w % 4 == 0, imgs.shape
+    if c != 3 or h % 4 or w % 4:
+        raise ValueError(f"need (N, H%4==0, W%4==0, 3); got {imgs.shape}")
     out = np.empty((n, h // 4, w // 4, 48), dtype=np.uint8)
     lib.rsfd_s4d_batch(
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
