@@ -49,9 +49,13 @@ def match_detections(
     for rank, d in enumerate(order):
         if gt_boxes.shape[0] == 0:
             break
-        candidates = iou[rank] * ~gt_taken
-        g = int(np.argmax(candidates))
-        if candidates[g] >= iou_threshold:
+        # PASCAL/WIDER rule (and wider_split.image_eval): each detection is
+        # judged against its BEST-overlap GT; if that GT is already taken,
+        # the detection is a false positive.  Re-matching to the best
+        # UNMATCHED GT would be more lenient on crowded scenes and inflate
+        # AP versus the standard protocol.
+        g = int(np.argmax(iou[rank]))
+        if iou[rank, g] >= iou_threshold and not gt_taken[g]:
             gt_taken[g] = True
             matched[d] = True
     return ImageEval(det_scores, matched, gt_boxes.shape[0])
@@ -75,13 +79,9 @@ def average_precision(evals: Sequence[ImageEval]) -> Dict[str, float]:
     recall = tp / total_gt
     precision = tp / np.maximum(tp + fp, 1)
 
-    # All-points interpolation (monotone precision envelope).
+    # All-points interpolation (monotone precision envelope), vectorized.
     prec_env = np.maximum.accumulate(precision[::-1])[::-1]
-    ap = 0.0
-    prev_r = 0.0
-    for r, p in zip(recall, prec_env):
-        ap += (r - prev_r) * p
-        prev_r = r
+    ap = float(np.sum(np.diff(recall, prepend=0.0) * prec_env))
     return {
         "ap": float(ap),
         "precision": float(precision[-1]) if precision.size else 0.0,
@@ -99,7 +99,8 @@ def evaluate_detector(
     evals = []
     for image, gt_boxes in dataset:
         boxes, _ = detector(image)
-        boxes = np.asarray(boxes).reshape(-1, boxes.shape[-1] if boxes.size else 5)
+        boxes = np.asarray(boxes, np.float32)  # accept plain-list returns
+        boxes = boxes.reshape(-1, boxes.shape[-1] if boxes.size else 5)
         evals.append(
             match_detections(boxes[:, :4], boxes[:, 4], gt_boxes, iou_threshold)
         )

@@ -85,6 +85,32 @@ def parse_gt_file(path: str) -> List[WiderImage]:
     return images
 
 
+def _score_entry(dets, entry, iou_threshold: float) -> ImageEval:
+    """Shared per-entry scoring for both evaluate_wider variants.
+
+    Normalizes the detector output (arrays or plain lists, >=5 columns),
+    drops detections whose best overlap is an invalid-marked GT region
+    (the official toolkit ignores those regions rather than counting false
+    positives), and greedily matches the rest.
+    """
+    dets = np.asarray(dets, np.float32)
+    dets = dets.reshape(-1, dets.shape[-1] if dets.size else 5)[:, :5]
+    if len(entry.invalid_boxes) and len(dets):
+        from ..pipeline.tracking import iou_matrix_np
+
+        iou_inv = iou_matrix_np(dets[:, :4], entry.invalid_boxes)
+        iou_val = (
+            iou_matrix_np(dets[:, :4], entry.boxes)
+            if len(entry.boxes)
+            else np.zeros((len(dets), 1))
+        )
+        keep = iou_inv.max(axis=1) <= np.maximum(
+            iou_val.max(axis=1), iou_threshold
+        )
+        dets = dets[keep]
+    return match_detections(dets[:, :4], dets[:, 4], entry.boxes, iou_threshold)
+
+
 def evaluate_wider(
     detector: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
     images_root: str,
@@ -113,23 +139,7 @@ def evaluate_wider(
         if img is None:
             raise FileNotFoundError(img_path)
         dets, _ = detector(img)
-        dets = np.asarray(dets, np.float32).reshape(-1, 5)
-        if len(entry.invalid_boxes) and len(dets):
-            from ..pipeline.tracking import iou_matrix_np
-
-            iou_inv = iou_matrix_np(dets[:, :4], entry.invalid_boxes)
-            iou_val = (
-                iou_matrix_np(dets[:, :4], entry.boxes)
-                if len(entry.boxes)
-                else np.zeros((len(dets), 1))
-            )
-            keep = iou_inv.max(axis=1) <= np.maximum(
-                iou_val.max(axis=1), iou_threshold
-            )
-            dets = dets[keep]
-        evals.append(
-            match_detections(dets[:, :4], dets[:, 4], entry.boxes, iou_threshold)
-        )
+        evals.append(_score_entry(dets, entry, iou_threshold))
         n_faces += len(entry.boxes)
         if progress_every and (idx + 1) % progress_every == 0:
             print(f"  {idx + 1}/{len(entries)} images")
@@ -165,26 +175,16 @@ def evaluate_wider_batched(
     evals: List[ImageEval] = []
     n_faces = 0
     for idx, (entry, (dets, _)) in enumerate(zip(entries, detect_many(paths))):
-        dets = np.asarray(dets, np.float32).reshape(-1, dets.shape[-1] if np.size(dets) else 5)[:, :5]
-        if len(entry.invalid_boxes) and len(dets):
-            from ..pipeline.tracking import iou_matrix_np
-
-            iou_inv = iou_matrix_np(dets[:, :4], entry.invalid_boxes)
-            iou_val = (
-                iou_matrix_np(dets[:, :4], entry.boxes)
-                if len(entry.boxes)
-                else np.zeros((len(dets), 1))
-            )
-            keep = iou_inv.max(axis=1) <= np.maximum(
-                iou_val.max(axis=1), iou_threshold
-            )
-            dets = dets[keep]
-        evals.append(
-            match_detections(dets[:, :4], dets[:, 4], entry.boxes, iou_threshold)
-        )
+        evals.append(_score_entry(dets, entry, iou_threshold))
         n_faces += len(entry.boxes)
         if progress_every and (idx + 1) % progress_every == 0:
             print(f"  {idx + 1}/{len(entries)} images")
+    if len(evals) != len(entries):
+        # zip() stops at the shorter iterator: a detect_many that ends
+        # early must fail loudly, not score a silent prefix of the set.
+        raise RuntimeError(
+            f"detector yielded {len(evals)} results for {len(entries)} images"
+        )
     res = average_precision(evals)
     res["num_images"] = float(len(entries))
     res["num_faces"] = float(n_faces)

@@ -35,7 +35,12 @@ class MultiScaleDetection:
         nms_mode: str = "fixpoint",
         model=None,
         variables=None,
+        detector_factory=None,
     ) -> None:
+        """detector_factory(image_size, model, variables) -> detector lets
+        any duck-typed detector family build the ladder (e.g. SCRFD:
+        ``lambda size, m, v: SCRFDDetection(model=m, variables=v,
+        image_size=size)``); default = RetinaFaceDetection with this cfg."""
         if not buckets:
             raise ValueError("need at least one bucket")
         base = cfg or FaceDetectionConfig()
@@ -44,20 +49,33 @@ class MultiScaleDetection:
             (tuple(b) for b in buckets), key=lambda b: b[0] * b[1]
         )
         first_cfg = self._cfg_for(base, self.buckets[0])
-        first = RetinaFaceDetection(
-            first_cfg,
-            registry=registry,
-            nms_mode=nms_mode,
-            model=model,
-            variables=variables,
-        )
+        if detector_factory is None:
+            first = RetinaFaceDetection(
+                first_cfg,
+                registry=registry,
+                nms_mode=nms_mode,
+                model=model,
+                variables=variables,
+            )
+
+            def detector_factory(size, m, v):
+                # Propagate the first detector's registry so EVERY bucket's
+                # traffic feeds the model statistics, not just the smallest.
+                det = RetinaFaceDetection(
+                    self._cfg_for(base, size),
+                    nms_mode=nms_mode,
+                    model=m,
+                    variables=v,
+                )
+                det._registry = first._registry
+                return det
+
+        else:
+            first = detector_factory(self.buckets[0], model, variables)
         self.detectors = {self.buckets[0]: first}
         for bucket in self.buckets[1:]:
-            self.detectors[bucket] = RetinaFaceDetection(
-                self._cfg_for(base, bucket),
-                nms_mode=nms_mode,
-                model=first.model,
-                variables=first.variables,
+            self.detectors[bucket] = detector_factory(
+                bucket, first.model, first.variables
             )
 
     @staticmethod
