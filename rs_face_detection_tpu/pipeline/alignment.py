@@ -104,6 +104,13 @@ class FaceAlignment:
             dtype=np.float32,
         )
         bb = np.floor(bb)  # reference casts corners to i32 before the ROI
+        if bb[2] < bb[0] or bb[3] < bb[1]:
+            # A bbox entirely outside the frame inverts under the clamps;
+            # the reference's Mat::roi would error on the invalid Rect —
+            # fail loudly rather than sample a negative-extent crop.
+            raise ValueError(
+                f"bbox {det.tolist()} lies outside the {src_w}x{src_h} image"
+            )
         fn = self._crop_jit(src_h, src_w)
         out = fn(jnp.asarray(image_bgr), jnp.asarray(bb))
         return np.asarray(out)

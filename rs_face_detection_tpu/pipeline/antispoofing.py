@@ -71,13 +71,19 @@ def get_new_box(
 
 
 def detection_to_crop_box(face_box: np.ndarray) -> Tuple[float, float, float, float]:
-    """Detection -> pre-crop square bbox (x, y, w, h) (face_antispoofing.rs:249-262)."""
+    """Detection -> pre-crop square bbox (x, y, w, h) (face_antispoofing.rs:249-262).
+
+    Every component is TRUNCATED to an integer exactly like the reference's
+    Rect::new(left as i32, top as i32, (right-left+1) as i32,
+    (bottom-top+1.0) as i32) — fractional detection corners shift the crop
+    and the clamped ensemble weight otherwise.
+    """
     x1, y1, x2, y2 = (float(face_box[i]) for i in range(4))
     det_h = y2 - y1
     cx = (x1 + x2) / 2.0
     left = float(int(cx - 0.47 * det_h))
     right = float(int(cx + 0.47 * det_h))
-    return left, y1, right - left + 1.0, y2 - y1 + 1.0
+    return left, float(int(y1)), float(int(right - left + 1.0)), float(int(y2 - y1 + 1.0))
 
 
 class FaceAntiSpoofing:
@@ -130,13 +136,33 @@ class FaceAntiSpoofing:
                 crop_boxes[s, i] = (l, t, r, b)
                 weights[s, i] = w
 
-        stack = jnp.asarray(np.stack(imgs_bgr))
+        # Pad the face count to a small bucket so varying per-frame counts
+        # don't compile 4 fresh graphs per distinct n (and thrash the jit
+        # cache); pad rows crop a zero box and are sliced off below.
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        stack_np = np.stack(imgs_bgr)
+        if bucket != n:
+            stack_np = np.concatenate(
+                [stack_np, np.zeros((bucket - n, *stack_np.shape[1:]),
+                                    stack_np.dtype)]
+            )
+        stack = jnp.asarray(stack_np)
+        # Dispatch all four scale graphs BEFORE the first host sync: each
+        # synchronous round trip costs ~29 ms of fixed latency through the
+        # tunneled TPU; async dispatch overlaps them.
+        pending = []
+        for s in range(len(self.cfg.scales)):
+            fn = self._scale_jit(s, bucket, src_h, src_w)
+            _, variables = self._models[s]
+            boxes_s = np.zeros((bucket, 4), np.float32)
+            boxes_s[:n] = crop_boxes[s]
+            pending.append(fn(variables, stack, jnp.asarray(boxes_s)))
         weighted = np.zeros((n,), np.float64)
         total_w = np.zeros((n,), np.float64)
-        for s in range(len(self.cfg.scales)):
-            fn = self._scale_jit(s, n, src_h, src_w)
-            _, variables = self._models[s]
-            probs = np.asarray(fn(variables, stack, jnp.asarray(crop_boxes[s])))
+        for s, probs_dev in enumerate(pending):
+            probs = np.asarray(probs_dev)[:n]
             weighted += probs[:, 1] * weights[s]
             total_w += weights[s]
 

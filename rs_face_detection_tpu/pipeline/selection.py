@@ -100,9 +100,12 @@ class FaceSelection:
             center = valid if valid.size > 0 else indices
 
         sizes = (x2[center] - x1[center]) + (y2[center] - y1[center])
-        # Reference keeps the first strict maximum (tem_size > max_size, :151).
+        # Reference keeps the first strict maximum (tem_size > max_size,
+        # :151) with max_size starting at 0.0 — if every candidate is
+        # degenerate (size <= 0) it selects NOTHING; mirror that instead of
+        # returning a collapsed box to alignment/embedding.
         best = center[int(np.argmax(sizes))] if center.size else None
-        if best is None:
+        if best is None or sizes.size == 0 or float(np.max(sizes)) <= 0.0:
             return None, None
 
         kp = key_points[best] if key_points is not None else None

@@ -36,7 +36,13 @@ def iou_matrix_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     inter = iw * ih
     area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
     area_b = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
-    return (inter / (area_a[:, None] + area_b[None, :] - inter)).astype(np.float32)
+    union = area_a[:, None] + area_b[None, :] - inter
+    # Zero-union guard (degenerate/collapsed boxes): 0/0 would be NaN, and
+    # NaN wins argmax in the greedy matcher — same rule as
+    # ops.box_decode.bbox_overlaps' inter>0 guard.
+    return np.where(
+        (inter > 0) & (union > 0), inter / np.maximum(union, 1e-12), 0.0
+    ).astype(np.float32)
 
 
 @dataclass
@@ -68,10 +74,13 @@ class IouTracker:
     ) -> List[Track]:
         """Advance one frame with (N, 5+) detections; returns active tracks.
 
-        Active = matched this frame (or surviving within max_age) with at
-        least min_hits matches.
+        Active = matched THIS frame with at least min_hits matches.  Tracks
+        coasting on a missed detection survive internally (up to max_age)
+        and resume when re-matched, but are NOT yielded while unmatched —
+        consumers see only boxes corroborated by the current frame.
         """
-        boxes = np.asarray(boxes, np.float32).reshape(-1, boxes.shape[-1] if boxes.size else 5)
+        boxes = np.asarray(boxes, np.float32)
+        boxes = boxes.reshape(-1, boxes.shape[-1] if boxes.size else 5)
         if boxes.size and boxes.shape[1] < 4:
             raise ValueError(f"detections need >= 4 box columns, got {boxes.shape[1]}")
         det_boxes = boxes[:, :4]
