@@ -86,6 +86,13 @@ def _throughput(fn, variables, make_batch, batch, n_batches=12):
     batches = [make_batch(i) for i in range(n_batches)]
     warmup = make_batch(n_batches)  # never reused: relay caches identical calls
     jax.block_until_ready(fn(variables, *warmup))  # compile
+    # Stage inputs BEFORE timing (CLAUDE.md bench gotcha): when the compile
+    # is served from a warm cache it no longer hides the ~0.1 GB/s tunnel
+    # uploads, which would otherwise land inside the timed region.
+    batches = [
+        tuple(jax.block_until_ready(jax.device_put(x)) for x in b)
+        for b in batches
+    ]
     t0 = time.perf_counter()
     outs = [fn(variables, imgs, sc) for imgs, sc in batches]
     jax.block_until_ready(outs)
@@ -151,6 +158,12 @@ def _latency(fn, variables, make_batch, iters=20):
     batches = [make_batch(i) for i in range(iters)]
     warmup = make_batch(iters)  # never reused: the relay caches identical calls
     jax.block_until_ready(fn(variables, *warmup))
+    # Stage inputs before timing (see _throughput): a per-iteration upload
+    # would bill the tunnel's transfer rate to the latency median.
+    batches = [
+        tuple(jax.block_until_ready(jax.device_put(x)) for x in b)
+        for b in batches
+    ]
     ts = []
     for imgs, scales in batches:
         t0 = time.perf_counter()
@@ -232,7 +245,7 @@ def main() -> int:
     def over_budget() -> bool:
         return time.perf_counter() - t_start > budget_s
 
-    pin = os.environ.get("RSFD_MNET_PACKED")
+    pin = os.environ.get("RSFD_MNET_PACKED") or None  # "" == unset
     candidates = dict(MNET_PACKED_CANDIDATES)
     if pin is not None and pin != "default" and pin not in candidates:
         # Fail fast, BEFORE any measurement: a typo'd pin must not crash
@@ -355,6 +368,7 @@ def main() -> int:
         # as the serving-default recommendation.
         ab_n = 2 if args.smoke else n_batches
         ab_rates = {}
+        ab_skipped = None
         best_fn = None
         for name, kw in MNET_PACKED_CANDIDATES:
             if best_fn is not None and (
@@ -363,7 +377,7 @@ def main() -> int:
                 # Remote compiles can eat the budget; keep the best so far
                 # rather than risk the whole run (the remaining fields and
                 # aux still need their share).
-                ab_rates["skipped_for_budget"] = name
+                ab_skipped = name
                 break
             fc = detm.make_batched_fn(stem="s4d", **kw)
             rate, _ = _throughput_device(
@@ -375,9 +389,15 @@ def main() -> int:
             if best_fn is None or rate > ab_rates[mnet_packed]:
                 mnet_packed, best_fn = name, fc
         fnm = best_fn
-    mnet_b8, _ = _throughput_device(
-        fnm, detm.variables, batch_maker(8, m_s2d), 8, n_batches
-    )
+    if ab_rates is not None and not args.smoke and mnet_packed in ab_rates:
+        # The winner was JUST measured at full n_batches with identical
+        # parameters — re-measuring would repeat a full device-saturated
+        # run plus ~590 MB of staged uploads through the tunnel.
+        mnet_b8 = ab_rates[mnet_packed]
+    else:
+        mnet_b8, _ = _throughput_device(
+            fnm, detm.variables, batch_maker(8, m_s2d), 8, n_batches
+        )
     mnet_b32, _ = _throughput_device(
         fnm, detm.variables, batch_maker(32, m_s2d), 32, max(3, n_batches // 2)
     )
@@ -418,6 +438,8 @@ def main() -> int:
     }
     if ab_rates:
         result["mnet025_packed_ab_img_s"] = ab_rates
+        if ab_skipped is not None:
+            result["mnet025_packed_ab_skipped"] = ab_skipped
     if flops_b8:
         # MFU vs v5e bf16 peak, from XLA's own per-graph FLOP estimate — the
         # ceiling context for vs_baseline (100% MFU == peak_img_s).
@@ -454,18 +476,23 @@ def main() -> int:
     ckpt = os.path.join(fixture_dir, "trained_mnet64.npz")
     ap_set = os.path.join(fixture_dir, "ap_eval_set.npz")
     if os.path.exists(ckpt) and os.path.exists(ap_set):
-        from rs_face_detection_tpu.ops.eval import evaluate_detector
-        from rs_face_detection_tpu.utils.fixtures import (
-            load_ap_eval_set,
-            load_trained_detector,
-        )
+        try:
+            from rs_face_detection_tpu.ops.eval import evaluate_detector
+            from rs_face_detection_tpu.utils.fixtures import (
+                load_ap_eval_set,
+                load_trained_detector,
+            )
 
-        dataset, recorded = load_ap_eval_set(ap_set)
-        res = evaluate_detector(
-            load_trained_detector(ckpt), dataset, iou_threshold=0.5
-        )
-        result["detector_ap"] = round(res["ap"], 4)
-        result["detector_ap_recorded_at_train_time"] = round(recorded["ap"], 4)
+            dataset, recorded = load_ap_eval_set(ap_set)
+            res = evaluate_detector(
+                load_trained_detector(ckpt), dataset, iou_threshold=0.5
+            )
+            result["detector_ap"] = round(res["ap"], 4)
+            result["detector_ap_recorded_at_train_time"] = round(
+                recorded["ap"], 4
+            )
+        except Exception as e:  # a bad fixture must not sink the JSON line
+            result["detector_ap_error"] = str(e)[:200]
 
     if not args.smoke and not args.skip_aux:
         # Full-size CLIP ViT-L/14 FAS graph (VERDICT r2 #6): compile and run
@@ -626,6 +653,11 @@ def main() -> int:
             result["scrfd_packed_config"] = scrfd_config
             if len(scrfd_ab) > 1:
                 result["scrfd_packed_ab_img_s"] = scrfd_ab
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted before the xla baseline "
+                    "(RSFD_BENCH_BUDGET_S)"
+                )
             # Natural-layout baseline for the A/B evidence.
             sfn_x = sdet.make_batched_fn()
             scrfd_x, _ = _throughput_device(

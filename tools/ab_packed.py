@@ -18,13 +18,15 @@ model, variables = build_mnet()
 cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=SIZE)
 det = RetinaFaceDetection(cfg, model=model, variables=variables)
 
+# The bench's self-tuning subset is authoritative (its winner becomes the
+# serving default); this grid extends it with the partial level sets so the
+# two candidate spaces cannot drift.
+from bench import MNET_PACKED_CANDIDATES  # noqa: E402
+
 CONFIGS = [
-    ("none", dict(packed_heads=False)),
+    *MNET_PACKED_CANDIDATES,
     ("L0", dict(packed_heads=(0,), packed_fpn=False)),
     ("L01", dict(packed_heads=(0, 1), packed_fpn=False)),
-    ("L012", dict(packed_heads=(0, 1, 2), packed_fpn=False)),
-    ("L012+fpn0", dict(packed_heads=(0, 1, 2), packed_fpn=(0,))),
-    ("L012+fpn01", dict(packed_heads=(0, 1, 2), packed_fpn=(0, 1))),
 ]
 for name, kw in CONFIGS:
     measure(name, det.make_batched_fn(stem="s4d", **kw), variables)
