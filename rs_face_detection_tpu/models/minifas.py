@@ -322,6 +322,15 @@ def init_minifasnet(
     dtype: Any = jnp.float32,
     seed: int = 0,
 ):
+    expected = conv6_kernel_for(input_hw)
+    if tuple(spec.conv6_kernel) != tuple(expected):
+        # The same check load_minifasnet_state_dict enforces: a mismatched
+        # input size silently builds a non-MiniFASNet (conv_6_dw no longer
+        # collapses the spatial dims to 1x1 and the linear head grows).
+        raise ValueError(
+            f"spec.conv6_kernel {tuple(spec.conv6_kernel)} does not match "
+            f"input {input_hw} (expected {tuple(expected)})"
+        )
     model = MiniFASNet(spec=spec, softmax=softmax, dtype=dtype)
     h, w = input_hw
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)

@@ -53,9 +53,18 @@ class RetinaFace(nn.Module):
     #: (nn.remat in the backbones) — same params/math, less activation HBM.
     remat: bool = False
 
+    def _backbone_spec(self):
+        try:
+            return _BACKBONES[self.backbone]
+        except KeyError:
+            raise ValueError(
+                f"unknown backbone: {self.backbone!r} "
+                f"(expected one of {sorted(_BACKBONES)})"
+            ) from None
+
     def negative_slope(self) -> float:
         """The backbone family's leaky-ReLU slope (0.0 = plain ReLU)."""
-        return _BACKBONES[self.backbone][1]
+        return self._backbone_spec()[1]
 
     def uses_s2d_stem(self) -> bool:
         """Whether the backbone stem consumes the 2x2 space-to-depth layout.
@@ -66,7 +75,7 @@ class RetinaFace(nn.Module):
         """
         if self.stem_s2d is not None:
             return bool(self.stem_s2d)
-        return _BACKBONES[self.backbone][2]
+        return self._backbone_spec()[2]
 
     @nn.compact
     def __call__(

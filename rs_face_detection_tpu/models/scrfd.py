@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvBN
+from .layers import _upsample_nearest_2x, ConvBN
 
 
 class _ResBlock(nn.Module):
@@ -62,8 +62,7 @@ class _PAFPN(nn.Module):
         # Top-down.
         td = [laterals[-1]]
         for i in range(len(laterals) - 2, -1, -1):
-            up = jnp.repeat(jnp.repeat(td[0], 2, axis=1), 2, axis=2)
-            up = up[:, : laterals[i].shape[1], : laterals[i].shape[2], :]
+            up = _upsample_nearest_2x(td[0], laterals[i].shape)
             merged = ConvBN(
                 self.out_channels, (3, 3), act=nn.relu, dtype=self.dtype, name=f"td{i}"
             )(laterals[i] + up, train)
@@ -133,7 +132,9 @@ class SCRFD(nn.Module):
         train: bool = False,
         raw: bool = False,
         stem_precomputed: bool = False,
-        skip_head_levels: Tuple[int, ...] = (),
+        # NOTE: keyed by STRIDE (8/16/32) — RetinaFace's analogous
+        # skip_head_levels is keyed by pyramid level INDEX (0/1/2).
+        skip_head_strides: Tuple[int, ...] = (),
     ) -> Dict[int, Dict[str, jnp.ndarray]]:
         dt = self.dtype
         w = self.width
@@ -160,7 +161,7 @@ class SCRFD(nn.Module):
 
         out: Dict[int, Dict[str, jnp.ndarray]] = {}
         for stride, feat in zip((8, 16, 32), pyramid):
-            if stride in skip_head_levels:
+            if stride in skip_head_strides:
                 # Caller runs the packed head externally
                 # (ops/scrfd_packed.py) on the raw pyramid feature.
                 out[stride] = {"feat": feat}
@@ -177,8 +178,16 @@ def init_scrfd(
     width: int = 32,
     dtype: Any = jnp.float32,
     seed: int = 0,
+    neck_channels: int = 32,
+    num_anchors: int = 2,
 ):
-    model = SCRFD(width=width, dtype=dtype)
+    """(model, variables).  neck_channels/num_anchors plumb the module's
+    configurable fields (the pipeline's anchor tables assume the default
+    num_anchors=2 — override both together)."""
+    model = SCRFD(
+        width=width, dtype=dtype,
+        neck_channels=neck_channels, num_anchors=num_anchors,
+    )
     w, h = image_size
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(

@@ -42,6 +42,10 @@ def _flash_attention_fn(query, key, value, bias=None, mask=None, **_kwargs):
     the standard path folds into the scores.
     """
     assert bias is None and mask is None, "ViT attention is dense"
+    assert not _kwargs.get("dropout_rate"), (
+        "fused_attention is inference-only: the Pallas kernel has no "
+        "attention dropout"
+    )
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
@@ -93,7 +97,9 @@ _CONFIGS = {
 def _gelu(x: jnp.ndarray, quick: bool) -> jnp.ndarray:
     if quick:
         return x * jax.nn.sigmoid(1.702 * x)
-    return nn.gelu(x)
+    # exact erf GELU (torch nn.GELU default) — flax's default is the tanh
+    # approximation, which would silently mismatch a future torch import
+    return nn.gelu(x, approximate=False)
 
 
 class _Block(nn.Module):

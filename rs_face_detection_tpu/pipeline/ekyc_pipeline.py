@@ -280,7 +280,7 @@ class SCRFDDetection:
             )
             net_out = self.model.apply(
                 variables, front, train=False, stem_precomputed=True,
-                skip_head_levels=packed_strides,
+                skip_head_strides=packed_strides,
             )
             if packed_levels:
                 from ..ops.scrfd_packed import scrfd_head_packed

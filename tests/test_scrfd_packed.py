@@ -60,7 +60,7 @@ def test_head_packed_exact_vs_natural():
     x = normalize(x, (MEAN,) * 3, (SCALE,) * 3)
 
     nat = model.apply(variables, x, train=False)
-    skip = model.apply(variables, x, train=False, skip_head_levels=(8,))
+    skip = model.apply(variables, x, train=False, skip_head_strides=(8,))
     feat8 = skip[8]["feat"]
     assert feat8.shape[1:3] == (8, 8)  # stride-8 grid at 64x64
 
