@@ -41,10 +41,14 @@ PEAK_TFLOPS_BF16 = 197.0
 #: FLOPs for lane occupancy — see ops/ssh_packed.py), so the bench A/Bs a
 #: short run of each and reports the winner rather than trusting the
 #: make_batched_fn defaults.  tools/ab_packed.py has the fuller grid.
+#: Ordered best-measured-first (hardware A/B 2026-08-19: L012+fpn0
+#: 2,635 img/s vs none 2,609 at mnet b8 @640): the A/B loop budget-cuts
+#: by keeping the best so far, so on a slow-compile day the first —
+#: presumed-best — candidate is the one that survives.
 MNET_PACKED_CANDIDATES = (
+    ("L012+fpn0", dict(packed_heads=(0, 1, 2), packed_fpn=(0,))),
     ("none", dict(packed_heads=False)),
     ("L012", dict(packed_heads=(0, 1, 2), packed_fpn=False)),
-    ("L012+fpn0", dict(packed_heads=(0, 1, 2), packed_fpn=(0,))),
     ("L012+fpn01", dict(packed_heads=(0, 1, 2), packed_fpn=(0, 1))),
 )
 
