@@ -71,11 +71,15 @@ class FaceDetectionConfig:
     # --- TPU-native additions ---
     backbone: str = "mobilenet025"  # or "resnet50"
     # Static top-k kept after the confidence filter.  NMS cost scales with
-    # max_candidates^2; at the production 0.7 threshold, 256 simultaneous
-    # candidates is already extreme (output caps at max_detections anyway).
-    # Raise this (with a lower confidence_threshold) for dense-scene
-    # evaluation such as WIDER-hard.
-    max_candidates: int = 256
+    # max_candidates^2; at the production 0.7 threshold, 128 simultaneous
+    # candidates is already extreme (output caps at max_detections anyway;
+    # results change only in scenes with more above-threshold anchors than
+    # the cap).  Raise this (with a lower confidence_threshold) for
+    # dense-scene evaluation such as WIDER-hard — tools/eval_wider.py pins
+    # 256.  Hardware A/B (tools/ab_tail.py, v5e mnet b8 @640, 2026-08-19):
+    # cap 128 = 2817 img/s / 2.840 ms graph vs 192 = 2712/2.950 vs
+    # 256 = 2662/3.005 — the quadratic NMS matrix and the top-k both shrink.
+    max_candidates: int = 128
     max_detections: int = 100  # static post-NMS output rows
     # Candidate selection: "exact" (lax.top_k) or "approx"
     # (lax.approx_max_k, recall_target 0.95) — the TPU-native approximate

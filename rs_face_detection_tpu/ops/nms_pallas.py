@@ -21,6 +21,15 @@ kernel; there is no HBM round-trip between the IoU matrix and the scan.
 Boxes must be pre-sorted by descending score with a validity mask for
 padding, same contract as ops/nms.py.  Scores use the reference's "+1" area
 convention and `iou > threshold` suppression rule.
+
+Status: chip-parity-validated but measured SLOWER than the XLA fixpoint
+path inside the full fused detect graph (tools/ab_tail.py, v5e mnet b8
+@640, 2026-08-19): 2631 vs 2662 img/s at K=256 and 2741 vs 2817 at K=128.
+At these K the whole tail is ~0.8 ms and XLA's fused (K, K) masked
+reductions already run at VMEM speed; the pallas_call boundary only adds
+dispatch overhead.  Kept opt-in (`nms_mode="pallas"`) as the kernel-form
+counterpart of the reference's CUDA NMS and for future K >= 1024 regimes
+where a single VMEM-resident kernel should win.
 """
 
 from __future__ import annotations

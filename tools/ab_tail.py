@@ -18,7 +18,23 @@ exact-default configuration against the opt-in variants:
 Timing is content-independent (static shapes), so uniform-random frames
 measure real scenes' cost.  Each row is the full fused batch graph.  Flip
 FaceDetectionConfig defaults only for knobs that keep exact semantics;
-approx/cap-reduction wins belong in the config docstring as opt-ins.
+approx wins belong in the config docstring as opt-ins.
+
+Measured 2026-08-19 (v5e, packed-default front, relay-amortized):
+
+    exact-256-fixpoint       2662.0 img/s  graph  3.005 ms   (old default)
+    exact-256-greedy         2484.2 img/s  graph  3.220 ms
+    exact-256-pallas         2631.4 img/s  graph  3.040 ms
+    exact-192-fixpoint       2711.5 img/s  graph  2.950 ms
+    exact-128-fixpoint       2816.6 img/s  graph  2.840 ms   (NEW default)
+    exact-128-pallas         2741.1 img/s  graph  2.919 ms
+    approx-256-fixpoint      2776.2 img/s  graph  2.882 ms
+    approx-128-fixpoint      2892.1 img/s  graph  2.766 ms   (opt-in)
+
+Outcome: max_candidates default 256 -> 128 (configs.py; eval_wider pins
+256 for dense scenes); fixpoint stays the NMS default (beats greedy and
+the Pallas kernel at every cap); approx top-k (+2.7% more) stays opt-in
+because it is not exact.
 """
 
 from _ab_common import SIZE, build_mnet, measure
@@ -30,8 +46,10 @@ model, variables = build_mnet()
 CONFIGS = [
     ("exact-256-fixpoint", dict(), "fixpoint"),  # shipping default
     ("exact-256-greedy", dict(), "greedy"),
+    ("exact-256-pallas", dict(), "pallas"),
     ("exact-192-fixpoint", dict(max_candidates=192), "fixpoint"),
     ("exact-128-fixpoint", dict(max_candidates=128), "fixpoint"),
+    ("exact-128-pallas", dict(max_candidates=128), "pallas"),
     ("approx-256-fixpoint", dict(candidate_selection="approx"), "fixpoint"),
     (
         "approx-128-fixpoint",

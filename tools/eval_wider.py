@@ -36,8 +36,13 @@ def build_detector(args):
 
     if args.detector == "scrfd":
         return build_scrfd_detector(args)
+    # Dense-scene eval cap: the serving default (128) is tuned for the 0.7
+    # production threshold; WIDER-hard crowd scenes need more NMS candidates,
+    # so the eval protocol pins the pre-flip 256 regardless of the default.
     cfg = FaceDetectionConfig(
-        backbone=args.backbone, image_size=(args.size, args.size)
+        backbone=args.backbone,
+        image_size=(args.size, args.size),
+        max_candidates=256,
     )
     if args.checkpoint:
         import numpy as np
