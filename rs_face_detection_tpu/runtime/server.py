@@ -732,11 +732,17 @@ def serve(
     dynamic_batching: bool = False,
     batch_delay_ms: float = 2.0,
     ekyc_pipeline=None,
+    triton_wire: bool = True,
 ):
     """Start a gRPC server; returns the grpc.Server (caller stops it).
 
     dynamic_batching: coalesce concurrent unary Detect calls into device
     batches (runtime/batcher.DynamicBatcher) — the Triton-scheduler role.
+
+    triton_wire: additionally serve the genuine Triton protobuf contract
+    (inference.GRPCInferenceService — runtime/wire.py) on the same port, so
+    a stock Triton client (or the reference crate) can connect; gRPC routes
+    the two services by method path.
     """
     if not _HAS_GRPC:
         raise RuntimeError("grpcio not available")
@@ -761,6 +767,12 @@ def serve(
             ),
         )
     )
+    if triton_wire:
+        from .wire import TritonWireServicer, wire_handlers
+
+        server.add_generic_rpc_handlers(
+            (wire_handlers(TritonWireServicer(registry)),)
+        )
     bound = server.add_insecure_port(f"[::]:{port}")
     server.start()
     server._rsfd_port = bound  # convenience for port=0 callers

@@ -1,0 +1,616 @@
+"""Triton GRPCInferenceService wire-protocol subset (genuine protobuf).
+
+The facade (runtime/server.py) re-expresses every reference verb as
+JSON-over-gRPC; this module closes the remaining component-level delta by
+speaking the actual Triton protobuf contract for the RPC shapes the
+reference pipeline exercises against its Triton server
+(/root/reference/src/pipeline/face_pipeline/pipeline.rs:89-116 — 3x
+ModelConfig at init, then ModelInfer per stage; client.rs:106-118):
+
+    ServerLive / ServerReady / ModelReady
+    ModelConfig   (name -> ModelConfig{input[], output[], max_batch_size})
+    ModelInfer    (InferInputTensor.fp32_contents or raw_input_contents in,
+                   raw_output_contents little-endian f32 out —
+                   grpc_service.proto:577,716)
+    ModelStreamInfer (stream of the above)
+
+Message schemas are hand-written subsets of the reference's vendored
+triton_proto/grpc_service.proto + model_config.proto (field numbers cited
+inline), encoded by the descriptor-driven proto3 codec in
+runtime/proto3.py; byte-level goldens in tests/test_wire.py cross-check
+against `protoc --encode`.  The service registers as a SECOND generic
+handler ("inference.GRPCInferenceService") on the same gRPC server as the
+facade — gRPC routes by full method path, so a stock Triton client and a
+FacePipelineClient can share one port.
+
+Tensor conventions: the reference speaks torch/Triton NCHW; device graphs
+here are NHWC.  ModelInfer transposes at the boundary, and the detection
+model additionally re-expresses its per-stride head maps in the exact
+mxnet-RetinaFace layout the reference's host decode consumes
+(face_detection.rs:296-345): per stride in (32, 16, 8) order, a
+(1, 2A, h, w) `face_rpn_cls_prob_reshape_stride{s}` whose first A channels
+are background and last A are face probabilities, a (1, 4A, h, w) bbox
+delta map, and a (1, 10A, h, w) landmark delta map — anchor-major channel
+groups, so the client's permute->reshape recovers (rows, 4)/(rows, 5, 2)
+in anchor-plane order.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .proto3 import Field, decode_message, encode_message
+
+SERVICE = "inference.GRPCInferenceService"
+
+# ---------------------------------------------------------------------------
+# Message schemas (subset of triton_proto/grpc_service.proto +
+# model_config.proto; numbers are the wire contract and must not change).
+# ---------------------------------------------------------------------------
+
+# grpc_service.proto: InferParameter (oneof parameter_choice)
+INFER_PARAMETER = {
+    "bool_param": Field(1, "bool"),
+    "int64_param": Field(2, "int64"),
+    "string_param": Field(3, "string"),
+    "double_param": Field(4, "double"),
+    "uint64_param": Field(5, "uint64"),
+}
+
+
+def _param_map(number: int) -> Field:
+    """map<string, InferParameter> field."""
+    return Field(
+        number,
+        "message",
+        map_entry=(
+            Field(1, "string"),
+            Field(2, "message", schema=INFER_PARAMETER),
+        ),
+    )
+
+
+# grpc_service.proto: InferTensorContents
+INFER_TENSOR_CONTENTS = {
+    "bool_contents": Field(1, "bool", repeated=True),
+    "int_contents": Field(2, "int32", repeated=True),
+    "int64_contents": Field(3, "int64", repeated=True),
+    "uint_contents": Field(4, "uint32", repeated=True),
+    "uint64_contents": Field(5, "uint64", repeated=True),
+    "fp32_contents": Field(6, "float", repeated=True),
+    "fp64_contents": Field(7, "double", repeated=True),
+    "bytes_contents": Field(8, "bytes", repeated=True),
+}
+
+# grpc_service.proto: ModelInferRequest.InferInputTensor
+INFER_INPUT_TENSOR = {
+    "name": Field(1, "string"),
+    "datatype": Field(2, "string"),
+    "shape": Field(3, "int64", repeated=True),
+    "parameters": _param_map(4),
+    "contents": Field(5, "message", schema=INFER_TENSOR_CONTENTS),
+}
+
+# grpc_service.proto: ModelInferRequest.InferRequestedOutputTensor
+INFER_REQUESTED_OUTPUT = {
+    "name": Field(1, "string"),
+    "parameters": _param_map(2),
+}
+
+# grpc_service.proto:577 ModelInferRequest
+MODEL_INFER_REQUEST = {
+    "model_name": Field(1, "string"),
+    "model_version": Field(2, "string"),
+    "id": Field(3, "string"),
+    "parameters": _param_map(4),
+    "inputs": Field(5, "message", repeated=True, schema=INFER_INPUT_TENSOR),
+    "outputs": Field(
+        6, "message", repeated=True, schema=INFER_REQUESTED_OUTPUT
+    ),
+    "raw_input_contents": Field(7, "bytes", repeated=True),
+}
+
+# grpc_service.proto: ModelInferResponse.InferOutputTensor
+INFER_OUTPUT_TENSOR = {
+    "name": Field(1, "string"),
+    "datatype": Field(2, "string"),
+    "shape": Field(3, "int64", repeated=True),
+    "parameters": _param_map(4),
+    "contents": Field(5, "message", schema=INFER_TENSOR_CONTENTS),
+}
+
+# grpc_service.proto:716 ModelInferResponse
+MODEL_INFER_RESPONSE = {
+    "model_name": Field(1, "string"),
+    "model_version": Field(2, "string"),
+    "id": Field(3, "string"),
+    "parameters": _param_map(4),
+    "outputs": Field(5, "message", repeated=True, schema=INFER_OUTPUT_TENSOR),
+    "raw_output_contents": Field(6, "bytes", repeated=True),
+}
+
+# grpc_service.proto: ModelStreamInferResponse
+MODEL_STREAM_INFER_RESPONSE = {
+    "error_message": Field(1, "string"),
+    "infer_response": Field(2, "message", schema=MODEL_INFER_RESPONSE),
+}
+
+EMPTY: Dict[str, Field] = {}  # ServerLiveRequest / ServerReadyRequest
+SERVER_LIVE_RESPONSE = {"live": Field(1, "bool")}
+SERVER_READY_RESPONSE = {"ready": Field(1, "bool")}
+MODEL_READY_REQUEST = {"name": Field(1, "string"), "version": Field(2, "string")}
+MODEL_READY_RESPONSE = {"ready": Field(1, "bool")}
+MODEL_CONFIG_REQUEST = {"name": Field(1, "string"), "version": Field(2, "string")}
+
+# model_config.proto: ModelTensorReshape
+MODEL_TENSOR_RESHAPE = {"shape": Field(1, "int64", repeated=True)}
+
+# model_config.proto: ModelInput (subset the reference reads:
+# name/data_type/dims; format & flags carried for wire fidelity)
+MODEL_INPUT = {
+    "name": Field(1, "string"),
+    "data_type": Field(2, "enum"),
+    "format": Field(3, "enum"),
+    "dims": Field(4, "int64", repeated=True),
+    "reshape": Field(5, "message", schema=MODEL_TENSOR_RESHAPE),
+    "is_shape_tensor": Field(6, "bool"),
+    "allow_ragged_batch": Field(7, "bool"),
+    "optional": Field(8, "bool"),
+}
+
+# model_config.proto: ModelOutput
+MODEL_OUTPUT = {
+    "name": Field(1, "string"),
+    "data_type": Field(2, "enum"),
+    "dims": Field(3, "int64", repeated=True),
+    "label_filename": Field(4, "string"),
+    "reshape": Field(5, "message", schema=MODEL_TENSOR_RESHAPE),
+    "is_shape_tensor": Field(6, "bool"),
+}
+
+# model_config.proto: ModelConfig (subset: the reference reads name,
+# max_batch_size, input[], output[])
+MODEL_CONFIG = {
+    "name": Field(1, "string"),
+    "platform": Field(2, "string"),
+    "max_batch_size": Field(4, "int32"),
+    "input": Field(5, "message", repeated=True, schema=MODEL_INPUT),
+    "output": Field(6, "message", repeated=True, schema=MODEL_OUTPUT),
+    "backend": Field(17, "string"),
+}
+
+MODEL_CONFIG_RESPONSE = {"config": Field(1, "message", schema=MODEL_CONFIG)}
+
+# model_config.proto enum DataType (TYPE_FP32 = 11, ...)
+DATA_TYPE = {
+    "BOOL": 1, "UINT8": 2, "UINT16": 3, "UINT32": 4, "UINT64": 5,
+    "INT8": 6, "INT16": 7, "INT32": 8, "INT64": 9,
+    "FP16": 10, "FP32": 11, "FP64": 12, "STRING": 13, "BF16": 14,
+}
+#: Triton datatype string -> numpy dtype (InferInputTensor.datatype uses the
+#: enum name with the TYPE_ prefix stripped — client.rs:261's [5..] slice).
+NP_DTYPE = {
+    "BOOL": np.bool_, "UINT8": np.uint8, "UINT16": np.uint16,
+    "UINT32": np.uint32, "UINT64": np.uint64, "INT8": np.int8,
+    "INT16": np.int16, "INT32": np.int32, "INT64": np.int64,
+    "FP16": np.float16, "FP32": np.float32, "FP64": np.float64,
+}
+
+
+# ---------------------------------------------------------------------------
+# Model adapters: our NHWC graphs <-> Triton NCHW raw tensors.
+# ---------------------------------------------------------------------------
+
+
+def _detection_output_names(strides) -> List[str]:
+    names = []
+    for s in strides:
+        names += [
+            f"face_rpn_cls_prob_reshape_stride{s}",
+            f"face_rpn_bbox_pred_stride{s}",
+            f"face_rpn_landmark_pred_stride{s}",
+        ]
+    return names
+
+
+def detection_triton_view(net_out: Dict[int, Dict[str, Any]], strides) -> List[np.ndarray]:
+    """Per-stride NHWC head maps -> the mxnet-RetinaFace NCHW raw tensors.
+
+    The reference host decode (face_detection.rs:320-345) consumes, per
+    stride: scores sliced [:, A:, :, :] then permuted/flattened to
+    (h*w*A, 1); bbox/landmark maps permuted to NHWC and reshaped to rows of
+    4 / (5, 2).  Our flatten order (detection.py topk_decode_and_nms) is
+    identical, so the wire view is a channel concat + transpose:
+    cls = concat([1-p, p], channel) with p the (b, h, w, A) face
+    probability (the A:-slice then yields p in anchor order), bbox and
+    landmark transpose as-is (their NHWC channels are already anchor-major
+    groups of 4 / 10).
+    """
+    outs: List[np.ndarray] = []
+    for s in strides:
+        maps = net_out[int(s)]
+        p = np.asarray(maps["score"], dtype=np.float32)  # (b, h, w, A)
+        cls = np.concatenate([1.0 - p, p], axis=-1)  # (b, h, w, 2A)
+        bbox = np.asarray(maps["bbox"], dtype=np.float32)
+        lm = np.asarray(maps["landmark"], dtype=np.float32)
+        outs += [
+            np.ascontiguousarray(np.transpose(t, (0, 3, 1, 2)))
+            for t in (cls, bbox, lm)
+        ]
+    return outs
+
+
+class TritonWireServicer:
+    """The GRPCInferenceService subset over a ModelRegistry.
+
+    Jit-compiles each registered model's forward once per (name, input
+    shape) — the wire layer is the drop-in-parity surface; throughput
+    serving should use the facade's fused Detect/Extract verbs, which batch
+    and keep decode+NMS on device.
+    """
+
+    def __init__(self, registry) -> None:
+        self.registry = registry
+        self._jit_cache: Dict[Tuple[str, Tuple[int, ...], str], Any] = {}
+        self._lock = threading.Lock()
+
+    # -- health ----------------------------------------------------------
+
+    def server_live(self, request, context):
+        return {"live": self.registry.server_live()}
+
+    def server_ready(self, request, context):
+        return {"ready": self.registry.server_ready()}
+
+    def model_ready(self, request, context):
+        return {"ready": self.registry.model_ready(request["name"])}
+
+    # -- config ------------------------------------------------------------
+
+    def _detection_cfg(self):
+        from ..configs import FaceDetectionConfig
+
+        return FaceDetectionConfig()
+
+    def model_config(self, request, context):
+        import grpc
+
+        name = request["name"]
+        try:
+            spec = self.registry.spec(name)
+        except KeyError:
+            context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"Request for unknown model: '{name}' is not found",
+            )
+        h, w, c = spec.input_shape
+        fp32 = DATA_TYPE["FP32"]
+        config: Dict[str, Any] = {
+            "name": name,
+            "platform": "jax_xla",
+            "backend": "rs_face_detection_tpu",
+            "max_batch_size": 0,  # dims below carry the full (1, C, H, W)
+            "input": [
+                {
+                    "name": "data",
+                    "data_type": fp32,
+                    "format": 2,  # FORMAT_NCHW
+                    "dims": [1, c, h, w],
+                }
+            ],
+        }
+        if name == self._detection_cfg().model_name:
+            cfg = self._detection_cfg()
+            a = 2  # anchors per cell (RPN_ANCHOR_CFG)
+            outputs = []
+            for s in cfg.feat_strides:
+                fh, fw = h // s, w // s
+                for oname, ch in zip(
+                    _detection_output_names([s]), (2 * a, 4 * a, 10 * a)
+                ):
+                    outputs.append(
+                        {
+                            "name": oname,
+                            "data_type": fp32,
+                            "dims": [1, ch, fh, fw],
+                        }
+                    )
+            config["output"] = outputs
+        else:
+            config["output"] = [
+                {"name": "output", "data_type": fp32, "dims": [-1, -1]}
+            ]
+        return {"config": config}
+
+    # -- infer -------------------------------------------------------------
+
+    def _forward(self, name: str, x_nhwc: np.ndarray):
+        import jax
+
+        module, variables = self.registry.get(name)
+        key = (name, x_nhwc.shape, str(x_nhwc.dtype))
+        with self._lock:
+            fn = self._jit_cache.get(key)
+        if fn is None:
+            def run_train_kw(v, x):
+                return module.apply(v, x, train=False)
+
+            def run_bare(v, x):
+                return module.apply(v, x)
+
+            try:
+                fn = jax.jit(run_train_kw)
+                out = fn(variables, x_nhwc)
+            except TypeError:
+                fn = jax.jit(run_bare)
+                out = fn(variables, x_nhwc)
+            with self._lock:
+                self._jit_cache[key] = fn
+                # Two entries per model (compile shapes) is plenty; an
+                # unbounded cache would pin every probed shape's executable.
+                keep = [k for k in self._jit_cache if k[0] == name][-2:]
+                for k in [k for k in self._jit_cache if k[0] == name]:
+                    if k not in keep:
+                        del self._jit_cache[k]
+            return out
+        return fn(variables, x_nhwc)
+
+    def model_infer(self, request, context):
+        import grpc
+
+        name = request["model_name"]
+        if not self.registry.model_ready(name):
+            context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"Request for unknown model: '{name}' is not found",
+            )
+        inputs = request["inputs"]
+        if len(inputs) != 1:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"expected 1 input tensor, got {len(inputs)}",
+            )
+        tensor = inputs[0]
+        datatype = tensor["datatype"] or "FP32"
+        np_dtype = NP_DTYPE.get(datatype)
+        if np_dtype is None:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"unsupported datatype {datatype!r}",
+            )
+        shape = [int(d) for d in tensor["shape"]]
+        if len(shape) != 4:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"expected NCHW input shape, got {shape}",
+            )
+        raw = request["raw_input_contents"]
+        try:
+            if raw:
+                x = np.frombuffer(raw[0], dtype=np.dtype(np_dtype).newbyteorder("<"))
+            elif tensor["contents"] is not None:
+                contents = tensor["contents"]
+                if datatype == "FP32":
+                    x = np.asarray(contents["fp32_contents"], dtype=np.float32)
+                elif datatype == "FP64":
+                    x = np.asarray(contents["fp64_contents"], dtype=np.float64)
+                elif datatype in ("INT32", "INT16", "INT8"):
+                    x = np.asarray(contents["int_contents"], dtype=np_dtype)
+                elif datatype in ("UINT32", "UINT16", "UINT8"):
+                    x = np.asarray(contents["uint_contents"], dtype=np_dtype)
+                elif datatype == "INT64":
+                    x = np.asarray(contents["int64_contents"], dtype=np.int64)
+                elif datatype == "UINT64":
+                    x = np.asarray(contents["uint64_contents"], dtype=np.uint64)
+                elif datatype == "BOOL":
+                    x = np.asarray(contents["bool_contents"], dtype=np.bool_)
+                else:
+                    raise ValueError(f"no typed contents field for {datatype}")
+            else:
+                raise ValueError("input tensor has neither contents nor raw bytes")
+            x = x.reshape(shape).astype(np.float32, copy=False)
+        except ValueError as e:
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+
+        x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+        try:
+            out = self._forward(name, x_nhwc)
+        except Exception as e:  # surface as a typed gRPC error, never UNKNOWN
+            context.abort(
+                grpc.StatusCode.INTERNAL, f"{type(e).__name__}: {e}"
+            )
+
+        if isinstance(out, dict):  # detection: per-stride head maps
+            cfg = self._detection_cfg()
+            arrays = detection_triton_view(out, cfg.feat_strides)
+            names = _detection_output_names(cfg.feat_strides)
+        else:
+            arrays = [np.asarray(out, dtype=np.float32)]
+            names = ["output"]
+
+        requested = [o["name"] for o in request["outputs"]]
+        if requested:
+            by_name = dict(zip(names, arrays))
+            missing = [n for n in requested if n not in by_name]
+            if missing:
+                import grpc as _grpc
+
+                context.abort(
+                    _grpc.StatusCode.INVALID_ARGUMENT,
+                    f"unknown output tensor(s): {missing}",
+                )
+            names = requested
+            arrays = [by_name[n] for n in requested]
+
+        return {
+            "model_name": name,
+            "model_version": request["model_version"] or "1",
+            "id": request["id"],
+            "outputs": [
+                {
+                    "name": n,
+                    "datatype": "FP32",
+                    "shape": list(a.shape),
+                }
+                for n, a in zip(names, arrays)
+            ],
+            "raw_output_contents": [
+                np.ascontiguousarray(a, dtype="<f4").tobytes() for a in arrays
+            ],
+        }
+
+    def model_stream_infer(self, request_iterator, context):
+        """stream ModelInferRequest -> stream ModelStreamInferResponse.
+
+        Per-message errors ride the error_message field (Triton stream
+        semantics) instead of aborting the whole stream."""
+        import grpc
+
+        for request in request_iterator:
+            try:
+                yield {
+                    "error_message": "",
+                    "infer_response": self.model_infer(request, context),
+                }
+            except grpc.RpcError:
+                raise  # context.abort inside model_infer already ended us
+            except Exception as e:  # noqa: BLE001 — stream stays up
+                yield {"error_message": f"{type(e).__name__}: {e}",
+                       "infer_response": None}
+
+
+def _ser(schema):
+    return functools.partial(encode_message, schema)
+
+
+def _de(schema):
+    return functools.partial(decode_message, schema)
+
+
+def wire_handlers(servicer: TritonWireServicer):
+    """The generic gRPC handler for inference.GRPCInferenceService."""
+    import grpc
+
+    def unary(fn, req_schema, resp_schema):
+        return grpc.unary_unary_rpc_method_handler(
+            fn,
+            request_deserializer=_de(req_schema),
+            response_serializer=_ser(resp_schema),
+        )
+
+    rpcs = {
+        "ServerLive": unary(servicer.server_live, EMPTY, SERVER_LIVE_RESPONSE),
+        "ServerReady": unary(
+            servicer.server_ready, EMPTY, SERVER_READY_RESPONSE
+        ),
+        "ModelReady": unary(
+            servicer.model_ready, MODEL_READY_REQUEST, MODEL_READY_RESPONSE
+        ),
+        "ModelConfig": unary(
+            servicer.model_config, MODEL_CONFIG_REQUEST, MODEL_CONFIG_RESPONSE
+        ),
+        "ModelInfer": unary(
+            servicer.model_infer, MODEL_INFER_REQUEST, MODEL_INFER_RESPONSE
+        ),
+        "ModelStreamInfer": grpc.stream_stream_rpc_method_handler(
+            servicer.model_stream_infer,
+            request_deserializer=_de(MODEL_INFER_REQUEST),
+            response_serializer=_ser(MODEL_STREAM_INFER_RESPONSE),
+        ),
+    }
+    return grpc.method_handlers_generic_handler(SERVICE, rpcs)
+
+
+# ---------------------------------------------------------------------------
+# Client — the reference TritonInferenceClient subset (client.rs:71-118),
+# speaking the same hand-rolled protobuf bytes.
+# ---------------------------------------------------------------------------
+
+
+class TritonWireClient:
+    """Protobuf Triton client for the wire service (and any real Triton
+    server serving the same models — the bytes are genuine proto3)."""
+
+    def __init__(self, target: str, timeout_s: float = 30.0) -> None:
+        import grpc
+
+        self._channel = grpc.insecure_channel(target)
+        self._timeout = timeout_s
+
+    def close(self) -> None:
+        self._channel.close()
+
+    def _unary(self, method, req_schema, resp_schema, request):
+        fn = self._channel.unary_unary(
+            f"/{SERVICE}/{method}",
+            request_serializer=_ser(req_schema),
+            response_deserializer=_de(resp_schema),
+        )
+        return fn(request, timeout=self._timeout)
+
+    def server_live(self) -> bool:
+        return self._unary("ServerLive", EMPTY, SERVER_LIVE_RESPONSE, {})["live"]
+
+    def server_ready(self) -> bool:
+        return self._unary("ServerReady", EMPTY, SERVER_READY_RESPONSE, {})[
+            "ready"
+        ]
+
+    def model_ready(self, name: str) -> bool:
+        return self._unary(
+            "ModelReady", MODEL_READY_REQUEST, MODEL_READY_RESPONSE,
+            {"name": name},
+        )["ready"]
+
+    def model_config(self, name: str) -> Dict[str, Any]:
+        return self._unary(
+            "ModelConfig", MODEL_CONFIG_REQUEST, MODEL_CONFIG_RESPONSE,
+            {"name": name},
+        )["config"]
+
+    def model_infer(
+        self,
+        name: str,
+        x_nchw: np.ndarray,
+        input_name: str = "data",
+        requested_outputs: Optional[List[str]] = None,
+        use_raw: bool = False,
+    ) -> List[Tuple[str, List[int], np.ndarray]]:
+        """Run one NCHW f32 tensor; returns [(name, shape, array), ...].
+
+        use_raw=False sends InferTensorContents.fp32_contents — exactly the
+        reference pipeline's request shape (face_detection.rs:259-277);
+        use_raw=True sends raw_input_contents bytes instead.  Outputs are
+        decoded from raw_output_contents (LE f32), the reference's read
+        path (face_detection.rs:296: u8_to_f32_vec)."""
+        x = np.ascontiguousarray(x_nchw, dtype=np.float32)
+        tensor: Dict[str, Any] = {
+            "name": input_name,
+            "datatype": "FP32",
+            "shape": list(x.shape),
+        }
+        request: Dict[str, Any] = {
+            "model_name": name,
+            "model_version": "",
+            "id": "",
+            "inputs": [tensor],
+        }
+        if requested_outputs:
+            request["outputs"] = [{"name": n} for n in requested_outputs]
+        if use_raw:
+            request["raw_input_contents"] = [x.astype("<f4").tobytes()]
+        else:
+            tensor["contents"] = {"fp32_contents": x.reshape(-1).tolist()}
+        resp = self._unary(
+            "ModelInfer", MODEL_INFER_REQUEST, MODEL_INFER_RESPONSE, request
+        )
+        out = []
+        for meta, raw in zip(resp["outputs"], resp["raw_output_contents"]):
+            shape = [int(d) for d in meta["shape"]]
+            arr = np.frombuffer(raw, dtype="<f4").reshape(shape)
+            out.append((meta["name"], shape, arr))
+        return out

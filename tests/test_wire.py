@@ -1,0 +1,528 @@
+"""Triton wire-protocol tests: codec goldens vs protoc, service E2E.
+
+Three layers of evidence that runtime/wire.py speaks genuine protobuf:
+
+  1. hand-computed byte goldens for the proto3 primitives (no tooling);
+  2. `protoc --encode` cross-checks: the same logical messages rendered to
+     bytes by the real protobuf compiler from tests/fixtures/
+     triton_subset.proto must match our encoder byte-for-byte, and our
+     decoder must read protoc's bytes back (skipped when protoc is absent);
+  3. a live gRPC round trip: TritonWireClient -> serve(triton_wire=True)
+     runs detect/quality/embed-shaped models end-to-end, with the detection
+     raw maps verified against the model's direct NHWC outputs using the
+     REFERENCE's own permute/slice decode algebra
+     (/root/reference/src/pipeline/module/face_detection.rs:296-345).
+"""
+
+import shutil
+import struct
+import subprocess
+import tempfile
+import os
+
+import numpy as np
+import pytest
+
+from rs_face_detection_tpu.runtime.proto3 import (
+    Field,
+    decode_message,
+    encode_message,
+)
+from rs_face_detection_tpu.runtime import wire
+from rs_face_detection_tpu.runtime.wire import (
+    MODEL_CONFIG_RESPONSE,
+    MODEL_INFER_REQUEST,
+    MODEL_INFER_RESPONSE,
+    SERVER_LIVE_RESPONSE,
+    TritonWireClient,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+PROTO = os.path.join(FIXTURES, "triton_subset.proto")
+
+
+# ---------------------------------------------------------------------------
+# 1. hand-computed primitives
+# ---------------------------------------------------------------------------
+
+
+def test_varint_bool_golden():
+    # ServerLiveResponse{live: true} = field 1, wiretype 0, value 1
+    assert encode_message(SERVER_LIVE_RESPONSE, {"live": True}) == b"\x08\x01"
+    # proto3 default omitted
+    assert encode_message(SERVER_LIVE_RESPONSE, {"live": False}) == b""
+    assert decode_message(SERVER_LIVE_RESPONSE, b"\x08\x01") == {"live": True}
+    assert decode_message(SERVER_LIVE_RESPONSE, b"") == {"live": False}
+
+
+def test_string_and_packed_int64_golden():
+    schema = {
+        "name": Field(1, "string"),
+        "shape": Field(3, "int64", repeated=True),
+    }
+    # name="ab" -> key 0x0A, len 2; shape=[1, 300] packed -> key 0x1A,
+    # len 3, bytes 01 AC 02
+    enc = encode_message(schema, {"name": "ab", "shape": [1, 300]})
+    assert enc == b"\x0a\x02ab\x1a\x03\x01\xac\x02"
+    assert decode_message(schema, enc) == {"name": "ab", "shape": [1, 300]}
+    # unpacked encoding of the same repeated field must also decode
+    unpacked = b"\x0a\x02ab\x18\x01\x18\xac\x02"
+    assert decode_message(schema, unpacked) == {"name": "ab", "shape": [1, 300]}
+
+
+def test_negative_int_sign_extension():
+    schema = {"v": Field(1, "int64")}
+    enc = encode_message(schema, {"v": -2})
+    # two's complement 64-bit varint: 10 bytes ending 0x01
+    assert enc == b"\x08" + b"\xfe" + b"\xff" * 8 + b"\x01"
+    assert decode_message(schema, enc) == {"v": -2}
+    schema32 = {"v": Field(1, "int32")}
+    enc32 = encode_message(schema32, {"v": -1})
+    assert decode_message(schema32, enc32) == {"v": -1}
+
+
+def test_float_fixed32_golden():
+    schema = {"x": Field(6, "float", repeated=True)}
+    enc = encode_message(schema, {"x": [1.0]})
+    # packed: key (6<<3|2)=0x32, len 4, LE float 1.0
+    assert enc == b"\x32\x04" + struct.pack("<f", 1.0)
+    out = decode_message(schema, enc)
+    assert out["x"] == [1.0]
+
+
+def test_unknown_fields_skipped():
+    # ServerLiveResponse bytes plus an unknown field 9 (varint), unknown
+    # field 10 (length-delimited) — decoder must skip both.
+    extra = b"\x48\x2a" + b"\x52\x03abc"
+    assert decode_message(SERVER_LIVE_RESPONSE, b"\x08\x01" + extra) == {
+        "live": True
+    }
+
+
+def test_truncated_raises():
+    with pytest.raises(ValueError):
+        decode_message(SERVER_LIVE_RESPONSE, b"\x08")
+
+
+def test_map_roundtrip():
+    enc = encode_message(
+        MODEL_INFER_REQUEST,
+        {
+            "model_name": "m",
+            "parameters": {"max_batch_size": {"int64_param": 4}},
+        },
+    )
+    out = decode_message(MODEL_INFER_REQUEST, enc)
+    assert out["model_name"] == "m"
+    assert out["parameters"]["max_batch_size"]["int64_param"] == 4
+
+
+# ---------------------------------------------------------------------------
+# 2. protoc cross-checks
+# ---------------------------------------------------------------------------
+
+_PROTOC = shutil.which("protoc")
+
+
+def _protoc_encode(message: str, textproto: str) -> bytes:
+    return subprocess.run(
+        [_PROTOC, f"--encode=inference.{message}", "-I", FIXTURES, PROTO],
+        input=textproto.encode(),
+        capture_output=True,
+        check=True,
+    ).stdout
+
+
+def _protoc_decode(message: str, blob: bytes) -> str:
+    return subprocess.run(
+        [_PROTOC, f"--decode=inference.{message}", "-I", FIXTURES, PROTO],
+        input=blob,
+        capture_output=True,
+        check=True,
+    ).stdout.decode()
+
+
+needs_protoc = pytest.mark.skipif(_PROTOC is None, reason="protoc not installed")
+
+
+@needs_protoc
+def test_protoc_golden_model_infer_request():
+    request = {
+        "model_name": "face_detection_retina",
+        "model_version": "",
+        "id": "req-1",
+        "inputs": [
+            {
+                "name": "data",
+                "datatype": "FP32",
+                "shape": [1, 3, 4, 4],
+                "contents": {"fp32_contents": [0.5, -1.25, 2.0]},
+            }
+        ],
+        "outputs": [{"name": "out0"}],
+        "raw_input_contents": [b"\x01\x02"],
+    }
+    text = """
+model_name: "face_detection_retina"
+id: "req-1"
+inputs {
+  name: "data"
+  datatype: "FP32"
+  shape: [1, 3, 4, 4]
+  contents { fp32_contents: [0.5, -1.25, 2.0] }
+}
+outputs { name: "out0" }
+raw_input_contents: "\\001\\002"
+"""
+    golden = _protoc_encode("ModelInferRequest", text)
+    ours = encode_message(MODEL_INFER_REQUEST, request)
+    assert ours == golden
+    # and our decoder must read protoc's bytes back to the same dict
+    decoded = decode_message(MODEL_INFER_REQUEST, golden)
+    assert decoded["model_name"] == "face_detection_retina"
+    assert decoded["inputs"][0]["shape"] == [1, 3, 4, 4]
+    np.testing.assert_allclose(
+        decoded["inputs"][0]["contents"]["fp32_contents"], [0.5, -1.25, 2.0]
+    )
+    assert decoded["raw_input_contents"] == [b"\x01\x02"]
+
+
+@needs_protoc
+def test_protoc_golden_model_infer_response():
+    response = {
+        "model_name": "face_quality",
+        "model_version": "1",
+        "id": "",
+        "outputs": [
+            {"name": "output", "datatype": "FP32", "shape": [1, 4]}
+        ],
+        "raw_output_contents": [struct.pack("<4f", 0.1, 0.2, 0.3, 0.4)],
+    }
+    raw = response["raw_output_contents"][0]
+    octal = "".join(f"\\{b:03o}" for b in raw)
+    text = f"""
+model_name: "face_quality"
+model_version: "1"
+outputs {{ name: "output" datatype: "FP32" shape: [1, 4] }}
+raw_output_contents: "{octal}"
+"""
+    golden = _protoc_encode("ModelInferResponse", text)
+    assert encode_message(MODEL_INFER_RESPONSE, response) == golden
+
+
+@needs_protoc
+def test_protoc_golden_model_config_response():
+    config = {
+        "config": {
+            "name": "face_detection_retina",
+            "platform": "jax_xla",
+            "backend": "rs_face_detection_tpu",
+            "max_batch_size": 0,
+            "input": [
+                {
+                    "name": "data",
+                    "data_type": 11,
+                    "format": 2,
+                    "dims": [1, 3, 640, 640],
+                }
+            ],
+            "output": [
+                {
+                    "name": "face_rpn_cls_prob_reshape_stride32",
+                    "data_type": 11,
+                    "dims": [1, 4, 20, 20],
+                }
+            ],
+        }
+    }
+    text = """
+config {
+  name: "face_detection_retina"
+  platform: "jax_xla"
+  backend: "rs_face_detection_tpu"
+  input {
+    name: "data"
+    data_type: TYPE_FP32
+    format: FORMAT_NCHW
+    dims: [1, 3, 640, 640]
+  }
+  output {
+    name: "face_rpn_cls_prob_reshape_stride32"
+    data_type: TYPE_FP32
+    dims: [1, 4, 20, 20]
+  }
+}
+"""
+    golden = _protoc_encode("ModelConfigResponse", text)
+    assert encode_message(MODEL_CONFIG_RESPONSE, config) == golden
+    decoded = decode_message(MODEL_CONFIG_RESPONSE, golden)
+    assert decoded["config"]["input"][0]["dims"] == [1, 3, 640, 640]
+    assert decoded["config"]["max_batch_size"] == 0
+
+
+@needs_protoc
+def test_protoc_decodes_our_bytes():
+    """protoc --decode must read our encoder's output (the reverse check)."""
+    ours = encode_message(
+        MODEL_INFER_REQUEST,
+        {
+            "model_name": "m",
+            "inputs": [
+                {
+                    "name": "data",
+                    "datatype": "FP32",
+                    "shape": [2, 2],
+                    "contents": {"fp32_contents": [1.0, 0.0, -3.5, 9.0]},
+                }
+            ],
+        },
+    )
+    text = _protoc_decode("ModelInferRequest", ours)
+    assert 'model_name: "m"' in text
+    assert "shape: 2" in text
+    assert "-3.5" in text
+
+
+# ---------------------------------------------------------------------------
+# 3. live service round trip
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wire_port():
+    from rs_face_detection_tpu.models.registry import ModelRegistry, ModelSpec
+    from rs_face_detection_tpu.runtime.server import serve
+
+    reg = ModelRegistry()
+
+    def small_detection_builder():
+        from rs_face_detection_tpu.models.retinaface import init_retinaface
+
+        model, variables = init_retinaface("mobilenet025", (64, 64), seed=0)
+        return (
+            ModelSpec("face_detection_retina", (64, 64, 3), "maps"),
+            model,
+            variables,
+        )
+
+    def small_classifier(name, outs):
+        def b():
+            from rs_face_detection_tpu.models.heads import init_small_cnn
+
+            model, variables = init_small_cnn(
+                outs, (32, 32), widths=(8, 16)
+            )
+            return ModelSpec(name, (32, 32, 3), "probs"), model, variables
+
+        return b
+
+    reg.register_builder("face_detection_retina", small_detection_builder)
+    reg.register_builder("face_quality", small_classifier("face_quality", 4))
+    reg.register_builder(
+        "face_identification", small_classifier("face_identification", 16)
+    )
+    for name in ("face_detection_retina", "face_quality", "face_identification"):
+        reg.load(name)
+
+    server = serve(None, reg, port=0)
+    yield server._rsfd_port, reg
+    server.stop(0)
+
+
+def test_wire_health_and_ready(wire_port):
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        assert client.server_live() is True
+        assert client.server_ready() is True
+        assert client.model_ready("face_quality") is True
+        assert client.model_ready("nope") is False
+    finally:
+        client.close()
+
+
+def test_wire_unknown_model_not_found(wire_port):
+    import grpc
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        with pytest.raises(grpc.RpcError) as e:
+            client.model_config("missing_model")
+        assert e.value.code() == grpc.StatusCode.NOT_FOUND
+        with pytest.raises(grpc.RpcError) as e:
+            client.model_infer(
+                "missing_model", np.zeros((1, 3, 2, 2), np.float32)
+            )
+        assert e.value.code() == grpc.StatusCode.NOT_FOUND
+    finally:
+        client.close()
+
+
+def test_wire_reference_pipeline_flow(wire_port):
+    """The reference's exact call sequence: ModelConfig at init, then
+    ModelInfer with fp32_contents shaped by the config dims
+    (pipeline.rs:89-116, face_detection.rs:240-296)."""
+    port, reg = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        cfg = client.model_config("face_detection_retina")
+        (inp,) = cfg["input"]
+        assert inp["name"] == "data"
+        assert inp["data_type"] == wire.DATA_TYPE["FP32"]
+        assert inp["dims"] == [1, 3, 64, 64]
+        out_names = [o["name"] for o in cfg["output"]]
+        assert out_names[0] == "face_rpn_cls_prob_reshape_stride32"
+        assert len(out_names) == 9  # 3 strides x (cls, bbox, landmark)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=inp["dims"]).astype(np.float32)
+        outs = client.model_infer(
+            "face_detection_retina",
+            x,
+            input_name=inp["name"],
+            requested_outputs=out_names,
+        )
+        assert [n for n, _, _ in outs] == out_names
+
+        # Verify the NCHW view against the model's direct NHWC outputs via
+        # the REFERENCE's decode algebra: permute (0,2,3,1), slice [:, A:]
+        # for scores, reshape rows of 4 / (5, 2).
+        module, variables = reg.get("face_detection_retina")
+        net = module.apply(variables, np.transpose(x, (0, 2, 3, 1)), train=False)
+        a = 2
+        by_name = {n: arr for n, _, arr in outs}
+        for s in (32, 16, 8):
+            cls = by_name[f"face_rpn_cls_prob_reshape_stride{s}"]
+            ref_scores = (
+                cls[:, a:, :, :].transpose(0, 2, 3, 1).reshape(-1)
+            )
+            np.testing.assert_allclose(
+                ref_scores, np.asarray(net[s]["score"]).reshape(-1),
+                rtol=1e-5, atol=1e-6,
+            )
+            bg = cls[:, :a, :, :].transpose(0, 2, 3, 1).reshape(-1)
+            np.testing.assert_allclose(
+                bg + ref_scores, np.ones_like(bg), rtol=1e-5, atol=1e-6
+            )
+            bbox = by_name[f"face_rpn_bbox_pred_stride{s}"]
+            np.testing.assert_allclose(
+                bbox.transpose(0, 2, 3, 1).reshape(-1, 4),
+                np.asarray(net[s]["bbox"]).reshape(-1, 4),
+                rtol=1e-5, atol=1e-6,
+            )
+            lm = by_name[f"face_rpn_landmark_pred_stride{s}"]
+            np.testing.assert_allclose(
+                lm.transpose(0, 2, 3, 1).reshape(-1, 5, 2),
+                np.asarray(net[s]["landmark"]).reshape(-1, 5, 2),
+                rtol=1e-5, atol=1e-6,
+            )
+    finally:
+        client.close()
+
+
+def test_wire_classifier_models_raw_and_typed(wire_port):
+    """quality/embed-shaped models: fp32_contents AND raw_input_contents
+    paths must give identical raw_output_contents."""
+    port, reg = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        rng = np.random.default_rng(1)
+        for name in ("face_quality", "face_identification"):
+            x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+            (typed,) = client.model_infer(name, x)
+            (raw,) = client.model_infer(name, x, use_raw=True)
+            assert typed[0] == raw[0] == "output"
+            np.testing.assert_allclose(typed[2], raw[2], rtol=1e-6)
+            module, variables = reg.get(name)
+            direct = np.asarray(
+                module.apply(variables, np.transpose(x, (0, 2, 3, 1)), train=False)
+            )
+            np.testing.assert_allclose(
+                typed[2], direct, rtol=1e-4, atol=1e-5
+            )
+    finally:
+        client.close()
+
+
+def test_wire_stream_infer(wire_port):
+    import grpc
+    from rs_face_detection_tpu.runtime.wire import (
+        MODEL_STREAM_INFER_RESPONSE,
+        SERVICE,
+    )
+    from rs_face_detection_tpu.runtime.proto3 import (
+        decode_message as dec,
+        encode_message as enc,
+    )
+    import functools
+
+    port, _ = wire_port
+    channel = grpc.insecure_channel(f"localhost:{port}")
+    try:
+        stream = channel.stream_stream(
+            f"/{SERVICE}/ModelStreamInfer",
+            request_serializer=functools.partial(enc, MODEL_INFER_REQUEST),
+            response_deserializer=functools.partial(
+                dec, MODEL_STREAM_INFER_RESPONSE
+            ),
+        )
+        rng = np.random.default_rng(2)
+
+        def requests():
+            for _ in range(3):
+                x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+                yield {
+                    "model_name": "face_quality",
+                    "inputs": [
+                        {
+                            "name": "data",
+                            "datatype": "FP32",
+                            "shape": [1, 3, 32, 32],
+                        }
+                    ],
+                    "raw_input_contents": [x.astype("<f4").tobytes()],
+                }
+
+        responses = list(stream(requests(), timeout=60))
+        assert len(responses) == 3
+        for r in responses:
+            assert r["error_message"] == ""
+            out = r["infer_response"]["raw_output_contents"][0]
+            probs = np.frombuffer(out, dtype="<f4")
+            assert probs.shape == (4,) or probs.size == 4
+    finally:
+        channel.close()
+
+
+def test_wire_bad_dtype_invalid_argument(wire_port):
+    import grpc
+
+    port, _ = wire_port
+    channel = grpc.insecure_channel(f"localhost:{port}")
+    try:
+        import functools
+
+        from rs_face_detection_tpu.runtime.proto3 import (
+            decode_message as dec,
+            encode_message as enc,
+        )
+
+        call = channel.unary_unary(
+            f"/{wire.SERVICE}/ModelInfer",
+            request_serializer=functools.partial(enc, MODEL_INFER_REQUEST),
+            response_deserializer=functools.partial(dec, MODEL_INFER_RESPONSE),
+        )
+        with pytest.raises(grpc.RpcError) as e:
+            call(
+                {
+                    "model_name": "face_quality",
+                    "inputs": [
+                        {"name": "data", "datatype": "FP99", "shape": [1, 3, 2, 2]}
+                    ],
+                },
+                timeout=30,
+            )
+        assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    finally:
+        channel.close()
