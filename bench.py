@@ -45,12 +45,18 @@ PEAK_TFLOPS_BF16 = 197.0
 #: 2,635 img/s vs none 2,609 at mnet b8 @640): the A/B loop budget-cuts
 #: by keeping the best so far, so on a slow-compile day the first —
 #: presumed-best — candidate is the one that survives.
+#: The DEFAULT bench A/B measures only the first MNET_PACKED_AB_DEFAULT
+#: entries ({winner, unpacked baseline} — VERDICT r3 #7: the full grid's
+#: repeatedly-measured losers cost ~45 min of relay compiles to defend a
+#: ~1% margin); the rest stay reachable via RSFD_MNET_PACKED pins and
+#: tools/ab_packed.py.
 MNET_PACKED_CANDIDATES = (
     ("L012+fpn0", dict(packed_heads=(0, 1, 2), packed_fpn=(0,))),
     ("none", dict(packed_heads=False)),
     ("L012", dict(packed_heads=(0, 1, 2), packed_fpn=False)),
     ("L012+fpn01", dict(packed_heads=(0, 1, 2), packed_fpn=(0, 1))),
 )
+MNET_PACKED_AB_DEFAULT = 2
 
 
 def _resolve_aux(fn, variables):
@@ -374,7 +380,7 @@ def main() -> int:
         ab_rates = {}
         ab_skipped = None
         best_fn = None
-        for name, kw in MNET_PACKED_CANDIDATES:
+        for name, kw in MNET_PACKED_CANDIDATES[:MNET_PACKED_AB_DEFAULT]:
             if best_fn is not None and (
                 time.perf_counter() - t_start > 0.35 * budget_s
             ):
@@ -412,6 +418,52 @@ def main() -> int:
         fnm, detm.variables, batch_maker(1, m_s2d), 1, max(4, n_batches // 2)
     )
 
+    # Batch ladder (VERDICT r3 #6): b16 for both backbones.  Device-
+    # saturated rate and graph latency are two views of the same number
+    # (graph_ms = 1000 * batch / rate); both are reported so the serving
+    # SLA can pick its batch without arithmetic.
+    r50_b16, _ = _throughput_device(
+        fn, det.variables, batch_maker(16, r50_s2d), 16, max(3, n_batches // 2)
+    )
+    mnet_b16, _ = _throughput_device(
+        fnm, detm.variables, batch_maker(16, m_s2d), 16, max(3, n_batches // 2)
+    )
+
+    # decode/NMS tail regression pair (VERDICT r3 #1): serving default cap
+    # (128, flipped after tools/ab_tail.py's 2026-08-19 grid: 2817 vs 2662
+    # img/s) against the old 256 — keeps the tradeoff visible if a future
+    # XLA wheel changes it.  NMS-mode findings from the same grid: fixpoint
+    # beat greedy (2484) and the Pallas kernel (2741 at cap 128).
+    tail_ab = None
+    if (
+        m_s2d == "s4d"
+        and (args.force_ab or not args.smoke)
+        and not args.no_ab
+        and not over_budget()
+    ):
+        import dataclasses
+
+        from rs_face_detection_tpu.pipeline.detection import (
+            RetinaFaceDetection,
+        )
+
+        cfg256 = dataclasses.replace(detm.cfg, max_candidates=256)
+        det256 = RetinaFaceDetection(
+            cfg256, model=detm.model, variables=detm.variables,
+            nms_mode=args.nms,
+        )
+        fn256 = det256.make_batched_fn(
+            stem="s4d", **candidates.get(mnet_packed, {})
+        )
+        rate256, _ = _throughput_device(
+            fn256, detm.variables, batch_maker(8, m_s2d), 8,
+            max(3, n_batches // 2),
+        )
+        tail_ab = {
+            "cap128_default": round(mnet_b8, 2),
+            "cap256": round(rate256, 2),
+        }
+
     # Headline: the BASELINE.json north star is "640x640 images/sec/chip
     # (batch 8)" with no model pinned (configs list both MobileNet0.25 and
     # R50).  Report the best fused-detect config at b8 — currently the
@@ -438,8 +490,19 @@ def main() -> int:
         "mnet025_b32_pipelined_img_s": round(mnet_b32_pipe, 2),
         "mnet025_batch1_latency_ms": round(mnet_b1_dt * 1000.0, 3),
         "mnet025_packed_config": mnet_packed,
+        # batch ladder: rate + device graph latency per batch size
+        "r50_b16_img_s": round(r50_b16, 2),
+        "r50_b16_graph_ms": round(16000.0 / r50_b16, 3) if r50_b16 else None,
+        "r50_b8_graph_ms": round(8000.0 / r50_b8, 3) if r50_b8 else None,
+        "mnet025_b16_img_s": round(mnet_b16, 2),
+        "mnet025_b16_graph_ms": (
+            round(16000.0 / mnet_b16, 3) if mnet_b16 else None
+        ),
+        "mnet025_b8_graph_ms": round(8000.0 / mnet_b8, 3) if mnet_b8 else None,
         "nms_mode": args.nms,
     }
+    if tail_ab is not None:
+        result["mnet025_tail_ab_img_s"] = tail_ab
     if ab_rates:
         result["mnet025_packed_ab_img_s"] = ab_rates
         if ab_skipped is not None:
@@ -509,11 +572,17 @@ def main() -> int:
                 )
             import jax
 
+            from rs_face_detection_tpu.models import vit as vit_mod
+            from rs_face_detection_tpu.models.precision import cast_kernels
             from rs_face_detection_tpu.models.vit import init_vit
 
             vit_model, vit_vars = init_vit(
                 "clip_l14", 2, (224, 224), dtype=jnp.bfloat16, seed=0
             )
+            # Pre-cast the ~300 M f32 params to the bf16 compute dtype once
+            # (VERDICT r3 weak #1): otherwise every call re-reads 1.2 GB of
+            # f32 kernels from HBM just to convert them.
+            vit_vars = cast_kernels(vit_vars)
             vit_fn = jax.jit(
                 lambda v, x, _s: vit_model.apply(v, x, train=False)
             )
@@ -529,30 +598,45 @@ def main() -> int:
                 vit_fn, vit_vars, vit_batch(8), 8, max(3, n_batches // 2)
             )
             result["vit_l14_b8_img_s"] = round(vit_b8, 2)
+            vit_flops = _graph_flops(vit_fn, vit_vars, vit_batch(8)(99))
+            if vit_flops:
+                result["vit_l14_mfu"] = round(
+                    (vit_flops / 8.0) * vit_b8 / (PEAK_TFLOPS_BF16 * 1e12), 4
+                )
             # Pallas flash-attention variant (same params; models/vit.py
-            # _flash_attention_fn): report alongside — the unfused path
-            # materializes (B, 16, 257, 257) scores in HBM every layer.
-            try:
-                from rs_face_detection_tpu.models.vit import ViT
+            # _flash_attention_fn): the unfused path materializes
+            # (B, 16, 257, 257) scores in HBM every layer.  Two tilings:
+            # stock 128-blocks and one whole-sequence block per (batch,
+            # head) — at N=384 the stock grid's per-step work is too small
+            # to hide grid overhead.
+            vit_best = vit_b8
+            for tag, override in (("stock", None), ("single", "single")):
+                try:
+                    from rs_face_detection_tpu.models.vit import ViT
 
-                vit_fused = ViT(
-                    config="clip_l14", num_classes=2, dtype=jnp.bfloat16,
-                    fused_attention=True,
-                )
-                fused_fn = jax.jit(
-                    lambda v, x, _s: vit_fused.apply(v, x, train=False)
-                )
-                vit_fused_b8, _ = _throughput_device(
-                    fused_fn, vit_vars, vit_batch(8), 8, max(3, n_batches // 2)
-                )
-                # vit_l14_b8_img_s stays the STANDARD-path number for
-                # run-over-run comparability; best-of goes in its own field.
-                result["vit_l14_fused_attn_b8_img_s"] = round(vit_fused_b8, 2)
-                result["vit_l14_best_b8_img_s"] = round(
-                    max(vit_b8, vit_fused_b8), 2
-                )
-            except Exception as e:
-                result["vit_l14_fused_attn_error"] = str(e)[:200]
+                    vit_fused = ViT(
+                        config="clip_l14", num_classes=2, dtype=jnp.bfloat16,
+                        fused_attention=True,
+                    )
+                    vit_mod.FLASH_BLOCK_OVERRIDE = override
+                    fused_fn = jax.jit(
+                        lambda v, x, _s: vit_fused.apply(v, x, train=False)
+                    )
+                    vit_fused_b8, _ = _throughput_device(
+                        fused_fn, vit_vars, vit_batch(8), 8,
+                        max(3, n_batches // 2),
+                    )
+                    # vit_l14_b8_img_s stays the STANDARD-path number for
+                    # run-over-run comparability; best-of has its own field.
+                    result[f"vit_l14_fused_attn_{tag}_b8_img_s"] = round(
+                        vit_fused_b8, 2
+                    )
+                    vit_best = max(vit_best, vit_fused_b8)
+                except Exception as e:
+                    result[f"vit_l14_fused_attn_{tag}_error"] = str(e)[:200]
+                finally:
+                    vit_mod.FLASH_BLOCK_OVERRIDE = None
+            result["vit_l14_best_b8_img_s"] = round(vit_best, 2)
         except Exception as e:  # aux fields must not sink the headline bench
             result["vit_l14_error"] = str(e)[:200]
 
@@ -594,6 +678,108 @@ def main() -> int:
             result[f"{id_cfg.backbone}_embed_b32_img_s"] = round(embed_b32, 2)
         except Exception as e:
             result["embed_error"] = str(e)[:200]
+
+        # End-to-end product metrics (VERDICT r3 #3): the reference's
+        # public API is extract() (pipeline.rs:188-249 — 3 RPC round trips
+        # per image); these time OUR equivalents end to end:
+        # FacePipeline.extract_batch (decode->detect->select->align->
+        # quality->embed as 2 device dispatches) and EKYCPipeline.verify.
+        # These are WALL-CLOCK numbers including host work and the test
+        # env's ~29 ms/dispatch relay round trip (a locally attached chip
+        # does not pay the relay), so they lower-bound production rates.
+        # confidence_threshold=0 because randomly initialized weights score
+        # ~0.5 everywhere: every image then yields a selected face and the
+        # fused tail runs at its real shapes (at the production 0.7
+        # threshold an untrained detector finds nothing and the second
+        # dispatch would be skipped — timing the wrong graph).
+        try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
+            from rs_face_detection_tpu.configs import (
+                FaceDetectionConfig,
+                FacePipelineConfig,
+            )
+            from rs_face_detection_tpu.pipeline.face_pipeline import (
+                FacePipeline,
+            )
+
+            pcfg = FacePipelineConfig(
+                detection=FaceDetectionConfig(confidence_threshold=0.0)
+            )
+            pipe = FacePipeline(pcfg)
+
+            def scene_batch(n):
+                return [
+                    rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+                    for _ in range(n)
+                ]
+
+            pipe.extract_batch(scene_batch(8))  # compile both dispatches
+            n_ex = max(3, n_batches // 3)
+            ex_batches = [scene_batch(8) for _ in range(n_ex)]
+            t0 = time.perf_counter()
+            for b in ex_batches:
+                pipe.extract_batch(b)
+            wall = time.perf_counter() - t0
+            result["extract_b8_img_s"] = round(8 * n_ex / wall, 2)
+            singles = scene_batch(6 if args.smoke else 12)
+            pipe.extract_image(singles[0])  # compile the b=1 shapes
+            ts = []
+            for im in singles[1:]:
+                t1 = time.perf_counter()
+                pipe.extract_image(im)
+                ts.append(time.perf_counter() - t1)
+            result["extract_p50_ms"] = round(statistics.median(ts) * 1e3, 2)
+        except Exception as e:
+            result["extract_error"] = str(e)[:200]
+
+        try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
+            from rs_face_detection_tpu.pipeline.ekyc_pipeline import (
+                EKYCPipeline,
+                SCRFDDetection,
+            )
+
+            ek = EKYCPipeline()
+            # Same threshold trick as extract above, for the same reason.
+            ek.detection = SCRFDDetection(
+                registry=None,
+                model=ek.detection.model,
+                variables=ek.detection.variables,
+                image_size=(640, 640),
+                nms_mode=args.nms,
+                confidence_threshold=0.0,
+            )
+
+            def ekyc_pair():
+                return (
+                    rng.integers(0, 255, (720, 720, 3), dtype=np.uint8),
+                    rng.integers(0, 255, (720, 720, 3), dtype=np.uint8),
+                )
+
+            card, selfie = ekyc_pair()
+            warm = ek.verify_images(card, selfie)  # compiles all 5 stages
+            if not (warm.card_face_found and warm.selfie_face_found):
+                raise RuntimeError(
+                    "verify() early-exited (no face selected) — the timed "
+                    "path would skip the FAS/ID stages"
+                )
+            ts = []
+            for _ in range(3 if args.smoke else 6):
+                card, selfie = ekyc_pair()
+                t1 = time.perf_counter()
+                ek.verify_images(card, selfie)
+                ts.append(time.perf_counter() - t1)
+            result["ekyc_verify_p50_ms"] = round(
+                statistics.median(ts) * 1e3, 2
+            )
+        except Exception as e:
+            result["ekyc_verify_error"] = str(e)[:200]
 
         # SCRFD fused detect @640 b8 — the eKYC pipeline's detector
         # (reference ekyc_pipeline/config.rs:10-27), the one model family

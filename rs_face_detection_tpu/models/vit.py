@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 
 
+#: Experiment knob for tools/ab_vit.py: None = stock 128-tile block sizes,
+#: "single" = one q/k block spanning the whole padded sequence.
+FLASH_BLOCK_OVERRIDE = None
+
+
 def _flash_attention_fn(query, key, value, bias=None, mask=None, **_kwargs):
     """flax attention_fn backed by the Pallas TPU flash-attention kernel.
 
@@ -47,16 +52,28 @@ def _flash_attention_fn(query, key, value, bias=None, mask=None, **_kwargs):
         "attention dropout"
     )
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
 
     b, n, h, d = query.shape
     pad = (-n) % 128
+    np_ = n + pad
 
     def prep(t):
         t = jnp.transpose(t, (0, 2, 1, 3))  # (B, H, N, D)
         return jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    if FLASH_BLOCK_OVERRIDE == "single":
+        # Whole padded sequence as one q/k block: at ViT scale (N=384) the
+        # stock 128-tiles launch b*h*(N/128)^2 grid steps per layer whose
+        # per-step work is far too small to hide the grid overhead.
+        block_sizes = BlockSizes(
+            block_q=np_, block_k_major=np_, block_k=np_, block_b=1
+        )
+    else:
+        block_sizes = BlockSizes.get_default(b, h, np_, np_, d)
 
     seg = jnp.pad(jnp.ones((b, n), jnp.int32), ((0, 0), (0, pad)))
     out = flash_attention(
@@ -65,6 +82,7 @@ def _flash_attention_fn(query, key, value, bias=None, mask=None, **_kwargs):
         prep(value),
         segment_ids=SegmentIds(seg, seg),
         sm_scale=1.0 / math.sqrt(d),
+        block_sizes=block_sizes,
     )
     return jnp.transpose(out[:, :, :n, :], (0, 2, 1, 3))
 

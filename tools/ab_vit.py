@@ -1,0 +1,86 @@
+"""A/B the ViT-L/14 eKYC FAS serving graph on the real TPU (b8 @224).
+
+    python tools/ab_vit.py
+
+Run ALONE (measurement discipline: CLAUDE.md).  The CLIP ViT-L/14 is 2 of
+the 5 eKYC models (face_anti_spoofing_crop_l14 / _fi_l14, reference
+ekyc_pipeline/config.rs:95-138) and measured 608 img/s b8 in round 3 —
+~25% MFU while the R50 detect graph runs at ~47%.  Grid:
+
+  - param pre-cast: models.precision.cast_kernels (bf16 kernels staged in
+    HBM once) vs per-call f32->bf16 converts of ~300 M params
+  - attention: XLA materialized-scores path vs the Pallas flash-attention
+    wrapper (models/vit._flash_attention_fn), with stock 128-tile block
+    sizes vs single-block (block_q = block_k = padded seq 384) tiling
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _graph_flops, _throughput_device
+from rs_face_detection_tpu.models import vit as vit_mod
+from rs_face_detection_tpu.models.precision import cast_kernels
+from rs_face_detection_tpu.models.vit import ViT, init_vit
+
+PEAK_TFLOPS_BF16 = 197.0  # v5e
+_rng = np.random.default_rng()
+
+model, variables = init_vit("clip_l14", 2, (224, 224), dtype=jnp.bfloat16, seed=0)
+variables_cast = cast_kernels(variables)
+
+
+def vit_batch(batch):
+    def make(i):
+        x = _rng.normal(size=(batch, 224, 224, 3)).astype(np.float32)
+        return jnp.asarray(x), jnp.ones((batch,), jnp.float32)
+
+    return make
+
+
+def measure(name, m, vs, batch=8):
+    fn = jax.jit(lambda v, x, _s: m.apply(v, x, train=False))
+    t0 = time.time()
+    img_s, dt = _throughput_device(fn, vs, vit_batch(batch), batch)
+    flops = _graph_flops(fn, vs, vit_batch(batch)(99))
+    mfu = (
+        (flops / batch) * img_s / (PEAK_TFLOPS_BF16 * 1e12) if flops else 0.0
+    )
+    print(
+        f"{name:34} {img_s:8.1f} img/s  graph {dt*1e3:7.3f} ms  "
+        f"mfu {mfu:.3f} (wall {time.time()-t0:.0f}s)",
+        flush=True,
+    )
+    return img_s
+
+
+GRID = [
+    ("xla-f32params", ViT(config="clip_l14", num_classes=2, dtype=jnp.bfloat16),
+     variables),
+    ("xla-castparams", ViT(config="clip_l14", num_classes=2, dtype=jnp.bfloat16),
+     variables_cast),
+    ("flash-stock-castparams",
+     ViT(config="clip_l14", num_classes=2, dtype=jnp.bfloat16,
+         fused_attention=True),
+     variables_cast),
+]
+
+for name, m, vs in GRID:
+    measure(name, m, vs)
+
+# Single-block tiling: q/k fit one 384-wide block -> grid (b, heads) only.
+if hasattr(vit_mod, "FLASH_BLOCK_OVERRIDE"):
+    vit_mod.FLASH_BLOCK_OVERRIDE = "single"
+    measure(
+        "flash-single-castparams",
+        ViT(config="clip_l14", num_classes=2, dtype=jnp.bfloat16,
+            fused_attention=True),
+        variables_cast,
+    )
+    vit_mod.FLASH_BLOCK_OVERRIDE = None
