@@ -43,6 +43,7 @@ def build_detector(args):
         backbone=args.backbone,
         image_size=(args.size, args.size),
         max_candidates=256,
+        confidence_threshold=args.confidence,
     )
     if args.checkpoint:
         import numpy as np
@@ -106,7 +107,10 @@ def build_scrfd_detector(args):
             from rs_face_detection_tpu.models.scrfd import init_scrfd
 
             model, variables = init_scrfd(size, dtype=jnp.bfloat16, seed=0)
-    return SCRFDDetection(model=model, variables=variables, image_size=size)
+    return SCRFDDetection(
+        model=model, variables=variables, image_size=size,
+        confidence_threshold=args.confidence,
+    )
 
 
 def wrap_tta(det, args):
@@ -214,6 +218,15 @@ def main() -> int:
     )
     parser.add_argument("--checkpoint", default=None, help=".npz trained weights")
     parser.add_argument("--size", type=int, default=640)
+    parser.add_argument(
+        "--confidence",
+        type=float,
+        default=0.02,
+        help="detector confidence threshold; AP protocols keep it low "
+        "(0.02, the insightface eval convention) so precision/recall "
+        "ranking sees the full score range — the 0.7 production default "
+        "would clip the curve",
+    )
     parser.add_argument("--iou", type=float, default=0.5)
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument(

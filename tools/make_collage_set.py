@@ -1,0 +1,235 @@
+"""Real-pixel multi-face WIDER-format golden set (VERDICT r3 next #5).
+
+Builds, from the ONE real photograph in the egress-less environment
+(tests/fixtures/real_face.jpg — matplotlib's public-domain grace_hopper
+portrait, face label frozen in tools/make_real_fixture.py), a miniature
+WIDER-FACE-shaped validation tree with MULTI-face collages:
+
+    <out>/WIDER_val/images/0--Collage/collage_XX.jpg
+    <out>/wider_face_split/wider_face_val.mat
+    <out>/wider_face_split/wider_{easy,medium,hard}_val.mat
+
+Each collage composites 1-4 copies of the real face at multiple scales
+onto real-background patches, with edge-flush placements and partial
+occlusions; JPEG re-encoding adds realistic compression statistics.  The
+official .mat side files (scipy.io.savemat, MATLAB cell layout — the same
+schema ops/wider_split.py parses from the real eval_tools files) assign
+difficulty by face size and occlusion like WIDER does by height:
+
+    easy    unoccluded faces >= EASY_MIN_PX
+    medium  unoccluded faces >= MEDIUM_MIN_PX
+    hard    every face (occluded, small, edge-flush)
+
+tests/test_real_collage.py generates this set at a fixed seed and runs
+`tools/eval_wider.py --split all --tta` end to end on it with the
+real-pixel-trained fixture detector (tests/fixtures/trained_real64.npz),
+gating per-difficulty AP — the strongest accuracy evidence this
+environment permits (the reference ships NO fixtures at all; its oracle
+flows are manual, face_detection.rs:580-629).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+#: Frozen face label on the 512x600 portrait (tools/make_real_fixture.py).
+FACE_BOX = (172.0, 125.0, 372.0, 340.0)
+
+#: Canvas side; eval letterboxes to the 64px trained-detector size.
+CANVAS = 96
+#: Face sizes on the canvas (22-44px -> ~15-29px at the 64px eval size,
+#: inside the 14-36px range the fixture detector was trained on).
+FACE_MIN_PX, FACE_MAX_PX = 22, 44
+EASY_MIN_PX = 34
+MEDIUM_MIN_PX = 27
+
+
+def load_face_and_background(fixtures_dir: str):
+    import cv2
+
+    jpg = os.path.join(fixtures_dir, "real_face.jpg")
+    img = cv2.imread(jpg)
+    assert img is not None and img.shape == (600, 512, 3), jpg
+    x1, y1, x2, y2 = FACE_BOX
+    face = img[int(y1) : int(y2) + 1, int(x1) : int(x2) + 1]
+    return img, face
+
+
+def background_pool(rng, portrait, n=16, side=CANVAS):
+    """Random downscaled patches avoiding the face region (real textures:
+    uniform, flag stripes, shoulders)."""
+    import cv2
+
+    ph, pw = portrait.shape[:2]
+    x1, y1, x2, y2 = FACE_BOX
+    pool = []
+    while len(pool) < n:
+        s = int(rng.integers(side, min(ph, pw)))
+        x = int(rng.integers(0, pw - s + 1))
+        y = int(rng.integers(0, ph - s + 1))
+        # overlap with the face region must be small
+        ix = max(0, min(x + s, x2) - max(x, x1))
+        iy = max(0, min(y + s, y2) - max(y, y1))
+        if ix * iy > 0.2 * s * s:
+            continue
+        pool.append(
+            cv2.resize(
+                portrait[y : y + s, x : x + s], (side, side),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        )
+    return pool
+
+
+def make_collage(rng, face, bg_pool, n_faces: int):
+    """One canvas: n_faces pasted into distinct half-canvas cells.
+
+    Returns (image u8, boxes (N, 4) x1y1x2y2, occluded (N,) bool).
+    Placement uses the 2x2 cell grid so ground-truth boxes never overlap;
+    one face per collage is pushed flush to the canvas edge, and one gets a
+    ~30% occluding background patch (hard-split material, like WIDER's
+    occlusion attribute).
+    """
+    import cv2
+
+    img = bg_pool[int(rng.integers(len(bg_pool)))].astype(np.float32)
+    img = img * rng.uniform(0.75, 1.1)
+    half = CANVAS // 2
+    cells = [(0, 0), (half, 0), (0, half), (half, half)]
+    rng.shuffle(cells)
+    boxes, occluded = [], []
+    edge_face = int(rng.integers(n_faces))
+    occl_face = int(rng.integers(n_faces)) if n_faces > 1 else -1
+    for i in range(n_faces):
+        cx, cy = cells[i]
+        s = int(rng.integers(FACE_MIN_PX, FACE_MAX_PX + 1))
+        s = min(s, half)  # cell-bounded so GT boxes cannot overlap
+        if i == edge_face:
+            # flush against the nearest canvas edge of this cell
+            x = 0 if cx == 0 else CANVAS - s
+            y = int(cy + rng.integers(0, half - s + 1))
+        else:
+            x = int(cx + rng.integers(0, half - s + 1))
+            y = int(cy + rng.integers(0, half - s + 1))
+        warped = cv2.resize(face, (s, s), interpolation=cv2.INTER_LINEAR)
+        img[y : y + s, x : x + s] = warped.astype(np.float32) * rng.uniform(
+            0.85, 1.12
+        )
+        occl = i == occl_face
+        if occl:
+            # background patch over ~30% of the face area (bottom strip)
+            oh = max(2, int(0.3 * s))
+            patch = bg_pool[int(rng.integers(len(bg_pool)))][:oh, :s]
+            img[y + s - oh : y + s, x : x + s] = patch
+        boxes.append((x, y, x + s - 1, y + s - 1))
+        occluded.append(occl)
+    return (
+        np.clip(img, 0, 255).astype(np.uint8),
+        np.asarray(boxes, np.float32),
+        np.asarray(occluded, bool),
+    )
+
+
+def _cell(entries):
+    out = np.empty((len(entries), 1), dtype=object)
+    for i, e in enumerate(entries):
+        out[i, 0] = e
+    return out
+
+
+def build_collage_set(out_dir: str, fixtures_dir: str, seed: int = 0,
+                      n_images: int = 20):
+    """Generate the tree; returns (images_root, gt_mat_path, split_dir)."""
+    import cv2
+    from scipy.io import savemat
+
+    rng = np.random.default_rng(seed)
+    portrait, face = load_face_and_background(fixtures_dir)
+    bg_pool = background_pool(rng, portrait)
+
+    event = "0--Collage"
+    img_dir = os.path.join(out_dir, "WIDER_val", "images", event)
+    split_dir = os.path.join(out_dir, "wider_face_split")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(split_dir, exist_ok=True)
+
+    names, bbx, keeps = [], [], {"easy": [], "medium": [], "hard": []}
+    for i in range(n_images):
+        n_faces = 1 + i % 4
+        img, boxes, occl = make_collage(rng, face, bg_pool, n_faces)
+        name = f"collage_{i:02d}"
+        assert cv2.imwrite(
+            os.path.join(img_dir, name + ".jpg"), img,
+            [cv2.IMWRITE_JPEG_QUALITY, 95],
+        )
+        names.append(name)
+        # official GT layout is (x, y, w, h)
+        wh = np.stack(
+            [
+                boxes[:, 0], boxes[:, 1],
+                boxes[:, 2] - boxes[:, 0] + 1.0,
+                boxes[:, 3] - boxes[:, 1] + 1.0,
+            ],
+            axis=1,
+        )
+        bbx.append(wh.astype(float))
+        sizes = wh[:, 3]
+        for split, min_px in (
+            ("easy", EASY_MIN_PX),
+            ("medium", MEDIUM_MIN_PX),
+            ("hard", 0),
+        ):
+            keep = [
+                float(j + 1)  # 1-based keep indices, official convention
+                for j in range(len(sizes))
+                if sizes[j] >= min_px and (split == "hard" or not occl[j])
+            ]
+            keeps[split].append(keep)
+
+    gt_mat = os.path.join(split_dir, "wider_face_val.mat")
+    savemat(
+        gt_mat,
+        {
+            "event_list": _cell([event]),
+            "file_list": _cell([_cell(names)]),
+            "face_bbx_list": _cell([_cell(bbx)]),
+        },
+    )
+    for split, ev_keeps in keeps.items():
+        savemat(
+            os.path.join(split_dir, f"wider_{split}_val.mat"),
+            {
+                "event_list": _cell([event]),
+                "file_list": _cell([_cell(names)]),
+                "gt_list": _cell(
+                    [
+                        _cell(
+                            [np.array(k, float).reshape(-1, 1) for k in ev_keeps]
+                        )
+                    ]
+                ),
+            },
+        )
+    return os.path.join(out_dir, "WIDER_val", "images"), gt_mat, split_dir
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--n-images", type=int, default=20)
+    args = parser.parse_args()
+    fixtures = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+    images_root, gt_mat, split_dir = build_collage_set(
+        args.out, fixtures, seed=args.seed, n_images=args.n_images
+    )
+    print(f"images: {images_root}\ngt: {gt_mat}\nsplits: {split_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
