@@ -754,24 +754,21 @@ def serve(
     # inference verb so the port opens (and health answers) immediately.
 
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
-    server.add_generic_rpc_handlers(
-        (
-            _handlers(
-                FacePipelineServicer(
-                    pipeline,
-                    registry,
-                    dynamic_batching=dynamic_batching,
-                    batch_delay_ms=batch_delay_ms,
-                    ekyc_pipeline=ekyc_pipeline,
-                )
-            ),
-        )
+    servicer = FacePipelineServicer(
+        pipeline,
+        registry,
+        dynamic_batching=dynamic_batching,
+        batch_delay_ms=batch_delay_ms,
+        ekyc_pipeline=ekyc_pipeline,
     )
+    server.add_generic_rpc_handlers((_handlers(servicer),))
     if triton_wire:
         from .wire import TritonWireServicer, wire_handlers
 
+        # facade=servicer: shm regions and the jax.profiler trace session
+        # are shared between the JSON and protobuf protocols.
         server.add_generic_rpc_handlers(
-            (wire_handlers(TritonWireServicer(registry)),)
+            (wire_handlers(TritonWireServicer(registry, facade=servicer)),)
         )
     bound = server.add_insecure_port(f"[::]:{port}")
     server.start()

@@ -146,6 +146,146 @@ MODEL_READY_REQUEST = {"name": Field(1, "string"), "version": Field(2, "string")
 MODEL_READY_RESPONSE = {"ready": Field(1, "bool")}
 MODEL_CONFIG_REQUEST = {"name": Field(1, "string"), "version": Field(2, "string")}
 
+# grpc_service.proto: ServerMetadata / ModelMetadata
+SERVER_METADATA_RESPONSE = {
+    "name": Field(1, "string"),
+    "version": Field(2, "string"),
+    "extensions": Field(3, "string", repeated=True),
+}
+MODEL_METADATA_REQUEST = {
+    "name": Field(1, "string"),
+    "version": Field(2, "string"),
+}
+TENSOR_METADATA = {
+    "name": Field(1, "string"),
+    "datatype": Field(2, "string"),
+    "shape": Field(3, "int64", repeated=True),
+}
+MODEL_METADATA_RESPONSE = {
+    "name": Field(1, "string"),
+    "versions": Field(2, "string", repeated=True),
+    "platform": Field(3, "string"),
+    "inputs": Field(4, "message", repeated=True, schema=TENSOR_METADATA),
+    "outputs": Field(5, "message", repeated=True, schema=TENSOR_METADATA),
+}
+
+# grpc_service.proto: ModelStatistics family
+MODEL_STATISTICS_REQUEST = {
+    "name": Field(1, "string"),
+    "version": Field(2, "string"),
+}
+STATISTIC_DURATION = {"count": Field(1, "uint64"), "ns": Field(2, "uint64")}
+INFER_STATISTICS = {
+    "success": Field(1, "message", schema=STATISTIC_DURATION),
+    "fail": Field(2, "message", schema=STATISTIC_DURATION),
+    "queue": Field(3, "message", schema=STATISTIC_DURATION),
+    "compute_input": Field(4, "message", schema=STATISTIC_DURATION),
+    "compute_infer": Field(5, "message", schema=STATISTIC_DURATION),
+    "compute_output": Field(6, "message", schema=STATISTIC_DURATION),
+    "cache_hit": Field(7, "message", schema=STATISTIC_DURATION),
+    "cache_miss": Field(8, "message", schema=STATISTIC_DURATION),
+}
+INFER_BATCH_STATISTICS = {
+    "batch_size": Field(1, "uint64"),
+    "compute_input": Field(2, "message", schema=STATISTIC_DURATION),
+    "compute_infer": Field(3, "message", schema=STATISTIC_DURATION),
+    "compute_output": Field(4, "message", schema=STATISTIC_DURATION),
+}
+MEMORY_USAGE = {
+    "type": Field(1, "string"),
+    "id": Field(2, "int64"),
+    "byte_size": Field(3, "uint64"),
+}
+MODEL_STATISTICS = {
+    "name": Field(1, "string"),
+    "version": Field(2, "string"),
+    "last_inference": Field(3, "uint64"),
+    "inference_count": Field(4, "uint64"),
+    "execution_count": Field(5, "uint64"),
+    "inference_stats": Field(6, "message", schema=INFER_STATISTICS),
+    "batch_stats": Field(
+        7, "message", repeated=True, schema=INFER_BATCH_STATISTICS
+    ),
+    "memory_usage": Field(8, "message", repeated=True, schema=MEMORY_USAGE),
+}
+MODEL_STATISTICS_RESPONSE = {
+    "model_stats": Field(1, "message", repeated=True, schema=MODEL_STATISTICS),
+}
+
+# grpc_service.proto: repository verbs (ModelRepositoryParameter values are
+# carried opaquely; this server ignores them like it ignores versions)
+REPOSITORY_INDEX_REQUEST = {
+    "repository_name": Field(1, "string"),
+    "ready": Field(2, "bool"),
+}
+MODEL_INDEX = {
+    "name": Field(1, "string"),
+    "version": Field(2, "string"),
+    "state": Field(3, "string"),
+    "reason": Field(4, "string"),
+}
+REPOSITORY_INDEX_RESPONSE = {
+    "models": Field(1, "message", repeated=True, schema=MODEL_INDEX),
+}
+REPOSITORY_MODEL_LOAD_REQUEST = {
+    "repository_name": Field(1, "string"),
+    "model_name": Field(2, "string"),
+}
+REPOSITORY_MODEL_UNLOAD_REQUEST = {
+    "repository_name": Field(1, "string"),
+    "model_name": Field(2, "string"),
+}
+
+# grpc_service.proto: system shared-memory verbs
+SHM_REGION_STATUS = {
+    "name": Field(1, "string"),
+    "key": Field(2, "string"),
+    "offset": Field(3, "uint64"),
+    "byte_size": Field(4, "uint64"),
+}
+SHM_STATUS_REQUEST = {"name": Field(1, "string")}
+SHM_STATUS_RESPONSE = {
+    "regions": Field(
+        1,
+        "message",
+        map_entry=(
+            Field(1, "string"),
+            Field(2, "message", schema=SHM_REGION_STATUS),
+        ),
+    ),
+}
+SHM_REGISTER_REQUEST = {
+    "name": Field(1, "string"),
+    "key": Field(2, "string"),
+    "offset": Field(3, "uint64"),
+    "byte_size": Field(4, "uint64"),
+}
+SHM_UNREGISTER_REQUEST = {"name": Field(1, "string")}
+
+# grpc_service.proto: TraceSetting
+TRACE_SETTING_VALUE = {"value": Field(1, "string", repeated=True)}
+TRACE_SETTING_REQUEST = {
+    "settings": Field(
+        1,
+        "message",
+        map_entry=(
+            Field(1, "string"),
+            Field(2, "message", schema=TRACE_SETTING_VALUE),
+        ),
+    ),
+    "model_name": Field(2, "string"),
+}
+TRACE_SETTING_RESPONSE = {
+    "settings": Field(
+        1,
+        "message",
+        map_entry=(
+            Field(1, "string"),
+            Field(2, "message", schema=TRACE_SETTING_VALUE),
+        ),
+    ),
+}
+
 # model_config.proto: ModelTensorReshape
 MODEL_TENSOR_RESHAPE = {"shape": Field(1, "int64", repeated=True)}
 
@@ -253,10 +393,26 @@ class TritonWireServicer:
     and keep decode+NMS on device.
     """
 
-    def __init__(self, registry) -> None:
+    def __init__(self, registry, facade=None) -> None:
+        """facade: the JSON FacePipelineServicer sharing this gRPC server,
+        if any — shared so shm regions registered over either protocol are
+        visible to both, and so TraceSetting toggles the same server-side
+        jax.profiler session."""
         self.registry = registry
+        self.facade = facade
+        self._own_shm = None
         self._jit_cache: Dict[Tuple[str, Tuple[int, ...], str], Any] = {}
         self._lock = threading.Lock()
+
+    @property
+    def shm(self):
+        if self.facade is not None:
+            return self.facade.shm
+        if self._own_shm is None:
+            from .shm import SharedMemoryRegistry
+
+            self._own_shm = SharedMemoryRegistry()
+        return self._own_shm
 
     # -- health ----------------------------------------------------------
 
@@ -268,6 +424,206 @@ class TritonWireServicer:
 
     def model_ready(self, request, context):
         return {"ready": self.registry.model_ready(request["name"])}
+
+    # -- metadata ----------------------------------------------------------
+
+    def server_metadata(self, request, context):
+        from .. import __version__
+
+        return {
+            "name": "rs_face_detection_tpu",
+            "version": __version__,
+            # the Triton extension tags for the verb families served here
+            "extensions": [
+                "model_repository",
+                "statistics",
+                "trace",
+                "system_shared_memory",
+            ],
+        }
+
+    def model_metadata(self, request, context):
+        import grpc
+
+        name = request["name"]
+        try:
+            spec = self.registry.spec(name)
+        except KeyError:
+            context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"Request for unknown model: '{name}' is not found",
+            )
+        config = self.model_config(request, context)["config"]
+        return {
+            "name": spec.name,
+            "versions": ["1"],
+            "platform": "jax_xla",
+            "inputs": [
+                {"name": i["name"], "datatype": "FP32", "shape": i["dims"]}
+                for i in config["input"]
+            ],
+            "outputs": [
+                {"name": o["name"], "datatype": "FP32", "shape": o["dims"]}
+                for o in config["output"]
+            ],
+        }
+
+    def model_statistics(self, request, context):
+        """Registry counters in Triton's ModelStatistics shape.
+
+        Durations land in compute_infer (the registry times whole forward
+        passes; there is no separate input/output staging to attribute)."""
+        import grpc
+
+        name = request["name"]
+        names = [name] if name else [m["name"] for m in self.registry.index()
+                                     if m["state"] == "READY"]
+        stats_out = []
+        for n in names:
+            try:
+                st = self.registry.statistics(n)
+            except KeyError:
+                context.abort(
+                    grpc.StatusCode.NOT_FOUND,
+                    f"Request for unknown model: '{n}' is not found",
+                )
+            total_ns = int(st.cumulative_duration_s * 1e9)
+            dur = {"count": int(st.execution_count), "ns": total_ns}
+            stats_out.append(
+                {
+                    "name": n,
+                    "version": "1",
+                    "inference_count": int(st.inference_count),
+                    "execution_count": int(st.execution_count),
+                    "inference_stats": {
+                        "success": dur,
+                        "compute_infer": dur,
+                    },
+                    "batch_stats": [
+                        {
+                            "batch_size": int(b),
+                            "compute_infer": {"count": int(c), "ns": 0},
+                        }
+                        for b, c in sorted(st.batch_size_counts.items())
+                    ],
+                    "memory_usage": [
+                        {
+                            "type": "CPU",
+                            "id": 0,
+                            "byte_size": int(
+                                self.registry.memory_usage_bytes(n)
+                            ),
+                        }
+                    ],
+                }
+            )
+        return {"model_stats": stats_out}
+
+    # -- repository ----------------------------------------------------------
+
+    def repository_index(self, request, context):
+        models = [
+            {"name": m["name"], "version": "1", "state": m["state"],
+             "reason": ""}
+            for m in self.registry.index()
+            if not request["ready"] or m["state"] == "READY"
+        ]
+        return {"models": models}
+
+    def repository_model_load(self, request, context):
+        import grpc
+
+        try:
+            self.registry.load(request["model_name"])
+        except KeyError:
+            context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"Request for unknown model: '{request['model_name']}' "
+                "is not found",
+            )
+        except Exception as e:
+            context.abort(
+                grpc.StatusCode.INTERNAL, f"{type(e).__name__}: {e}"
+            )
+        return {}
+
+    def repository_model_unload(self, request, context):
+        self.registry.unload(request["model_name"])
+        return {}
+
+    # -- system shared memory ------------------------------------------------
+
+    def system_shared_memory_register(self, request, context):
+        import grpc
+
+        try:
+            self.shm.register(
+                request["name"], request["key"], int(request["byte_size"])
+            )
+        except Exception as e:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT, f"{type(e).__name__}: {e}"
+            )
+        return {}
+
+    def system_shared_memory_status(self, request, context):
+        import grpc
+
+        try:
+            regions = self.shm.status(request["name"] or None)
+        except Exception as e:
+            context.abort(
+                grpc.StatusCode.NOT_FOUND, f"{type(e).__name__}: {e}"
+            )
+        return {
+            "regions": {
+                n: {
+                    "name": n,
+                    "key": r["key"],
+                    "offset": 0,
+                    "byte_size": int(r["byte_size"]),
+                }
+                for n, r in regions.items()
+            }
+        }
+
+    def system_shared_memory_unregister(self, request, context):
+        self.shm.unregister(request["name"] or None)
+        return {}
+
+    # -- trace -----------------------------------------------------------------
+
+    def trace_setting(self, request, context):
+        """Triton trace settings mapped onto the facade's jax.profiler verb:
+        trace_level [TIMESTAMPS|...] starts a device trace, [OFF] stops it,
+        an empty settings map reports status; trace_file in the response
+        carries the profiler directory."""
+        import grpc
+        import json as _json
+
+        if self.facade is None:
+            context.abort(
+                grpc.StatusCode.UNIMPLEMENTED,
+                "trace requires the facade servicer (serve() wires it)",
+            )
+        levels = (request["settings"].get("trace_level") or {}).get("value", [])
+        if not request["settings"]:
+            action = {"action": "status"}
+        elif levels == ["OFF"]:
+            action = {"action": "stop"}
+        else:
+            action = {"action": "start"}
+        out = _json.loads(self.facade.trace_setting(_json.dumps(action).encode()))
+        if "error" in out:
+            context.abort(grpc.StatusCode.FAILED_PRECONDITION, out["error"])
+        settings = {
+            "trace_level": {
+                "value": ["TIMESTAMPS"] if out.get("active") else ["OFF"]
+            },
+        }
+        if out.get("dir"):
+            settings["trace_file"] = {"value": [out["dir"]]}
+        return {"settings": settings}
 
     # -- config ------------------------------------------------------------
 
@@ -329,6 +685,20 @@ class TritonWireServicer:
     # -- infer -------------------------------------------------------------
 
     def _forward(self, name: str, x_nhwc: np.ndarray):
+        import time
+
+        import jax
+
+        start = time.perf_counter()
+        out = jax.block_until_ready(self._forward_untimed(name, x_nhwc))
+        # statistics parity: wire traffic shows up in ModelStatistics (both
+        # protocols) like every other inference surface
+        self.registry.record(
+            name, int(x_nhwc.shape[0]), time.perf_counter() - start
+        )
+        return out
+
+    def _forward_untimed(self, name: str, x_nhwc: np.ndarray):
         import jax
 
         module, variables = self.registry.get(name)
@@ -388,9 +758,26 @@ class TritonWireServicer:
                 grpc.StatusCode.INVALID_ARGUMENT,
                 f"expected NCHW input shape, got {shape}",
             )
+        params = tensor["parameters"] or {}
+        shm_region = (params.get("shared_memory_region") or {}).get(
+            "string_param", ""
+        )
         raw = request["raw_input_contents"]
         try:
-            if raw:
+            if shm_region:
+                # Triton's shm tensor reference: data lives in a registered
+                # system shared-memory region, not on the wire
+                # (grpc_service.proto InferParameter conventions).
+                offset = int(
+                    (params.get("shared_memory_offset") or {}).get(
+                        "int64_param", 0
+                    )
+                )
+                region = self.shm.get(shm_region)
+                x = region.read_array(
+                    np.dtype(np_dtype).name, tuple(shape), offset
+                ).reshape(shape)
+            elif raw:
                 x = np.frombuffer(raw[0], dtype=np.dtype(np_dtype).newbyteorder("<"))
             elif tensor["contents"] is not None:
                 contents = tensor["contents"]
@@ -413,7 +800,7 @@ class TritonWireServicer:
             else:
                 raise ValueError("input tensor has neither contents nor raw bytes")
             x = x.reshape(shape).astype(np.float32, copy=False)
-        except ValueError as e:
+        except (ValueError, KeyError) as e:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
 
         x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
@@ -432,35 +819,65 @@ class TritonWireServicer:
             arrays = [np.asarray(out, dtype=np.float32)]
             names = ["output"]
 
+        shm_refs: Dict[str, Tuple[str, int]] = {}
         requested = [o["name"] for o in request["outputs"]]
+        for o in request["outputs"]:
+            op = o["parameters"] or {}
+            region = (op.get("shared_memory_region") or {}).get(
+                "string_param", ""
+            )
+            if region:
+                off = int(
+                    (op.get("shared_memory_offset") or {}).get("int64_param", 0)
+                )
+                shm_refs[o["name"]] = (region, off)
         if requested:
             by_name = dict(zip(names, arrays))
             missing = [n for n in requested if n not in by_name]
             if missing:
-                import grpc as _grpc
-
                 context.abort(
-                    _grpc.StatusCode.INVALID_ARGUMENT,
+                    grpc.StatusCode.INVALID_ARGUMENT,
                     f"unknown output tensor(s): {missing}",
                 )
             names = requested
             arrays = [by_name[n] for n in requested]
 
+        out_meta, raw_out = [], []
+        for n, a in zip(names, arrays):
+            meta: Dict[str, Any] = {
+                "name": n,
+                "datatype": "FP32",
+                "shape": list(a.shape),
+            }
+            if n in shm_refs:
+                # Triton shm-output semantics: data goes into the region;
+                # raw_output_contents carries only the non-shm outputs.
+                region_name, off = shm_refs[n]
+                blob = np.ascontiguousarray(a, dtype="<f4")
+                try:
+                    self.shm.get(region_name).write_array(blob, off)
+                except (ValueError, KeyError) as e:
+                    context.abort(
+                        grpc.StatusCode.INVALID_ARGUMENT,
+                        f"output {n!r} shm: {e}",
+                    )
+                meta["parameters"] = {
+                    "shared_memory_region": {"string_param": region_name},
+                    "shared_memory_offset": {"int64_param": off},
+                    "shared_memory_byte_size": {
+                        "int64_param": int(blob.nbytes)
+                    },
+                }
+            else:
+                raw_out.append(np.ascontiguousarray(a, dtype="<f4").tobytes())
+            out_meta.append(meta)
+
         return {
             "model_name": name,
             "model_version": request["model_version"] or "1",
             "id": request["id"],
-            "outputs": [
-                {
-                    "name": n,
-                    "datatype": "FP32",
-                    "shape": list(a.shape),
-                }
-                for n, a in zip(names, arrays)
-            ],
-            "raw_output_contents": [
-                np.ascontiguousarray(a, dtype="<f4").tobytes() for a in arrays
-            ],
+            "outputs": out_meta,
+            "raw_output_contents": raw_out,
         }
 
     def model_stream_infer(self, request_iterator, context):
@@ -510,8 +927,54 @@ def wire_handlers(servicer: TritonWireServicer):
         "ModelReady": unary(
             servicer.model_ready, MODEL_READY_REQUEST, MODEL_READY_RESPONSE
         ),
+        "ServerMetadata": unary(
+            servicer.server_metadata, EMPTY, SERVER_METADATA_RESPONSE
+        ),
+        "ModelMetadata": unary(
+            servicer.model_metadata,
+            MODEL_METADATA_REQUEST,
+            MODEL_METADATA_RESPONSE,
+        ),
         "ModelConfig": unary(
             servicer.model_config, MODEL_CONFIG_REQUEST, MODEL_CONFIG_RESPONSE
+        ),
+        "ModelStatistics": unary(
+            servicer.model_statistics,
+            MODEL_STATISTICS_REQUEST,
+            MODEL_STATISTICS_RESPONSE,
+        ),
+        "RepositoryIndex": unary(
+            servicer.repository_index,
+            REPOSITORY_INDEX_REQUEST,
+            REPOSITORY_INDEX_RESPONSE,
+        ),
+        "RepositoryModelLoad": unary(
+            servicer.repository_model_load,
+            REPOSITORY_MODEL_LOAD_REQUEST,
+            EMPTY,
+        ),
+        "RepositoryModelUnload": unary(
+            servicer.repository_model_unload,
+            REPOSITORY_MODEL_UNLOAD_REQUEST,
+            EMPTY,
+        ),
+        "SystemSharedMemoryRegister": unary(
+            servicer.system_shared_memory_register, SHM_REGISTER_REQUEST, EMPTY
+        ),
+        "SystemSharedMemoryStatus": unary(
+            servicer.system_shared_memory_status,
+            SHM_STATUS_REQUEST,
+            SHM_STATUS_RESPONSE,
+        ),
+        "SystemSharedMemoryUnregister": unary(
+            servicer.system_shared_memory_unregister,
+            SHM_UNREGISTER_REQUEST,
+            EMPTY,
+        ),
+        "TraceSetting": unary(
+            servicer.trace_setting,
+            TRACE_SETTING_REQUEST,
+            TRACE_SETTING_RESPONSE,
         ),
         "ModelInfer": unary(
             servicer.model_infer, MODEL_INFER_REQUEST, MODEL_INFER_RESPONSE
@@ -571,6 +1034,158 @@ class TritonWireClient:
             "ModelConfig", MODEL_CONFIG_REQUEST, MODEL_CONFIG_RESPONSE,
             {"name": name},
         )["config"]
+
+    def server_metadata(self) -> Dict[str, Any]:
+        return self._unary(
+            "ServerMetadata", EMPTY, SERVER_METADATA_RESPONSE, {}
+        )
+
+    def model_metadata(self, name: str) -> Dict[str, Any]:
+        return self._unary(
+            "ModelMetadata", MODEL_METADATA_REQUEST, MODEL_METADATA_RESPONSE,
+            {"name": name},
+        )
+
+    def model_statistics(self, name: str = "") -> List[Dict[str, Any]]:
+        return self._unary(
+            "ModelStatistics",
+            MODEL_STATISTICS_REQUEST,
+            MODEL_STATISTICS_RESPONSE,
+            {"name": name},
+        )["model_stats"]
+
+    def repository_index(self, ready_only: bool = False) -> List[Dict[str, Any]]:
+        return self._unary(
+            "RepositoryIndex",
+            REPOSITORY_INDEX_REQUEST,
+            REPOSITORY_INDEX_RESPONSE,
+            {"ready": ready_only},
+        )["models"]
+
+    def repository_model_load(self, name: str) -> None:
+        self._unary(
+            "RepositoryModelLoad", REPOSITORY_MODEL_LOAD_REQUEST, EMPTY,
+            {"model_name": name},
+        )
+
+    def repository_model_unload(self, name: str) -> None:
+        self._unary(
+            "RepositoryModelUnload", REPOSITORY_MODEL_UNLOAD_REQUEST, EMPTY,
+            {"model_name": name},
+        )
+
+    def system_shared_memory_register(
+        self, name: str, key: str, byte_size: int
+    ) -> None:
+        self._unary(
+            "SystemSharedMemoryRegister", SHM_REGISTER_REQUEST, EMPTY,
+            {"name": name, "key": key, "byte_size": byte_size},
+        )
+
+    def system_shared_memory_status(self, name: str = "") -> Dict[str, Any]:
+        return self._unary(
+            "SystemSharedMemoryStatus", SHM_STATUS_REQUEST, SHM_STATUS_RESPONSE,
+            {"name": name},
+        )["regions"]
+
+    def system_shared_memory_unregister(self, name: str = "") -> None:
+        self._unary(
+            "SystemSharedMemoryUnregister", SHM_UNREGISTER_REQUEST, EMPTY,
+            {"name": name},
+        )
+
+    def trace_setting(
+        self, settings: Optional[Dict[str, List[str]]] = None
+    ) -> Dict[str, List[str]]:
+        req = {
+            "settings": {
+                k: {"value": v} for k, v in (settings or {}).items()
+            }
+        }
+        out = self._unary(
+            "TraceSetting", TRACE_SETTING_REQUEST, TRACE_SETTING_RESPONSE, req
+        )
+        return {k: v["value"] for k, v in out["settings"].items()}
+
+    def model_infer_shm(
+        self,
+        name: str,
+        x_nchw: np.ndarray,
+        region_name: str,
+        input_name: str = "data",
+        output_region: Optional[Tuple[str, int]] = None,
+        requested_outputs: Optional[List[str]] = None,
+    ) -> List[Tuple[str, List[int], Any]]:
+        """ModelInfer with the input (and optionally every requested output)
+        riding a registered system shared-memory region — Triton's shm
+        tensor-reference convention (parameters shared_memory_region /
+        _offset / _byte_size on the tensor, no bytes on the wire).
+
+        The caller owns writing x into the region beforehand; this method
+        only builds the reference.  With output_region=(name, offset), each
+        requested output returns (name, shape, (region, offset, nbytes))
+        descriptors instead of arrays."""
+        x = np.ascontiguousarray(x_nchw, dtype=np.float32)
+        request: Dict[str, Any] = {
+            "model_name": name,
+            "inputs": [
+                {
+                    "name": input_name,
+                    "datatype": "FP32",
+                    "shape": list(x.shape),
+                    "parameters": {
+                        "shared_memory_region": {"string_param": region_name},
+                        "shared_memory_byte_size": {
+                            "int64_param": int(x.nbytes)
+                        },
+                    },
+                }
+            ],
+        }
+        if requested_outputs:
+            if output_region is not None and len(requested_outputs) != 1:
+                # each shm output needs its own offset; Triton clients size
+                # them from ModelConfig — keep this wrapper to the 1-output
+                # case rather than guess a packing
+                raise ValueError(
+                    "output_region supports exactly one requested output"
+                )
+            outs = []
+            for n in requested_outputs:
+                o: Dict[str, Any] = {"name": n}
+                if output_region is not None:
+                    rname, base = output_region
+                    o["parameters"] = {
+                        "shared_memory_region": {"string_param": rname},
+                        "shared_memory_offset": {"int64_param": base},
+                    }
+                outs.append(o)
+            request["outputs"] = outs
+        resp = self._unary(
+            "ModelInfer", MODEL_INFER_REQUEST, MODEL_INFER_RESPONSE, request
+        )
+        out: List[Tuple[str, List[int], Any]] = []
+        raw_iter = iter(resp["raw_output_contents"])
+        for meta in resp["outputs"]:
+            shape = [int(d) for d in meta["shape"]]
+            mp = meta["parameters"] or {}
+            region = (mp.get("shared_memory_region") or {}).get(
+                "string_param", ""
+            )
+            if region:
+                off = int(
+                    (mp.get("shared_memory_offset") or {}).get("int64_param", 0)
+                )
+                nbytes = int(
+                    (mp.get("shared_memory_byte_size") or {}).get(
+                        "int64_param", 0
+                    )
+                )
+                out.append((meta["name"], shape, (region, off, nbytes)))
+            else:
+                arr = np.frombuffer(next(raw_iter), dtype="<f4").reshape(shape)
+                out.append((meta["name"], shape, arr))
+        return out
 
     def model_infer(
         self,

@@ -526,3 +526,137 @@ def test_wire_bad_dtype_invalid_argument(wire_port):
         assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
     finally:
         channel.close()
+
+
+# ---------------------------------------------------------------------------
+# 4. full verb-family coverage (metadata / statistics / repository / shm /
+#    trace) — the remaining reference client wrappers on the real wire
+# ---------------------------------------------------------------------------
+
+
+def test_wire_metadata_and_statistics(wire_port):
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        meta = client.server_metadata()
+        assert meta["name"] == "rs_face_detection_tpu"
+        assert "statistics" in meta["extensions"]
+
+        mm = client.model_metadata("face_detection_retina")
+        assert mm["platform"] == "jax_xla"
+        assert mm["inputs"][0]["shape"] == [1, 3, 64, 64]
+        assert len(mm["outputs"]) == 9
+
+        # statistics must reflect wire ModelInfer traffic
+        before = {
+            s["name"]: s["inference_count"]
+            for s in client.model_statistics()
+        }
+        x = np.zeros((1, 3, 32, 32), np.float32)
+        client.model_infer("face_quality", x, use_raw=True)
+        (stat,) = client.model_statistics("face_quality")
+        assert stat["inference_count"] >= before.get("face_quality", 0) + 1
+        assert stat["execution_count"] >= 1
+        assert stat["inference_stats"]["success"]["count"] >= 1
+        assert stat["memory_usage"][0]["byte_size"] > 0
+        assert any(b["batch_size"] == 1 for b in stat["batch_stats"])
+    finally:
+        client.close()
+
+
+def test_wire_repository_verbs(wire_port):
+    import grpc
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        models = {m["name"]: m["state"] for m in client.repository_index()}
+        assert models["face_quality"] == "READY"
+        client.repository_model_unload("face_quality")
+        models = {m["name"]: m["state"] for m in client.repository_index()}
+        assert models["face_quality"] == "UNAVAILABLE"
+        ready = {m["name"] for m in client.repository_index(ready_only=True)}
+        assert "face_quality" not in ready
+        client.repository_model_load("face_quality")  # builder still there
+        assert client.model_ready("face_quality")
+        with pytest.raises(grpc.RpcError) as e:
+            client.repository_model_load("no_such_model")
+        assert e.value.code() == grpc.StatusCode.NOT_FOUND
+    finally:
+        client.close()
+
+
+def test_wire_shm_roundtrip(wire_port):
+    import uuid
+
+    from rs_face_detection_tpu.runtime.shm import SharedRegion
+
+    port, reg = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    region = SharedRegion.create(f"rsfd_wire_{uuid.uuid4().hex[:12]}", 1 << 20)
+    try:
+        client.system_shared_memory_register("wirein", region.key, 1 << 20)
+        status = client.system_shared_memory_status()
+        assert status["wirein"]["byte_size"] == 1 << 20
+        x = np.random.default_rng(3).normal(size=(1, 3, 32, 32)).astype(
+            np.float32
+        )
+        region.write_array(np.ascontiguousarray(x, dtype="<f4"), 0)
+        # shm input, wire output
+        (out,) = client.model_infer_shm("face_quality", x, "wirein")
+        (inline,) = client.model_infer("face_quality", x, use_raw=True)
+        np.testing.assert_allclose(out[2], inline[2], rtol=1e-6)
+        # shm input AND shm output: bytes come back through the region
+        (desc,) = client.model_infer_shm(
+            "face_quality", x, "wirein",
+            requested_outputs=["output"],
+            output_region=("wirein", 1 << 19),
+        )
+        rname, off, nbytes = desc[2]
+        assert (rname, off) == ("wirein", 1 << 19)
+        got = region.read_array("float32", tuple(desc[1]), off)
+        np.testing.assert_allclose(got, inline[2], rtol=1e-6)
+        client.system_shared_memory_unregister("wirein")
+        import grpc
+
+        with pytest.raises(grpc.RpcError) as e:
+            client.model_infer_shm("face_quality", x, "wirein")
+        assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    finally:
+        region.close(unlink=True)
+        client.close()
+
+
+def test_wire_shm_shared_with_json_facade(wire_port):
+    """A region registered over the protobuf wire is visible to the JSON
+    facade's shm verbs (one SharedMemoryRegistry behind both protocols)."""
+    from rs_face_detection_tpu.runtime.server import FacePipelineClient
+    from rs_face_detection_tpu.runtime.shm import SharedRegion
+
+    import uuid
+
+    port, _ = wire_port
+    wire_client = TritonWireClient(f"localhost:{port}")
+    json_client = FacePipelineClient("localhost", port)
+    region = SharedRegion.create(f"rsfd_wire_{uuid.uuid4().hex[:12]}", 4096)
+    try:
+        wire_client.system_shared_memory_register("xproto", region.key, 4096)
+        regions = json_client.system_shared_memory_status()["regions"]
+        assert "xproto" in regions
+        wire_client.system_shared_memory_unregister("xproto")
+        regions = json_client.system_shared_memory_status()["regions"]
+        assert "xproto" not in regions
+    finally:
+        region.close(unlink=True)
+        wire_client.close()
+
+
+def test_wire_trace_setting_status(wire_port):
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        # empty settings = status query; no trace is active
+        out = client.trace_setting()
+        assert out["trace_level"] == ["OFF"]
+    finally:
+        client.close()
