@@ -753,7 +753,16 @@ def serve(
     # pipeline=None stays None: the servicer builds it lazily on the first
     # inference verb so the port opens (and health answers) immediately.
 
-    server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
+    server = grpc.server(
+        futures.ThreadPoolExecutor(max_workers=max_workers),
+        options=[
+            # Triton parity: one 640x640x3 fp32_contents ModelInfer is
+            # ~4.9 MB, over gRPC's 4 MB default — Triton serves with the
+            # limits lifted, and so does this server.
+            ("grpc.max_receive_message_length", -1),
+            ("grpc.max_send_message_length", -1),
+        ],
+    )
     servicer = FacePipelineServicer(
         pipeline,
         registry,
@@ -791,7 +800,15 @@ class FacePipelineClient:
         (first-inference compiles can legitimately take minutes on TPU)."""
         if not _HAS_GRPC:
             raise RuntimeError("grpcio not available")
-        self._channel = grpc.insecure_channel(f"{host}:{port}")
+        self._channel = grpc.insecure_channel(
+            f"{host}:{port}",
+            options=[
+                # large typed tensors / JPEG batches exceed gRPC's 4 MB
+                # default; the server runs with the limits lifted too
+                ("grpc.max_receive_message_length", -1),
+                ("grpc.max_send_message_length", -1),
+            ],
+        )
         self._timeout_s = timeout_s
         self._shm_names: dict = {}  # SharedRegion.key -> registered name
 

@@ -1001,7 +1001,15 @@ class TritonWireClient:
     def __init__(self, target: str, timeout_s: float = 30.0) -> None:
         import grpc
 
-        self._channel = grpc.insecure_channel(target)
+        self._channel = grpc.insecure_channel(
+            target,
+            options=[
+                # 640x640x3 fp32 tensors are ~4.9 MB each way; Triton
+                # clients run with the 4 MB default lifted
+                ("grpc.max_receive_message_length", -1),
+                ("grpc.max_send_message_length", -1),
+            ],
+        )
         self._timeout = timeout_s
 
     def close(self) -> None:

@@ -43,7 +43,7 @@ def build_detector(args):
         backbone=args.backbone,
         image_size=(args.size, args.size),
         max_candidates=256,
-        confidence_threshold=args.confidence,
+        confidence_threshold=getattr(args, "confidence", 0.02),
     )
     if args.checkpoint:
         import numpy as np
@@ -109,7 +109,7 @@ def build_scrfd_detector(args):
             model, variables = init_scrfd(size, dtype=jnp.bfloat16, seed=0)
     return SCRFDDetection(
         model=model, variables=variables, image_size=size,
-        confidence_threshold=args.confidence,
+        confidence_threshold=getattr(args, "confidence", 0.02),
     )
 
 
