@@ -161,6 +161,139 @@ def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
     return batch / dt, dt
 
 
+def _with_timeout(fn, timeout_s, tag):
+    """Run fn() in a daemon thread with a wall-clock bound.
+
+    The relay's degraded mode (CLAUDE.md 2026-08-19) makes fresh remote
+    compiles HANG forever while cached executables still answer — so any
+    health check that might compile must itself be timeout-guarded or it
+    becomes the hang.  Returns (status, payload): ("ok", fn's return),
+    ("error", str) or ("timeout", str).
+    """
+    out: list = []
+
+    def run():
+        try:
+            out.append(("ok", fn()))
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            out.append(("error", f"{type(e).__name__}: {e}"))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        return ("timeout", f"{tag} hung >{timeout_s:.0f}s (degraded relay?)")
+    return out[0]
+
+
+def _relay_sanity():
+    """Detect the relay's degraded replay mode (observed 2026-08-19 ~09:29Z
+    and again ~12:00Z): cached executables "run" instantly and return stale
+    bytes, producing physically impossible timings (ViT-L/14 at 148,000
+    img/s, MFU 122).  Two checks, both on entropy inputs:
+
+    1. correctness — a 512x512 f32 matmul must match numpy (replayed
+       responses are stale bytes for the new input);
+    2. speed ceiling — a scan-chained block of 2048^3 bf16 matmuls must not
+       imply more than v5e peak throughput, and distinct inputs must give
+       distinct outputs.
+
+    Returns None when healthy, else a short diagnostic.  No-op off-TPU.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform != "tpu":
+        return None
+    rng = np.random.default_rng()
+
+    x = rng.normal(size=(512, 512)).astype(np.float32)
+    f = jax.jit(lambda a: jnp.dot(a, a, precision=jax.lax.Precision.HIGHEST))
+    got = np.asarray(f(jnp.asarray(x)))
+    want = x @ x
+    rel = float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9))
+    if not np.isfinite(rel) or rel > 1e-3:
+        return (
+            f"matmul result mismatch vs numpy (rel err {rel:.2e}) — "
+            "relay returning stale/garbage bytes"
+        )
+
+    n, k = 2048, 8
+
+    def stack():
+        return jnp.asarray(
+            rng.normal(size=(k, n, n)).astype(np.float32), dtype=jnp.bfloat16
+        )
+
+    mega = jax.jit(
+        lambda xs: jax.lax.scan(lambda c, a: (c, (a @ a).sum()), 0, xs)[1]
+    )
+    jax.block_until_ready(mega(stack()))  # compile (hangs when degraded)
+    reps = [stack() for _ in range(2)]
+    jax.block_until_ready(reps)
+    t0 = time.perf_counter()
+    outs = [mega(r) for r in reps]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    tflops = 2.0 * n**3 * k * len(reps) / dt / 1e12
+    if tflops > PEAK_TFLOPS_BF16 * 1.25:
+        return (
+            f"matmul bracket sustained {tflops:.0f} TFLOP/s > v5e peak "
+            f"{PEAK_TFLOPS_BF16:.0f} — timings are replayed, not executed"
+        )
+    vals = {round(float(v), 3) for o in outs for v in np.asarray(o)}
+    if len(vals) < k:
+        return "matmul outputs repeated across distinct inputs — replay cache"
+    return None
+
+
+#: Per-field minimum believable device graph time (ms per batch).  Real
+#: fused graphs in this repo all execute >=0.5 ms/batch (smallest: mnet b1
+#: ~0.9 ms); degraded-mode replays report 0.03-0.05 ms.  Applied to every
+#: device-saturated *_img_s field via its batch size.
+MIN_GRAPH_MS_PER_BATCH = 0.35
+
+_FIELD_BATCH = {
+    "r50_b8_img_s": 8,
+    "r50_b16_img_s": 16,
+    "r50_b32_img_s": 32,
+    "mnet025_b8_img_s": 8,
+    "mnet025_b16_img_s": 16,
+    "mnet025_b32_img_s": 32,
+    "mnet025_1920x1088_b4_img_s": 4,
+    "scrfd_b8_img_s": 8,
+    "scrfd_b8_xla_img_s": 8,
+    "vit_l14_b8_img_s": 8,
+    "vit_l14_fused_attn_stock_b8_img_s": 8,
+    "vit_l14_fused_attn_single_b8_img_s": 8,
+    "iresnet50_embed_b32_img_s": 32,
+    "int8_r50_b8_img_s": 8,
+}
+
+
+def _implausible_fields(result):
+    """Names of fields whose values are physically impossible on a v5e.
+
+    Graph-time floor for every throughput field, plus hard MFU ceilings
+    where XLA's own FLOP estimate is in the result (100% MFU is the
+    absolute bound; >85% of peak on a real conv/attention graph through
+    this relay means the number was replayed, not measured).
+    """
+    bad = []
+    for field, batch in _FIELD_BATCH.items():
+        rate = result.get(field)
+        if rate and batch / rate * 1000.0 < MIN_GRAPH_MS_PER_BATCH:
+            bad.append(field)
+    for mfu_field, rate_field in (
+        ("r50_b8_mfu_raw_graph", "r50_b8_img_s"),
+        ("vit_l14_mfu", "vit_l14_b8_img_s"),
+    ):
+        mfu = result.get(mfu_field)
+        if mfu is not None and mfu > 0.85 and rate_field not in bad:
+            bad.append(rate_field)
+    return bad
+
+
 def _latency(fn, variables, make_batch, iters=20):
     # Distinct inputs per iteration: the relay caches identical executions.
     import jax
@@ -255,6 +388,11 @@ def main() -> int:
     def over_budget() -> bool:
         return time.perf_counter() - t_start > budget_s
 
+    # Results accumulate here from the first measurement on (not built in
+    # one literal at the end) so the hang watchdog below can always emit
+    # whatever was measured before a mid-run relay wedge.
+    result: dict = {}
+
     pin = os.environ.get("RSFD_MNET_PACKED") or None  # "" == unset
     candidates = dict(MNET_PACKED_CANDIDATES)
     if pin is not None and pin != "default" and pin not in candidates:
@@ -279,9 +417,30 @@ def main() -> int:
             import jax
             import jax.numpy as _jnp
 
-            x = _jnp.ones((128, 128))
-            (x @ x).block_until_ready()
-            probe_result.append(("ok", jax.devices()[0].platform))
+            # Entropy input + numpy cross-check: a fixed input (or ones)
+            # would be served from the relay's cross-process execution
+            # cache even in degraded-replay mode, making a wedged relay
+            # look alive.
+            xh = np.random.default_rng().normal(size=(128, 128)).astype(
+                np.float32
+            )
+            got = np.asarray(
+                jax.jit(
+                    lambda a: _jnp.dot(
+                        a, a, precision=jax.lax.Precision.HIGHEST
+                    )
+                )(_jnp.asarray(xh))
+            )
+            want = xh @ xh
+            rel = float(
+                np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+            )
+            if not np.isfinite(rel) or rel > 1e-3:
+                probe_result.append(
+                    ("error", f"probe matmul wrong vs numpy (rel {rel:.2e})")
+                )
+            else:
+                probe_result.append(("ok", jax.devices()[0].platform))
         except Exception as e:  # noqa: BLE001 — report, don't crash
             probe_result.append(("error", f"{type(e).__name__}: {e}"))
 
@@ -307,6 +466,60 @@ def main() -> int:
         )
         sys.stdout.flush()
         os._exit(3)  # daemon thread may be wedged in a C call; skip teardown
+
+    # Degraded-replay bracket, start side (RSFD_BENCH_SANITY=0 skips): the
+    # probe proves liveness; this proves the relay is EXECUTING, not
+    # replaying (fresh compile + correctness + speed ceiling).
+    run_sanity = os.environ.get("RSFD_BENCH_SANITY", "1") != "0"
+    if run_sanity:
+        status, payload = _with_timeout(_relay_sanity, 600, "start sanity")
+        detail = payload  # error/timeout string, diagnostic string, or None
+        if status != "ok" or payload is not None:
+            print(
+                json.dumps(
+                    {
+                        "metric": "images/sec/chip (relay degraded)",
+                        "value": 0.0,
+                        "unit": "images/sec",
+                        "vs_baseline": 0.0,
+                        "error": f"relay sanity failed at start: {detail}",
+                    }
+                )
+            )
+            sys.stdout.flush()
+            os._exit(3)
+
+    # Hang watchdog: a relay wedge mid-run manifests as block_until_ready
+    # blocking FOREVER (not an exception), which would run the driver into
+    # its timeout and lose the whole JSON line.  If the run outlives the aux
+    # budget by 15 min, print what was measured (quarantined as suspect —
+    # fields measured before the wedge are real but unverifiable without
+    # the end sanity bracket) and exit.  `result` mutates in place, and
+    # "_phase" breadcrumbs say where it wedged.
+    hang_deadline_s = budget_s + 900.0
+
+    def _watchdog():
+        time.sleep(hang_deadline_s)
+        print(
+            json.dumps(
+                {
+                    "metric": "images/sec/chip (bench hung mid-run)",
+                    "value": 0.0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"no completion within {hang_deadline_s:.0f}s — "
+                        "relay wedged during phase "
+                        f"{result.get('_phase', 'headline')!r}"
+                    ),
+                    "suspect_results": dict(result),
+                }
+            )
+        )
+        sys.stdout.flush()
+        os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax.numpy as jnp
 
@@ -470,7 +683,7 @@ def main() -> int:
     # MobileNet0.25 s4d graph — with the R50 flagship inline.
     best_b8 = max(r50_b8, mnet_b8)
     best_name = "RetinaFace-R50" if r50_b8 >= mnet_b8 else "RetinaFace-MobileNet0.25"
-    result = {
+    result.update({
         "metric": f"{width}x{height} images/sec/chip (best fused detect incl "
         f"NMS @ batch 8: {best_name}; device-saturated)",
         "value": round(best_b8, 2),
@@ -500,7 +713,7 @@ def main() -> int:
         ),
         "mnet025_b8_graph_ms": round(8000.0 / mnet_b8, 3) if mnet_b8 else None,
         "nms_mode": args.nms,
-    }
+    })
     if tail_ab is not None:
         result["mnet025_tail_ab_img_s"] = tail_ab
     if ab_rates:
@@ -937,6 +1150,46 @@ def main() -> int:
 
     if args.smoke:
         result["metric"] = "SMOKE " + result["metric"]
+
+    # Degraded-replay bracket, end side: the relay has been observed to wedge
+    # MID-session (healthy probes at 11:52Z, garbage by 12:01Z the same day)
+    # — numbers measured before the wedge are fine, numbers after are
+    # replays.  If the end sanity fails or any field is physically
+    # impossible, refuse to report the run as a result: emit value 0 with
+    # the raw numbers quarantined under "suspect_results".
+    bad_fields = _implausible_fields(result)
+    sanity_detail = None
+    if run_sanity and not args.smoke:
+        status, payload = _with_timeout(_relay_sanity, 600, "end sanity")
+        if status != "ok":
+            sanity_detail = payload
+        elif payload is not None:
+            sanity_detail = payload
+    if bad_fields or sanity_detail:
+        reasons = []
+        if bad_fields:
+            reasons.append(
+                "physically impossible fields (replayed, not executed): "
+                + ", ".join(bad_fields)
+            )
+        if sanity_detail:
+            reasons.append(f"end sanity: {sanity_detail}")
+        print(
+            json.dumps(
+                {
+                    "metric": "images/sec/chip (relay degraded during run)",
+                    "value": 0.0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,
+                    "error": "; ".join(reasons),
+                    "suspect_results": result,
+                }
+            )
+        )
+        sys.stdout.flush()
+        os._exit(3)
+    if run_sanity and not args.smoke:
+        result["relay_sanity"] = "ok"
     print(json.dumps(result))
     return 0
 

@@ -1,0 +1,79 @@
+"""Degraded-relay guards in bench.py (CLAUDE.md 2026-08-19 incident).
+
+The tunneled TPU relay has a failure mode where cached executables are
+"served" instantly from a replay cache without executing — observed as
+physically impossible rates (ViT-L/14 at 148,000 img/s, MFU 122-243).
+bench brackets the run with _relay_sanity and refuses to report fields
+flagged by _implausible_fields.  These tests cover the pure logic on the
+CPU backend (where _relay_sanity is a no-op by design).
+"""
+
+import time
+
+import bench
+
+
+def test_implausible_fields_pass_on_real_numbers():
+    # The round-3 hardware-measured numbers — all plausible by construction.
+    result = {
+        "r50_b8_img_s": 1003.0,
+        "r50_b16_img_s": 1050.0,
+        "r50_b32_img_s": 980.0,
+        "mnet025_b8_img_s": 2817.0,
+        "mnet025_b32_img_s": 3494.0,
+        "vit_l14_b8_img_s": 608.7,
+        "iresnet50_embed_b32_img_s": 7249.0,
+        "r50_b8_mfu_raw_graph": 0.47,
+        "vit_l14_mfu": 0.50,
+    }
+    assert bench._implausible_fields(result) == []
+
+
+def test_implausible_fields_flags_replayed_rates():
+    # The degraded-mode numbers actually observed on 2026-08-19 ~12:04Z.
+    result = {
+        "vit_l14_b8_img_s": 148074.7,   # graph "0.054 ms"
+        "vit_l14_fused_attn_stock_b8_img_s": 280361.5,
+        "mnet025_b8_img_s": 2817.0,      # measured pre-wedge, fine
+    }
+    bad = bench._implausible_fields(result)
+    assert "vit_l14_b8_img_s" in bad
+    assert "vit_l14_fused_attn_stock_b8_img_s" in bad
+    assert "mnet025_b8_img_s" not in bad
+
+
+def test_implausible_fields_flags_impossible_mfu():
+    # Rate passes the graph-time floor but XLA's FLOP count says >peak:
+    # the first degraded sample (2,073 img/s, "mfu 1.711") looked
+    # half-plausible by wall-clock alone.
+    result = {"vit_l14_b8_img_s": 2073.0, "vit_l14_mfu": 1.711}
+    assert bench._implausible_fields(result) == ["vit_l14_b8_img_s"]
+
+
+def test_implausible_fields_ignores_none_and_missing():
+    assert bench._implausible_fields({}) == []
+    assert bench._implausible_fields({"r50_b8_img_s": None}) == []
+
+
+def test_relay_sanity_noop_off_tpu():
+    # conftest pins the CPU backend; the sanity probe must not burn time
+    # or fail there (it guards the relay, not XLA itself).
+    t0 = time.perf_counter()
+    assert bench._relay_sanity() is None
+    assert time.perf_counter() - t0 < 30.0
+
+
+def test_with_timeout_paths():
+    status, payload = bench._with_timeout(lambda: 42, 5.0, "t")
+    assert (status, payload) == ("ok", 42)
+
+    def boom():
+        raise ValueError("nope")
+
+    status, payload = bench._with_timeout(boom, 5.0, "t")
+    assert status == "error" and "nope" in payload
+
+    status, payload = bench._with_timeout(
+        lambda: time.sleep(3.0), 0.2, "probe"
+    )
+    assert status == "timeout" and "probe" in payload

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax.numpy as jnp
 import numpy as np
 
-from bench import _throughput_device
+from bench import MIN_GRAPH_MS_PER_BATCH, _relay_sanity, _throughput_device, _with_timeout
 from rs_face_detection_tpu.models.precision import cast_kernels
 from rs_face_detection_tpu.models.retinaface import init_retinaface
 from rs_face_detection_tpu.ops.image import s4d_layout_host
@@ -24,6 +24,21 @@ from rs_face_detection_tpu.ops.image import s4d_layout_host
 SIZE = (640, 640)
 
 _rng = np.random.default_rng()  # entropy-seeded, never fixed
+
+
+def require_healthy_relay():
+    """Abort the grid unless the relay is EXECUTING (not replaying).
+
+    Degraded-replay mode (CLAUDE.md 2026-08-19) returns instant stale
+    responses for cached executables — an A/B run in that state prints
+    physically impossible rates for every row.  Call this before the first
+    measurement; it costs one fresh remote compile (~30-60 s healthy,
+    timeout-bounded when wedged).
+    """
+    status, payload = _with_timeout(_relay_sanity, 600, "relay sanity")
+    detail = payload
+    if status != "ok" or payload is not None:
+        sys.exit(f"relay sanity failed — aborting grid: {detail}")
 
 
 def build_mnet():
@@ -52,9 +67,14 @@ def measure(name, fn, variables, batch=8):
     """One grid row: device-saturated throughput of the full fused graph."""
     t0 = time.time()
     img_s, dt = _throughput_device(fn, variables, make_batch(batch), batch)
+    flag = (
+        "  !! IMPLAUSIBLE (relay replaying?)"
+        if dt * 1e3 < MIN_GRAPH_MS_PER_BATCH
+        else ""
+    )
     print(
         f"{name:22} {img_s:8.1f} img/s  graph {dt*1e3:6.3f} ms "
-        f"(wall {time.time()-t0:.0f}s)",
+        f"(wall {time.time()-t0:.0f}s){flag}",
         flush=True,
     )
     return img_s

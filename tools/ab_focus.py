@@ -11,11 +11,12 @@ changes (advisor r3).  Use when the full tools/ab_packed.py grid
 session; same harness, same discipline (run ALONE — see CLAUDE.md).
 """
 
-from _ab_common import SIZE, build_mnet, measure
+from _ab_common import SIZE, build_mnet, measure, require_healthy_relay
 from bench import MNET_PACKED_CANDIDATES
 from rs_face_detection_tpu.configs import FaceDetectionConfig
 from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
+require_healthy_relay()
 model, variables = build_mnet()
 cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=SIZE)
 det = RetinaFaceDetection(cfg, model=model, variables=variables)

@@ -10,10 +10,11 @@ subset of this grid automatically and self-tunes its headline
 (MNET_PACKED_CANDIDATES).
 """
 
-from _ab_common import SIZE, build_mnet, measure
+from _ab_common import SIZE, build_mnet, measure, require_healthy_relay
 from rs_face_detection_tpu.configs import FaceDetectionConfig
 from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
+require_healthy_relay()
 model, variables = build_mnet()
 cfg = FaceDetectionConfig(backbone="mobilenet025", image_size=SIZE)
 det = RetinaFaceDetection(cfg, model=model, variables=variables)

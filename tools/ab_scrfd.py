@@ -10,12 +10,13 @@ channels on the half grid).  Flip SCRFD serving defaults (DetectionServer
 auto-select / bench) to whatever wins here.
 """
 
-from _ab_common import build_scrfd, measure, make_batch, SIZE  # noqa: F401
+from _ab_common import build_scrfd, measure, make_batch, require_healthy_relay, SIZE  # noqa: F401
 import jax.numpy as jnp
 import numpy as np
 
 from bench import _throughput_device
 
+require_healthy_relay()
 det, variables = build_scrfd()
 
 # Natural layout needs its own batch maker (not the s4d layout).

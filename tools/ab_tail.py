@@ -37,10 +37,11 @@ the Pallas kernel at every cap); approx top-k (+2.7% more) stays opt-in
 because it is not exact.
 """
 
-from _ab_common import SIZE, build_mnet, measure
+from _ab_common import SIZE, build_mnet, measure, require_healthy_relay
 from rs_face_detection_tpu.configs import FaceDetectionConfig
 from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 
+require_healthy_relay()
 model, variables = build_mnet()
 
 CONFIGS = [

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _ab_common import require_healthy_relay
 from bench import _graph_flops, _throughput_device
 from rs_face_detection_tpu.models import vit as vit_mod
 from rs_face_detection_tpu.models.precision import cast_kernels
@@ -31,6 +32,8 @@ from rs_face_detection_tpu.models.vit import ViT, init_vit
 
 PEAK_TFLOPS_BF16 = 197.0  # v5e
 _rng = np.random.default_rng()
+
+require_healthy_relay()
 
 model, variables = init_vit("clip_l14", 2, (224, 224), dtype=jnp.bfloat16, seed=0)
 variables_cast = cast_kernels(variables)
@@ -52,9 +55,10 @@ def measure(name, m, vs, batch=8):
     mfu = (
         (flops / batch) * img_s / (PEAK_TFLOPS_BF16 * 1e12) if flops else 0.0
     )
+    flag = "  !! IMPLAUSIBLE (relay replaying?)" if mfu > 0.85 else ""
     print(
         f"{name:34} {img_s:8.1f} img/s  graph {dt*1e3:7.3f} ms  "
-        f"mfu {mfu:.3f} (wall {time.time()-t0:.0f}s)",
+        f"mfu {mfu:.3f} (wall {time.time()-t0:.0f}s){flag}",
         flush=True,
     )
     return img_s
