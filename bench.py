@@ -264,6 +264,9 @@ _FIELD_BATCH = {
     "scrfd_b8_img_s": 8,
     "scrfd_b8_xla_img_s": 8,
     "vit_l14_b8_img_s": 8,
+    "vit_l14_b32_img_s": 32,
+    # Historical fields (flash A/B retired 2026-08-19) — kept so replayed
+    # suspect-history dicts still get flagged.
     "vit_l14_fused_attn_stock_b8_img_s": 8,
     "vit_l14_fused_attn_single_b8_img_s": 8,
     "iresnet50_embed_b32_img_s": 32,
@@ -551,6 +554,7 @@ def main() -> int:
     n_batches = 3 if args.smoke else args.batches
 
     # Flagship: R50 batch 8.
+    result["_phase"] = "headline-r50"
     det, fn, r50_s2d = _build("resnet50", image_size, args.nms)
     r50_b8, _ = _throughput_device(
         fn, det.variables, batch_maker(8, r50_s2d), 8, n_batches
@@ -574,6 +578,7 @@ def main() -> int:
     )
 
     # Light variant: MobileNet0.25 batch 8 and 32.
+    result["_phase"] = "headline-mnet"
     detm, fnm, m_s2d = _build("mobilenet025", image_size, args.nms)
     mnet_packed = "default"
     ab_rates = None
@@ -631,6 +636,7 @@ def main() -> int:
         fnm, detm.variables, batch_maker(1, m_s2d), 1, max(4, n_batches // 2)
     )
 
+    result["_phase"] = "b16-ladder"
     # Batch ladder (VERDICT r3 #6): b16 for both backbones.  Device-
     # saturated rate and graph latency are two views of the same number
     # (graph_ms = 1000 * batch / rate); both are reported so the serving
@@ -642,6 +648,7 @@ def main() -> int:
         fnm, detm.variables, batch_maker(16, m_s2d), 16, max(3, n_batches // 2)
     )
 
+    result["_phase"] = "tail-pair"
     # decode/NMS tail regression pair (VERDICT r3 #1): serving default cap
     # (128, flipped after tools/ab_tail.py's 2026-08-19 grid: 2817 vs 2662
     # img/s) against the old 256 — keeps the tradeoff visible if a future
@@ -746,6 +753,7 @@ def main() -> int:
             PEAK_TFLOPS_BF16 * 1e12 / (nominal_b8 / 8.0), 1
         )
 
+    result["_phase"] = "detector-ap"
     # Detector-quality gate (VERDICT r1 #8): AP of the committed trained-
     # weight fixture on its labeled eval set.  With no network egress there
     # is no WIDER val / public checkpoint; the synthetic-trained fixture
@@ -775,6 +783,7 @@ def main() -> int:
             result["detector_ap_error"] = str(e)[:200]
 
     if not args.smoke and not args.skip_aux:
+        result["_phase"] = "vit"
         # Full-size CLIP ViT-L/14 FAS graph (VERDICT r2 #6): compile and run
         # the production eKYC anti-spoofing model at 224^2 batch 8 — proof
         # the graph executes on real hardware, with its throughput recorded.
@@ -785,7 +794,6 @@ def main() -> int:
                 )
             import jax
 
-            from rs_face_detection_tpu.models import vit as vit_mod
             from rs_face_detection_tpu.models.precision import cast_kernels
             from rs_face_detection_tpu.models.vit import init_vit
 
@@ -816,43 +824,27 @@ def main() -> int:
                 result["vit_l14_mfu"] = round(
                     (vit_flops / 8.0) * vit_b8 / (PEAK_TFLOPS_BF16 * 1e12), 4
                 )
-            # Pallas flash-attention variant (same params; models/vit.py
-            # _flash_attention_fn): the unfused path materializes
-            # (B, 16, 257, 257) scores in HBM every layer.  Two tilings:
-            # stock 128-blocks and one whole-sequence block per (batch,
-            # head) — at N=384 the stock grid's per-step work is too small
-            # to hide grid overhead.
-            vit_best = vit_b8
-            for tag, override in (("stock", None), ("single", "single")):
-                try:
-                    from rs_face_detection_tpu.models.vit import ViT
-
-                    vit_fused = ViT(
-                        config="clip_l14", num_classes=2, dtype=jnp.bfloat16,
-                        fused_attention=True,
-                    )
-                    vit_mod.FLASH_BLOCK_OVERRIDE = override
-                    fused_fn = jax.jit(
-                        lambda v, x, _s: vit_fused.apply(v, x, train=False)
-                    )
-                    vit_fused_b8, _ = _throughput_device(
-                        fused_fn, vit_vars, vit_batch(8), 8,
-                        max(3, n_batches // 2),
-                    )
-                    # vit_l14_b8_img_s stays the STANDARD-path number for
-                    # run-over-run comparability; best-of has its own field.
-                    result[f"vit_l14_fused_attn_{tag}_b8_img_s"] = round(
-                        vit_fused_b8, 2
-                    )
-                    vit_best = max(vit_best, vit_fused_b8)
-                except Exception as e:
-                    result[f"vit_l14_fused_attn_{tag}_error"] = str(e)[:200]
-                finally:
-                    vit_mod.FLASH_BLOCK_OVERRIDE = None
-            result["vit_l14_best_b8_img_s"] = round(vit_best, 2)
+            # Flash-attention A/B RETIRED (VERDICT r3 #2, measured
+            # 2026-08-19 on a healthy relay, tools/ab_vit.py): XLA
+            # 634.7 img/s (12.60 ms, MFU 0.52) beats the Pallas kernel at
+            # BOTH tilings — stock 128-blocks 331.3 (24.1 ms) and
+            # whole-sequence 384-block 509.9 (15.7 ms).  At N=257 the
+            # per-layer score tensor is ~2 MB bf16; XLA keeps the
+            # softmax chain fused and MXU-bound, while the kernel pays the
+            # 257->384 pad (+49% K/V work) plus grid overhead.  The
+            # wrapper stays opt-in (fused_attention=True) for longer
+            # sequences; re-measure via tools/ab_vit.py, not here.
+            result["vit_l14_best_b8_img_s"] = round(vit_b8, 2)
+            # Serving ladder: FAS crops arrive per-face and batch well;
+            # b32 shows whether the SLA can buy more MFU with batch.
+            vit_b32, _ = _throughput_device(
+                vit_fn, vit_vars, vit_batch(32), 32, max(3, n_batches // 4)
+            )
+            result["vit_l14_b32_img_s"] = round(vit_b32, 2)
         except Exception as e:  # aux fields must not sink the headline bench
             result["vit_l14_error"] = str(e)[:200]
 
+        result["_phase"] = "embed"
         # ArcFace embedding throughput (the face-ID serving hot loop:
         # FacePipeline.extract_batch's fused warp/quality/embed tail embeds
         # aligned 112x112 crops through this backbone).
@@ -892,6 +884,7 @@ def main() -> int:
         except Exception as e:
             result["embed_error"] = str(e)[:200]
 
+        result["_phase"] = "extract-e2e"
         # End-to-end product metrics (VERDICT r3 #3): the reference's
         # public API is extract() (pipeline.rs:188-249 — 3 RPC round trips
         # per image); these time OUR equivalents end to end:
@@ -948,6 +941,7 @@ def main() -> int:
         except Exception as e:
             result["extract_error"] = str(e)[:200]
 
+        result["_phase"] = "ekyc-verify"
         try:
             if over_budget():
                 raise RuntimeError(
@@ -994,6 +988,7 @@ def main() -> int:
         except Exception as e:
             result["ekyc_verify_error"] = str(e)[:200]
 
+        result["_phase"] = "scrfd"
         # SCRFD fused detect @640 b8 — the eKYC pipeline's detector
         # (reference ekyc_pipeline/config.rs:10-27), the one model family
         # without a throughput number so far (SCRFDDetection.make_batched_fn).
@@ -1070,6 +1065,7 @@ def main() -> int:
         except Exception as e:
             result["scrfd_error"] = str(e)[:200]
 
+        result["_phase"] = "1920x1088"
         # High-res letterboxed inference (BASELINE config 3): the 1920x1088
         # bucket from pipeline/multiscale.py (1080p letterboxes to /32-
         # aligned 1088 rows), mnet b4, same fused detect-with-landmarks
@@ -1110,6 +1106,7 @@ def main() -> int:
         except Exception as e:
             result["highres_error"] = str(e)[:200]
 
+        result["_phase"] = "int8"
         # int8 re-check (VERDICT r2 #9): quantized R50 fused graph vs the
         # bf16 headline on the CURRENT XLA wheel.  bf16 has stayed ahead on
         # v5e so far; flip the serving default only if this reports faster.
@@ -1190,6 +1187,7 @@ def main() -> int:
         os._exit(3)
     if run_sanity and not args.smoke:
         result["relay_sanity"] = "ok"
+    result.pop("_phase", None)  # breadcrumb is for the wedge paths only
     print(json.dumps(result))
     return 0
 

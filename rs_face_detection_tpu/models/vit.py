@@ -45,6 +45,15 @@ def _flash_attention_fn(query, key, value, bias=None, mask=None, **_kwargs):
     pad keys (pad rows' outputs are sliced off).  q/k/v arrive flax-shaped
     (B, N, heads, head_dim) and unscaled — sm_scale applies the 1/sqrt(d)
     the standard path folds into the scores.
+
+    MEASURED NEGATIVE at ViT-L/14 N=257 (tools/ab_vit.py, v5e,
+    2026-08-19): XLA 634.7 img/s b8 (12.60 ms, MFU 0.52) vs this kernel
+    at 331.3 (stock 128-tiles) and 509.9 (whole-sequence 384 block).
+    At this scale the per-layer score tensor is small enough that XLA's
+    fused softmax chain stays MXU-bound, while the kernel pays the
+    257->384 pad (+49% K/V work) plus per-grid-step overhead.  Kept
+    opt-in for genuinely long sequences; do not enable for CLIP FAS
+    serving without re-measuring.
     """
     assert bias is None and mask is None, "ViT attention is dense"
     assert not _kwargs.get("dropout_rate"), (

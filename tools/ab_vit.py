@@ -12,6 +12,18 @@ ekyc_pipeline/config.rs:95-138) and measured 608 img/s b8 in round 3 —
   - attention: XLA materialized-scores path vs the Pallas flash-attention
     wrapper (models/vit._flash_attention_fn), with stock 128-tile block
     sizes vs single-block (block_q = block_k = padded seq 384) tiling
+
+Measured 2026-08-19 (v5e, healthy relay, run alone):
+
+    xla-f32params              627.7 img/s  graph 12.744 ms  mfu 0.518
+    xla-castparams             634.7 img/s  graph 12.604 ms  mfu 0.524
+    flash-stock-castparams     331.3 img/s  graph 24.146 ms  mfu 0.287
+    flash-single-castparams    509.9 img/s  graph 15.689 ms  mfu 0.442
+
+Verdict: XLA wins at N=257 — flash A/B retired from bench (the wrapper
+stays opt-in for long sequences); pre-cast is worth ~1% and is the
+serving default.  MFU 0.52 on XLA's own FLOP count means the realistic
+headroom is <2x, not the 25%-MFU estimate VERDICT r3 carried.
 """
 
 import os
