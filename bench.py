@@ -241,9 +241,15 @@ def _relay_sanity():
             f"matmul bracket sustained {tflops:.0f} TFLOP/s > v5e peak "
             f"{PEAK_TFLOPS_BF16:.0f} — timings are replayed, not executed"
         )
-    vals = {round(float(v), 3) for o in outs for v in np.asarray(o)}
-    if len(vals) < k:
-        return "matmul outputs repeated across distinct inputs — replay cache"
+    # Replay detection needs BOTH granularities: a whole rep's k-vector
+    # served from cache (rep 2 returns rep 1's bytes — k distinct values
+    # still appear, so a flat distinct-count over all reps would pass), and
+    # repeats within one block.
+    vecs = [tuple(round(float(v), 3) for v in np.asarray(o)) for o in outs]
+    if len(set(vecs)) < len(vecs):
+        return "matmul output block repeated across distinct inputs — replay cache"
+    if any(len(set(vec)) < k for vec in vecs):
+        return "matmul outputs repeated within a block — replay cache"
     return None
 
 
@@ -271,6 +277,9 @@ _FIELD_BATCH = {
     "vit_l14_fused_attn_single_b8_img_s": 8,
     "iresnet50_embed_b32_img_s": 32,
     "int8_r50_b8_img_s": 8,
+    # e2e extract includes host-side work, so its rate can only be LOWER
+    # than the device floor allows — the gate still catches a replayed run.
+    "extract_b8_img_s": 8,
 }
 
 
@@ -287,6 +296,17 @@ def _implausible_fields(result):
         rate = result.get(field)
         if rate and batch / rate * 1000.0 < MIN_GRAPH_MS_PER_BATCH:
             bad.append(field)
+    # Nested A/B dicts (per-config b8 rates) get the same graph-time floor.
+    for field in (
+        "mnet025_tail_ab_img_s",
+        "mnet025_packed_ab_img_s",
+        "scrfd_packed_ab_img_s",
+    ):
+        sub = result.get(field)
+        if isinstance(sub, dict):
+            for key, rate in sub.items():
+                if rate and 8 / rate * 1000.0 < MIN_GRAPH_MS_PER_BATCH:
+                    bad.append(f"{field}.{key}")
     for mfu_field, rate_field in (
         ("r50_b8_mfu_raw_graph", "r50_b8_img_s"),
         ("vit_l14_mfu", "vit_l14_b8_img_s"),
@@ -494,33 +514,53 @@ def main() -> int:
 
     # Hang watchdog: a relay wedge mid-run manifests as block_until_ready
     # blocking FOREVER (not an exception), which would run the driver into
-    # its timeout and lose the whole JSON line.  If the run outlives the aux
-    # budget by 15 min, print what was measured (quarantined as suspect —
+    # its timeout and lose the whole JSON line.  The signal is STALLED
+    # PROGRESS, not total wall time — a healthy cold-cache run strings
+    # together 10+ multi-minute remote compiles and can legitimately outlive
+    # budget+15min, but every phase lands new result fields as it completes;
+    # the longest single healthy gap observed is the scan(unroll=4)
+    # mega-graph compile at "several minutes" (CLAUDE.md).  If no field (or
+    # phase breadcrumb) changes for 25 min — or an absolute 2x-budget+30min
+    # backstop passes — print what was measured (quarantined as suspect:
     # fields measured before the wedge are real but unverifiable without
-    # the end sanity bracket) and exit.  `result` mutates in place, and
-    # "_phase" breadcrumbs say where it wedged.
-    hang_deadline_s = budget_s + 900.0
+    # the end sanity bracket) and exit.  `result` mutates in place.
+    no_progress_s = 1500.0
+    hard_deadline_s = 2.0 * budget_s + 1800.0
 
     def _watchdog():
-        time.sleep(hang_deadline_s)
-        print(
-            json.dumps(
-                {
-                    "metric": "images/sec/chip (bench hung mid-run)",
-                    "value": 0.0,
-                    "unit": "images/sec",
-                    "vs_baseline": 0.0,
-                    "error": (
-                        f"no completion within {hang_deadline_s:.0f}s — "
-                        "relay wedged during phase "
-                        f"{result.get('_phase', 'headline')!r}"
-                    ),
-                    "suspect_results": dict(result),
-                }
+        start = last_t = time.monotonic()
+        last_snap = None
+        while True:
+            time.sleep(30)
+            now = time.monotonic()
+            snap = (result.get("_phase"), len(result))
+            if snap != last_snap:
+                last_snap, last_t = snap, now
+            stalled = now - last_t > no_progress_s
+            if not stalled and now - start < hard_deadline_s:
+                continue
+            why = (
+                f"no progress for {now - last_t:.0f}s"
+                if stalled
+                else f"hard deadline {hard_deadline_s:.0f}s exceeded"
             )
-        )
-        sys.stdout.flush()
-        os._exit(3)
+            print(
+                json.dumps(
+                    {
+                        "metric": "images/sec/chip (bench hung mid-run)",
+                        "value": 0.0,
+                        "unit": "images/sec",
+                        "vs_baseline": 0.0,
+                        "error": (
+                            f"{why} — relay wedged during phase "
+                            f"{result.get('_phase', 'headline')!r}"
+                        ),
+                        "suspect_results": dict(result),
+                    }
+                )
+            )
+            sys.stdout.flush()
+            os._exit(3)
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -1105,6 +1145,52 @@ def main() -> int:
             result["mnet025_1920x1088_b4_img_s"] = round(hi_rate, 2)
         except Exception as e:
             result["highres_error"] = str(e)[:200]
+
+        result["_phase"] = "video-stream"
+        # Streaming video pipeline (BASELINE config 4): decode -> batched
+        # detect -> track-by-IoU, double-buffered host<->HBM (VideoPipeline
+        # drives DetectionServer.detect_stream: host prep of batch k+1
+        # overlaps device compute of batch k, + IouTracker association per
+        # frame).  Wall-clock fps INCLUDING this env's tunnel costs
+        # (~1.2 MB/frame uploads at ~0.1 GB/s + ~29 ms per relay call) — a
+        # LOWER BOUND; on a locally attached chip the same loop is device-
+        # bound at the mnet batch rate (thousands of fps), so read this
+        # field as "tunnel-streaming fps", not device capability.  Distinct
+        # random frames (relay execution cache); content does not change
+        # device timing.
+        try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
+            from rs_face_detection_tpu.parallel import DetectionServer
+            from rs_face_detection_tpu.pipeline.tracking import (
+                IouTracker,
+                VideoPipeline,
+            )
+
+            vserver = DetectionServer(detm, batch_size=8)
+
+            def frame_iter(n):
+                for _ in range(n):
+                    yield rng.integers(
+                        0, 255, (height, width, 3), dtype=np.uint8
+                    )
+
+            vp = VideoPipeline(vserver, IouTracker())
+            for _ in vp.run(frame_iter(8)):  # compile + warm the stream
+                pass
+            n_frames = 24 if args.smoke else 96
+            t0 = time.perf_counter()
+            n_out = sum(1 for _ in vp.run(frame_iter(n_frames)))
+            wall = time.perf_counter() - t0
+            if n_out != n_frames:
+                raise RuntimeError(
+                    f"stream returned {n_out}/{n_frames} frames"
+                )
+            result["video_track_fps"] = round(n_frames / wall, 2)
+        except Exception as e:
+            result["video_stream_error"] = str(e)[:200]
 
         result["_phase"] = "int8"
         # int8 re-check (VERDICT r2 #9): quantized R50 fused graph vs the

@@ -318,9 +318,10 @@ class DetectionServer:
     def _unpack(
         self, out: PaddedDetections, n: int
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
-        det = np.asarray(out.det)
-        kps = np.asarray(out.kps)
-        counts = np.asarray(out.count)
+        # One device_get for all three leaves: the async copies overlap, so
+        # a relay/network-attached device pays ~one round trip instead of
+        # three sequential np.asarray fetches per batch.
+        det, kps, counts = jax.device_get((out.det, out.kps, out.count))
         return [
             (det[i, : counts[i]], kps[i, : counts[i]]) for i in range(n)
         ]

@@ -25,6 +25,14 @@ from __future__ import annotations
 import struct
 from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Tuple
 
+import numpy as np
+
+#: fixed-width packed kinds bulk-encode/decode through numpy — the
+#: reference's production ModelInfer carries ~1.2M floats in fp32_contents
+#: (1x3x640x640), which per-element struct.pack/unpack would spend seconds
+#: of single-core Python on for every request.
+_NP_FMT = {"float": "<f4", "double": "<f8", "fixed32": "<u4", "fixed64": "<u8"}
+
 
 class Field(NamedTuple):
     number: int
@@ -194,11 +202,15 @@ def encode_message(schema: Dict[str, Field], msg: Dict[str, Any]) -> bytes:
                 out += _key(field.number, 2) + _encode_varint(len(body)) + body
             continue
         if field.repeated:
-            if not value:
+            if len(value) == 0:  # len(), not truthiness: value may be ndarray
                 continue
             wt = _WIRE_TYPE[field.kind]
             if wt in (0, 1, 5):  # packed numeric (proto3 default)
-                body = b"".join(_encode_scalar(field.kind, v) for v in value)
+                fmt = _NP_FMT.get(field.kind)
+                if fmt is not None:  # fixed-width: one bulk cast
+                    body = np.asarray(value, dtype=fmt).tobytes()
+                else:
+                    body = b"".join(_encode_scalar(field.kind, v) for v in value)
                 out += _key(field.number, 2) + _encode_varint(len(body)) + body
             else:  # string/bytes repeat the key
                 for v in value:
@@ -279,6 +291,19 @@ def decode_message(schema: Dict[str, Field], buf: bytes) -> Dict[str, Any]:
             # packed encoding of a numeric repeated field
             size, pos = _decode_varint(buf, pos)
             end = pos + size
+            if end > len(buf):
+                raise ValueError("truncated packed field")
+            fmt = _NP_FMT.get(field.kind)
+            if fmt is not None:  # fixed-width: one bulk frombuffer
+                itemsize = np.dtype(fmt).itemsize
+                if size % itemsize:
+                    raise ValueError("packed field overran its length")
+                msg[name].extend(
+                    np.frombuffer(buf, dtype=fmt, count=size // itemsize,
+                                  offset=pos).tolist()
+                )
+                pos = end
+                continue
             while pos < end:
                 v, pos = _decode_scalar(field.kind, buf, pos)
                 msg[name].append(v)

@@ -384,6 +384,34 @@ def detection_triton_view(net_out: Dict[int, Dict[str, Any]], strides) -> List[n
     return outs
 
 
+class _WireAbort(Exception):
+    """A typed per-message failure raised in place of context.abort on the
+    streaming path: grpcio's ServicerContext.abort raises a BARE Exception()
+    (no detail, context already ended), so a stream handler routing errors
+    through it would lose the status and kill the stream.  This carries the
+    (StatusCode, detail) pair so model_stream_infer can report it in
+    error_message and keep the stream up (Triton stream semantics)."""
+
+    def __init__(self, code, detail: str) -> None:
+        super().__init__(detail)
+        self.code = code
+        self.detail = detail
+
+
+class _StreamAbortShim:
+    """Wraps a stream ServicerContext so abort() raises _WireAbort instead
+    of terminating the (shared) stream; everything else forwards."""
+
+    def __init__(self, context) -> None:
+        self._context = context
+
+    def abort(self, code, detail):
+        raise _WireAbort(code, detail)
+
+    def __getattr__(self, name):
+        return getattr(self._context, name)
+
+
 class TritonWireServicer:
     """The GRPCInferenceService subset over a ModelRegistry.
 
@@ -588,7 +616,12 @@ class TritonWireServicer:
         }
 
     def system_shared_memory_unregister(self, request, context):
-        self.shm.unregister(request["name"] or None)
+        import grpc
+
+        try:
+            self.shm.unregister(request["name"] or None)
+        except KeyError as e:
+            context.abort(grpc.StatusCode.NOT_FOUND, f"KeyError: {e}")
         return {}
 
     # -- trace -----------------------------------------------------------------
@@ -884,17 +917,20 @@ class TritonWireServicer:
         """stream ModelInferRequest -> stream ModelStreamInferResponse.
 
         Per-message errors ride the error_message field (Triton stream
-        semantics) instead of aborting the whole stream."""
-        import grpc
-
+        semantics) instead of aborting the whole stream: model_infer's
+        context.abort calls are rerouted through _StreamAbortShim into
+        catchable _WireAbort exceptions (a real abort would raise a bare
+        Exception() with the detail lost and the stream context dead)."""
+        shim = _StreamAbortShim(context)
         for request in request_iterator:
             try:
                 yield {
                     "error_message": "",
-                    "infer_response": self.model_infer(request, context),
+                    "infer_response": self.model_infer(request, shim),
                 }
-            except grpc.RpcError:
-                raise  # context.abort inside model_infer already ended us
+            except _WireAbort as e:
+                yield {"error_message": f"[{e.code.name}] {e.detail}",
+                       "infer_response": None}
             except Exception as e:  # noqa: BLE001 — stream stays up
                 yield {"error_message": f"{type(e).__name__}: {e}",
                        "infer_response": None}

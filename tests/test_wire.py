@@ -104,6 +104,40 @@ def test_truncated_raises():
         decode_message(SERVER_LIVE_RESPONSE, b"\x08")
 
 
+def test_packed_numeric_bulk_paths_roundtrip():
+    """The fixed-width packed kinds (float/double/fixed32/fixed64) bulk-
+    encode/decode via numpy (seconds -> ms at the production 1.2M-float
+    ModelInfer shape); the varint kinds stay per-element.  Cross-check the
+    bulk path against scalar semantics on randomized payloads, including
+    ndarray inputs (truthiness of an ndarray would throw in a naive
+    `if not value` emptiness check) and empty lists."""
+    from rs_face_detection_tpu.runtime.proto3 import Field
+
+    schema = {
+        "f": Field(1, "float", repeated=True),
+        "d": Field(2, "double", repeated=True),
+        "x32": Field(3, "fixed32", repeated=True),
+        "x64": Field(4, "fixed64", repeated=True),
+        "v": Field(5, "int64", repeated=True),
+    }
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 7, 1000):
+        f = rng.normal(size=n).astype(np.float32)
+        msg = {
+            "f": f,  # ndarray on purpose
+            "d": [float(v) for v in rng.normal(size=n)],
+            "x32": [int(v) for v in rng.integers(0, 2**32, size=n)],
+            "x64": [int(v) for v in rng.integers(0, 2**63, size=n)],
+            "v": [int(v) for v in rng.integers(-(2**31), 2**31, size=n)],
+        }
+        out = decode_message(schema, encode_message(schema, msg))
+        assert out["f"] == list(f.astype(np.float64)) == [float(v) for v in f]
+        assert out["d"] == msg["d"]
+        assert out["x32"] == msg["x32"]
+        assert out["x64"] == msg["x64"]
+        assert out["v"] == msg["v"]
+
+
 def test_map_roundtrip():
     enc = encode_message(
         MODEL_INFER_REQUEST,
@@ -493,6 +527,80 @@ def test_wire_stream_infer(wire_port):
             assert probs.shape == (4,) or probs.size == 4
     finally:
         channel.close()
+
+
+def test_wire_stream_infer_error_keeps_stream_up(wire_port):
+    """Triton stream semantics: a per-message failure rides error_message
+    (with the real status + detail, via _StreamAbortShim) and the stream
+    keeps serving — a context.abort would kill it with the detail lost
+    (grpcio aborts raise a bare Exception())."""
+    import functools
+
+    import grpc
+
+    from rs_face_detection_tpu.runtime.proto3 import (
+        decode_message as dec,
+        encode_message as enc,
+    )
+    from rs_face_detection_tpu.runtime.wire import (
+        MODEL_STREAM_INFER_RESPONSE,
+        SERVICE,
+    )
+
+    port, _ = wire_port
+    channel = grpc.insecure_channel(f"localhost:{port}")
+    try:
+        stream = channel.stream_stream(
+            f"/{SERVICE}/ModelStreamInfer",
+            request_serializer=functools.partial(enc, MODEL_INFER_REQUEST),
+            response_deserializer=functools.partial(
+                dec, MODEL_STREAM_INFER_RESPONSE
+            ),
+        )
+        x = np.random.default_rng(3).normal(size=(1, 3, 32, 32))
+
+        def req(model_name):
+            return {
+                "model_name": model_name,
+                "inputs": [
+                    {
+                        "name": "data",
+                        "datatype": "FP32",
+                        "shape": [1, 3, 32, 32],
+                    }
+                ],
+                "raw_input_contents": [x.astype("<f4").tobytes()],
+            }
+
+        def requests():
+            yield req("face_quality")  # good
+            yield req("no_such_model")  # unknown model -> NOT_FOUND
+            yield req("face_quality")  # stream must still be serving
+
+        responses = list(stream(requests(), timeout=60))
+        assert len(responses) == 3
+        assert responses[0]["error_message"] == ""
+        err = responses[1]["error_message"]
+        assert "NOT_FOUND" in err and "no_such_model" in err, err
+        assert responses[1]["infer_response"] is None
+        assert responses[2]["error_message"] == ""
+        out = responses[2]["infer_response"]["raw_output_contents"][0]
+        assert np.frombuffer(out, dtype="<f4").size == 4
+    finally:
+        channel.close()
+
+
+def test_wire_shm_unregister_unknown_not_found(wire_port):
+    import grpc
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        with pytest.raises(grpc.RpcError) as e:
+            client.system_shared_memory_unregister("never_registered")
+        assert e.value.code() == grpc.StatusCode.NOT_FOUND
+    finally:
+        client.close()
 
 
 def test_wire_bad_dtype_invalid_argument(wire_port):

@@ -44,14 +44,21 @@ from rs_face_detection_tpu.pipeline.detection import RetinaFaceDetection
 require_healthy_relay()
 model, variables = build_mnet()
 
+# Every row pins max_candidates EXPLICITLY: the shipping default flipped
+# 256 -> 128 after this grid's 2026-08-19 run, and a row that relied on
+# the default would silently re-measure the 128 graph under a 256 label.
 CONFIGS = [
-    ("exact-256-fixpoint", dict(), "fixpoint"),  # shipping default
-    ("exact-256-greedy", dict(), "greedy"),
-    ("exact-256-pallas", dict(), "pallas"),
+    ("exact-256-fixpoint", dict(max_candidates=256), "fixpoint"),
+    ("exact-256-greedy", dict(max_candidates=256), "greedy"),
+    ("exact-256-pallas", dict(max_candidates=256), "pallas"),
     ("exact-192-fixpoint", dict(max_candidates=192), "fixpoint"),
-    ("exact-128-fixpoint", dict(max_candidates=128), "fixpoint"),
+    ("exact-128-fixpoint", dict(max_candidates=128), "fixpoint"),  # default
     ("exact-128-pallas", dict(max_candidates=128), "pallas"),
-    ("approx-256-fixpoint", dict(candidate_selection="approx"), "fixpoint"),
+    (
+        "approx-256-fixpoint",
+        dict(candidate_selection="approx", max_candidates=256),
+        "fixpoint",
+    ),
     (
         "approx-128-fixpoint",
         dict(candidate_selection="approx", max_candidates=128),

@@ -37,12 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from _ab_common import require_healthy_relay
-from bench import _graph_flops, _throughput_device
+from bench import PEAK_TFLOPS_BF16, _graph_flops, _throughput_device
 from rs_face_detection_tpu.models import vit as vit_mod
 from rs_face_detection_tpu.models.precision import cast_kernels
 from rs_face_detection_tpu.models.vit import ViT, init_vit
 
-PEAK_TFLOPS_BF16 = 197.0  # v5e
 _rng = np.random.default_rng()
 
 require_healthy_relay()
