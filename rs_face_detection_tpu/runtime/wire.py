@@ -286,6 +286,64 @@ TRACE_SETTING_RESPONSE = {
     ),
 }
 
+# grpc_service.proto: CUDA shared-memory verbs (:1494-1616).  Served for
+# wire completeness: register is a typed refusal (TPU HBM is not
+# host-mappable — cudaIPC handles have no analog), status/unregister follow
+# Triton's empty-registry semantics so probing clients get well-formed
+# answers instead of UNIMPLEMENTED stream errors.
+CUDA_SHM_REGION_STATUS = {
+    "name": Field(1, "string"),
+    "device_id": Field(2, "uint64"),
+    "byte_size": Field(3, "uint64"),
+}
+CUDA_SHM_STATUS_REQUEST = {"name": Field(1, "string")}
+CUDA_SHM_STATUS_RESPONSE = {
+    "regions": Field(
+        1,
+        "message",
+        map_entry=(
+            Field(1, "string"),
+            Field(2, "message", schema=CUDA_SHM_REGION_STATUS),
+        ),
+    ),
+}
+CUDA_SHM_REGISTER_REQUEST = {
+    "name": Field(1, "string"),
+    "raw_handle": Field(2, "bytes"),
+    "device_id": Field(3, "int64"),
+    "byte_size": Field(4, "uint64"),
+}
+CUDA_SHM_UNREGISTER_REQUEST = {"name": Field(1, "string")}
+
+# grpc_service.proto: LogSettings (:1686-1756) — dynamic log configuration.
+# SettingValue is a oneof{bool, uint32, string}; requests carry only the
+# keys to change, responses return the full post-update state.
+LOG_SETTING_VALUE = {
+    "bool_param": Field(1, "bool"),
+    "uint32_param": Field(2, "uint32"),
+    "string_param": Field(3, "string"),
+}
+LOG_SETTINGS_REQUEST = {
+    "settings": Field(
+        1,
+        "message",
+        map_entry=(
+            Field(1, "string"),
+            Field(2, "message", schema=LOG_SETTING_VALUE),
+        ),
+    ),
+}
+LOG_SETTINGS_RESPONSE = {
+    "settings": Field(
+        1,
+        "message",
+        map_entry=(
+            Field(1, "string"),
+            Field(2, "message", schema=LOG_SETTING_VALUE),
+        ),
+    ),
+}
+
 # model_config.proto: ModelTensorReshape
 MODEL_TENSOR_RESHAPE = {"shape": Field(1, "int64", repeated=True)}
 
@@ -431,6 +489,17 @@ class TritonWireServicer:
         self._own_shm = None
         self._jit_cache: Dict[Tuple[str, Tuple[int, ...], str], Any] = {}
         self._lock = threading.Lock()
+        # LogSettings state (Triton's defaults, grpc_service.proto:1686)
+        self._log_settings: Dict[str, Any] = {
+            "log_file": "",
+            "log_info": True,
+            "log_warning": True,
+            "log_error": True,
+            "log_verbose_level": 0,
+            "log_format": "default",
+        }
+        self._log_file_path = ""
+        self._log_file_handler = None
 
     @property
     def shm(self):
@@ -623,6 +692,108 @@ class TritonWireServicer:
         except KeyError as e:
             context.abort(grpc.StatusCode.NOT_FOUND, f"KeyError: {e}")
         return {}
+
+    # -- CUDA shared memory (typed refusal / empty-registry semantics) ------
+
+    _CUDA_SHM_ERROR = (
+        "CUDA shared memory has no TPU analog: TPU HBM is not host-mappable "
+        "and cudaIPC handles cannot be honored; use system shared memory "
+        "(SystemSharedMemoryRegister) for zero-copy tensors"
+    )
+
+    def cuda_shared_memory_register(self, request, context):
+        import grpc
+
+        context.abort(grpc.StatusCode.UNIMPLEMENTED, self._CUDA_SHM_ERROR)
+
+    def cuda_shared_memory_status(self, request, context):
+        import grpc
+
+        if request["name"]:
+            # No CUDA region can ever be registered here, so any named
+            # lookup is NOT_FOUND (Triton status semantics); a blanket
+            # status is simply the empty map.
+            context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"CUDA shared-memory region {request['name']!r} is not "
+                "registered (none can be: TPU host)",
+            )
+        return {"regions": {}}
+
+    def cuda_shared_memory_unregister(self, request, context):
+        import grpc
+
+        if request["name"]:
+            context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"CUDA shared-memory region {request['name']!r} is not "
+                "registered (none can be: TPU host)",
+            )
+        return {}  # empty name = unregister all, a no-op on the empty set
+
+    # -- log settings --------------------------------------------------------
+
+    def log_settings(self, request, context):
+        """Triton dynamic log configuration (grpc_service.proto:1686-1756)
+        mapped onto Python logging for the package logger: the
+        log_info/log_warning/log_error booleans and log_verbose_level pick
+        the threshold; log_file attaches/replaces a FileHandler; log_format
+        is accepted and echoed.  Returns the full post-update state."""
+        import grpc
+        import logging
+
+        for key, val in (request["settings"] or {}).items():
+            if key not in self._log_settings:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"unknown log setting {key!r}",
+                )
+            val = val or {}
+            if key in ("log_info", "log_warning", "log_error"):
+                self._log_settings[key] = bool(val.get("bool_param", False))
+            elif key == "log_verbose_level":
+                self._log_settings[key] = int(val.get("uint32_param", 0))
+            else:  # log_file / log_format
+                self._log_settings[key] = str(val.get("string_param", ""))
+
+        logger = logging.getLogger("rs_face_detection_tpu")
+        s = self._log_settings
+        if s["log_verbose_level"] > 0:
+            level = logging.DEBUG
+        elif s["log_info"]:
+            level = logging.INFO
+        elif s["log_warning"]:
+            level = logging.WARNING
+        else:
+            level = logging.ERROR if s["log_error"] else logging.CRITICAL
+        logger.setLevel(level)
+        if s["log_file"] != self._log_file_path:
+            if self._log_file_handler is not None:
+                logger.removeHandler(self._log_file_handler)
+                self._log_file_handler.close()
+                self._log_file_handler = None
+            self._log_file_path = s["log_file"]
+            if s["log_file"]:
+                try:
+                    self._log_file_handler = logging.FileHandler(s["log_file"])
+                except OSError as e:
+                    self._log_file_path = ""
+                    s["log_file"] = ""
+                    context.abort(
+                        grpc.StatusCode.INVALID_ARGUMENT,
+                        f"log_file: {e}",
+                    )
+                logger.addHandler(self._log_file_handler)
+
+        out = {}
+        for key, value in s.items():
+            if isinstance(value, bool):
+                out[key] = {"bool_param": value}
+            elif isinstance(value, int):
+                out[key] = {"uint32_param": value}
+            else:
+                out[key] = {"string_param": value}
+        return {"settings": out}
 
     # -- trace -----------------------------------------------------------------
 
@@ -1012,6 +1183,26 @@ def wire_handlers(servicer: TritonWireServicer):
             TRACE_SETTING_REQUEST,
             TRACE_SETTING_RESPONSE,
         ),
+        "CudaSharedMemoryRegister": unary(
+            servicer.cuda_shared_memory_register,
+            CUDA_SHM_REGISTER_REQUEST,
+            EMPTY,
+        ),
+        "CudaSharedMemoryStatus": unary(
+            servicer.cuda_shared_memory_status,
+            CUDA_SHM_STATUS_REQUEST,
+            CUDA_SHM_STATUS_RESPONSE,
+        ),
+        "CudaSharedMemoryUnregister": unary(
+            servicer.cuda_shared_memory_unregister,
+            CUDA_SHM_UNREGISTER_REQUEST,
+            EMPTY,
+        ),
+        "LogSettings": unary(
+            servicer.log_settings,
+            LOG_SETTINGS_REQUEST,
+            LOG_SETTINGS_RESPONSE,
+        ),
         "ModelInfer": unary(
             servicer.model_infer, MODEL_INFER_REQUEST, MODEL_INFER_RESPONSE
         ),
@@ -1137,6 +1328,64 @@ class TritonWireClient:
             "SystemSharedMemoryUnregister", SHM_UNREGISTER_REQUEST, EMPTY,
             {"name": name},
         )
+
+    def cuda_shared_memory_register(
+        self, name: str, raw_handle: bytes, device_id: int, byte_size: int
+    ) -> None:
+        """Always refused on a TPU host (UNIMPLEMENTED) — mirror of
+        client.rs cuda_shared_memory_register for wire completeness."""
+        self._unary(
+            "CudaSharedMemoryRegister", CUDA_SHM_REGISTER_REQUEST, EMPTY,
+            {
+                "name": name,
+                "raw_handle": raw_handle,
+                "device_id": device_id,
+                "byte_size": byte_size,
+            },
+        )
+
+    def cuda_shared_memory_status(self, name: str = "") -> Dict[str, Any]:
+        return self._unary(
+            "CudaSharedMemoryStatus",
+            CUDA_SHM_STATUS_REQUEST,
+            CUDA_SHM_STATUS_RESPONSE,
+            {"name": name},
+        )["regions"]
+
+    def cuda_shared_memory_unregister(self, name: str = "") -> None:
+        self._unary(
+            "CudaSharedMemoryUnregister", CUDA_SHM_UNREGISTER_REQUEST, EMPTY,
+            {"name": name},
+        )
+
+    def log_settings(
+        self, settings: Optional[Dict[str, Any]] = None
+    ) -> Dict[str, Any]:
+        """Read (no args) or update the server's dynamic log settings.
+        Values are plain Python bool/int/str; the oneof wrapping is
+        applied per Triton's SettingValue type rules."""
+        req_settings = {}
+        for k, v in (settings or {}).items():
+            if isinstance(v, bool):
+                req_settings[k] = {"bool_param": v}
+            elif isinstance(v, int):
+                req_settings[k] = {"uint32_param": v}
+            else:
+                req_settings[k] = {"string_param": str(v)}
+        out = self._unary(
+            "LogSettings", LOG_SETTINGS_REQUEST, LOG_SETTINGS_RESPONSE,
+            {"settings": req_settings},
+        )
+        flat: Dict[str, Any] = {}
+        for k, v in out["settings"].items():
+            v = v or {}
+            if k in ("log_info", "log_warning", "log_error"):
+                flat[k] = bool(v.get("bool_param", False))
+            elif k == "log_verbose_level":
+                flat[k] = int(v.get("uint32_param", 0))
+            else:
+                flat[k] = str(v.get("string_param", ""))
+        return flat
 
     def trace_setting(
         self, settings: Optional[Dict[str, List[str]]] = None

@@ -603,6 +603,73 @@ def test_wire_shm_unregister_unknown_not_found(wire_port):
         client.close()
 
 
+def test_wire_cuda_shm_verbs(wire_port):
+    """The three CUDA shared-memory RPCs answer on the real wire: register
+    is a typed UNIMPLEMENTED refusal (TPU HBM is not host-mappable), named
+    status/unregister are NOT_FOUND, blanket status/unregister follow
+    Triton's empty-registry semantics (grpc_service.proto:1494-1616)."""
+    import grpc
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        with pytest.raises(grpc.RpcError) as e:
+            client.cuda_shared_memory_register("r", b"\x00" * 64, 0, 4096)
+        assert e.value.code() == grpc.StatusCode.UNIMPLEMENTED
+        assert "system shared memory" in e.value.details()
+        assert client.cuda_shared_memory_status() == {}
+        client.cuda_shared_memory_unregister()  # empty name: no-op
+        for call in (
+            lambda: client.cuda_shared_memory_status("r"),
+            lambda: client.cuda_shared_memory_unregister("r"),
+        ):
+            with pytest.raises(grpc.RpcError) as e:
+                call()
+            assert e.value.code() == grpc.StatusCode.NOT_FOUND
+    finally:
+        client.close()
+
+
+def test_wire_log_settings(wire_port):
+    """LogSettings round trip: defaults report Triton's initial state,
+    updates change the package logger level and echo the merged state,
+    unknown keys are INVALID_ARGUMENT (grpc_service.proto:1686-1756)."""
+    import logging
+
+    import grpc
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    logger = logging.getLogger("rs_face_detection_tpu")
+    before = logger.level
+    try:
+        state = client.log_settings()
+        assert state["log_info"] is True and state["log_error"] is True
+        assert state["log_verbose_level"] == 0
+        assert state["log_format"] == "default"
+
+        state = client.log_settings({"log_verbose_level": 2})
+        assert state["log_verbose_level"] == 2
+        assert logger.level == logging.DEBUG
+
+        state = client.log_settings(
+            {"log_verbose_level": 0, "log_info": False}
+        )
+        assert state["log_info"] is False
+        assert logger.level == logging.WARNING
+
+        with pytest.raises(grpc.RpcError) as e:
+            client.log_settings({"log_nonsense": True})
+        assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    finally:
+        client.log_settings(
+            {"log_verbose_level": 0, "log_info": True, "log_warning": True,
+             "log_error": True}
+        )
+        logger.setLevel(before)
+        client.close()
+
+
 def test_wire_bad_dtype_invalid_argument(wire_port):
     import grpc
 
