@@ -132,3 +132,22 @@ def test_official_eval_real_collages_tta(collage_tree, capsys):
     assert res["easy"]["ap"] >= 0.60, res
     assert res["medium"]["ap"] >= 0.55, res
     assert res["hard"]["ap"] >= 0.35, res
+
+
+def test_approx_topk_ap_parity_on_real_collages(collage_tree, capsys):
+    """AP evidence for the opt-in approx top-k (+2.7% throughput,
+    tools/ab_tail.py): on the real-pixel collage protocol, approx_max_k
+    (recall 0.95) must land within a small AP delta of exact lax.top_k —
+    approx reorders only near-cutoff candidates, which on these scenes
+    (<=4 faces, 256-candidate cap) is deep below the scored detections.
+    If this ever drifts, the knob's DEPLOY.md claim needs re-measuring."""
+    root = collage_tree[0]
+    exact = _run_eval_wider(root, "--no-batched", capsys=capsys)
+    approx = _run_eval_wider(
+        root, "--no-batched", "--candidate-selection", "approx",
+        capsys=capsys,
+    )
+    for split in ("easy", "medium", "hard"):
+        assert abs(approx[split]["ap"] - exact[split]["ap"]) <= 0.02, (
+            split, exact[split]["ap"], approx[split]["ap"],
+        )

@@ -44,6 +44,7 @@ def build_detector(args):
         image_size=(args.size, args.size),
         max_candidates=256,
         confidence_threshold=getattr(args, "confidence", 0.02),
+        candidate_selection=getattr(args, "candidate_selection", "exact"),
     )
     if args.checkpoint:
         import numpy as np
@@ -226,6 +227,15 @@ def main() -> int:
         "(0.02, the insightface eval convention) so precision/recall "
         "ranking sees the full score range — the 0.7 production default "
         "would clip the curve",
+    )
+    parser.add_argument(
+        "--candidate-selection",
+        default="exact",
+        choices=("exact", "approx"),
+        dest="candidate_selection",
+        help="pre-NMS top-k mode (retinaface detector): exact lax.top_k "
+        "(default) or the +2.7%%-throughput approx_max_k opt-in — run both "
+        "to measure the AP cost of approx on your data",
     )
     parser.add_argument("--iou", type=float, default=0.5)
     parser.add_argument("--max-images", type=int, default=None)
