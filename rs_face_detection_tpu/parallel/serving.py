@@ -252,11 +252,11 @@ class DetectionServer:
                         return
                     chunk.append(payload)
                     if len(chunk) == self.batch_size:
-                        if not put(self._prepare_batch(chunk)):
+                        if not put(self._stage(self._prepare_batch(chunk))):
                             return
                         chunk = []
                 if chunk:
-                    put(self._prepare_batch(chunk))
+                    put(self._stage(self._prepare_batch(chunk)))
             except BaseException as e:  # re-raised on the consumer side
                 put(e)
             finally:
@@ -292,6 +292,23 @@ class DetectionServer:
             # Runs on normal exhaustion AND on generator close (client
             # cancel/abandon): release the producer.
             abandoned.set()
+
+    def _stage(self, prep):
+        """Start the host->device transfer on the producer thread, so
+        uploads overlap the consumer's device compute (the missing half of
+        the double buffer: through a network-attached device the transfer
+        is the dominant per-batch cost).  device_put is async and
+        idempotent, so _run's own device_put/asarray become no-ops on the
+        staged arrays, and the synchronous detect_batch path (which calls
+        _run with raw numpy) is unaffected."""
+        imgs, scales, n = prep
+        if self._in_sharding is not None:
+            return (
+                jax.device_put(imgs, self._in_sharding),
+                jax.device_put(scales, self._in_sharding),
+                n,
+            )
+        return jax.device_put(imgs), jax.device_put(scales), n
 
     def _run(self, imgs: np.ndarray, scales: np.ndarray) -> PaddedDetections:
         if self._in_sharding is not None:
