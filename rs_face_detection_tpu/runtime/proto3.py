@@ -42,6 +42,11 @@ class Field(NamedTuple):
     schema: Optional[Dict[str, "Field"]] = None
     #: (key_field, value_field) for protobuf map<K, V> fields
     map_entry: Optional[Tuple["Field", "Field"]] = None
+    #: member of a proto3 oneof: EXPLICIT presence — encoded even at the
+    #: type's default value (protoc does the same), and NOT pre-filled with
+    #: a default on decode, so `name in msg` reports which oneof case was
+    #: actually set on the wire.
+    oneof: bool = False
 
 
 # wire type per scalar kind
@@ -216,11 +221,13 @@ def encode_message(schema: Dict[str, Field], msg: Dict[str, Any]) -> bytes:
                 for v in value:
                     out += _key(field.number, wt) + _encode_scalar(field.kind, v)
             continue
-        # singular scalar: proto3 omits default values
-        if value == _DEFAULTS[field.kind] and not isinstance(value, float):
-            continue
-        if isinstance(value, float) and value == 0.0:
-            continue
+        # singular scalar: proto3 omits default values — except oneof
+        # members, whose presence is explicit
+        if not field.oneof:
+            if value == _DEFAULTS[field.kind] and not isinstance(value, float):
+                continue
+            if isinstance(value, float) and value == 0.0:
+                continue
         out += _key(field.number, _WIRE_TYPE[field.kind]) + _encode_scalar(
             field.kind, value
         )
@@ -244,7 +251,8 @@ def _skip_field(wire_type: int, buf: bytes, pos: int) -> int:
 def decode_message(schema: Dict[str, Field], buf: bytes) -> Dict[str, Any]:
     """proto3 bytes -> dict with every schema field present (proto3
     semantics: absent singular scalars read as their default, repeated as
-    [], maps as {}, absent submessages as None)."""
+    [], maps as {}, absent submessages as None) — EXCEPT oneof members,
+    which appear only when their case was set on the wire."""
     by_number = {f.number: (name, f) for name, f in schema.items()}
     msg: Dict[str, Any] = {}
     for name, field in schema.items():
@@ -254,7 +262,7 @@ def decode_message(schema: Dict[str, Field], buf: bytes) -> Dict[str, Any]:
             msg[name] = []
         elif field.kind == "message":
             msg[name] = None
-        else:
+        elif not field.oneof:  # oneof members keep explicit presence
             msg[name] = _DEFAULTS[field.kind]
 
     pos = 0

@@ -52,13 +52,15 @@ SERVICE = "inference.GRPCInferenceService"
 # model_config.proto; numbers are the wire contract and must not change).
 # ---------------------------------------------------------------------------
 
-# grpc_service.proto: InferParameter (oneof parameter_choice)
+# grpc_service.proto: InferParameter (oneof parameter_choice, :441-460) —
+# explicit presence: a member encodes even at its default value and is only
+# present on decode when its case was set.
 INFER_PARAMETER = {
-    "bool_param": Field(1, "bool"),
-    "int64_param": Field(2, "int64"),
-    "string_param": Field(3, "string"),
-    "double_param": Field(4, "double"),
-    "uint64_param": Field(5, "uint64"),
+    "bool_param": Field(1, "bool", oneof=True),
+    "int64_param": Field(2, "int64", oneof=True),
+    "string_param": Field(3, "string", oneof=True),
+    "double_param": Field(4, "double", oneof=True),
+    "uint64_param": Field(5, "uint64", oneof=True),
 }
 
 
@@ -319,9 +321,9 @@ CUDA_SHM_UNREGISTER_REQUEST = {"name": Field(1, "string")}
 # SettingValue is a oneof{bool, uint32, string}; requests carry only the
 # keys to change, responses return the full post-update state.
 LOG_SETTING_VALUE = {
-    "bool_param": Field(1, "bool"),
-    "uint32_param": Field(2, "uint32"),
-    "string_param": Field(3, "string"),
+    "bool_param": Field(1, "bool", oneof=True),
+    "uint32_param": Field(2, "uint32", oneof=True),
+    "string_param": Field(3, "string", oneof=True),
 }
 LOG_SETTINGS_REQUEST = {
     "settings": Field(
@@ -536,6 +538,7 @@ class TritonWireServicer:
                 "statistics",
                 "trace",
                 "system_shared_memory",
+                "logging",
             ],
         }
 
@@ -738,10 +741,18 @@ class TritonWireServicer:
         mapped onto Python logging for the package logger: the
         log_info/log_warning/log_error booleans and log_verbose_level pick
         the threshold; log_file attaches/replaces a FileHandler; log_format
-        is accepted and echoed.  Returns the full post-update state."""
+        is accepted and echoed.  Returns the full post-update state.
+
+        Triton semantics preserved: the whole request is validated before
+        ANY state changes (a rejected request leaves the prior settings —
+        including a working log_file handler — fully in effect), and a
+        SettingValue whose oneof case does not match the key's expected
+        type is INVALID_ARGUMENT, not coerced."""
         import grpc
         import logging
 
+        # Phase 1: validate every key/value with no side effects.
+        updates: Dict[str, Any] = {}
         for key, val in (request["settings"] or {}).items():
             if key not in self._log_settings:
                 context.abort(
@@ -750,43 +761,64 @@ class TritonWireServicer:
                 )
             val = val or {}
             if key in ("log_info", "log_warning", "log_error"):
-                self._log_settings[key] = bool(val.get("bool_param", False))
+                want = "bool_param"
             elif key == "log_verbose_level":
-                self._log_settings[key] = int(val.get("uint32_param", 0))
+                want = "uint32_param"
             else:  # log_file / log_format
-                self._log_settings[key] = str(val.get("string_param", ""))
+                want = "string_param"
+            if want not in val or any(k != want for k in val):
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"log setting {key!r} expects {want}, got "
+                    f"{sorted(val) or 'no value'}",
+                )
+            cast = {"bool_param": bool, "uint32_param": int, "string_param": str}
+            updates[key] = cast[want](val[want])
 
+        # Phase 2: apply atomically.  _lock also guards the jit cache;
+        # contention here is negligible (LogSettings is a rare admin verb).
         logger = logging.getLogger("rs_face_detection_tpu")
-        s = self._log_settings
-        if s["log_verbose_level"] > 0:
-            level = logging.DEBUG
-        elif s["log_info"]:
-            level = logging.INFO
-        elif s["log_warning"]:
-            level = logging.WARNING
-        else:
-            level = logging.ERROR if s["log_error"] else logging.CRITICAL
-        logger.setLevel(level)
-        if s["log_file"] != self._log_file_path:
-            if self._log_file_handler is not None:
-                logger.removeHandler(self._log_file_handler)
-                self._log_file_handler.close()
-                self._log_file_handler = None
-            self._log_file_path = s["log_file"]
-            if s["log_file"]:
-                try:
-                    self._log_file_handler = logging.FileHandler(s["log_file"])
-                except OSError as e:
-                    self._log_file_path = ""
-                    s["log_file"] = ""
-                    context.abort(
-                        grpc.StatusCode.INVALID_ARGUMENT,
-                        f"log_file: {e}",
-                    )
-                logger.addHandler(self._log_file_handler)
+        with self._lock:
+            new_file = updates.get("log_file", self._log_file_path)
+            new_handler = self._log_file_handler
+            if new_file != self._log_file_path:
+                if new_file:
+                    try:
+                        # Open the new handler BEFORE touching the old one so
+                        # a bad path leaves existing file logging intact.
+                        new_handler = logging.FileHandler(new_file)
+                    except OSError as e:
+                        context.abort(
+                            grpc.StatusCode.INVALID_ARGUMENT,
+                            f"log_file: {e}",
+                        )
+                else:
+                    new_handler = None
 
-        out = {}
-        for key, value in s.items():
+            self._log_settings.update(updates)
+            s = self._log_settings
+            if s["log_verbose_level"] > 0:
+                level = logging.DEBUG
+            elif s["log_info"]:
+                level = logging.INFO
+            elif s["log_warning"]:
+                level = logging.WARNING
+            else:
+                level = logging.ERROR if s["log_error"] else logging.CRITICAL
+            logger.setLevel(level)
+            if new_handler is not self._log_file_handler:
+                if self._log_file_handler is not None:
+                    logger.removeHandler(self._log_file_handler)
+                    self._log_file_handler.close()
+                self._log_file_handler = new_handler
+                self._log_file_path = new_file
+                if new_handler is not None:
+                    logger.addHandler(new_handler)
+
+            out = {}
+            settings_snapshot = dict(s)
+
+        for key, value in settings_snapshot.items():
             if isinstance(value, bool):
                 out[key] = {"bool_param": value}
             elif isinstance(value, int):

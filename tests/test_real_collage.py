@@ -137,16 +137,36 @@ def test_official_eval_real_collages_tta(collage_tree, capsys):
 def test_approx_topk_ap_parity_on_real_collages(collage_tree, capsys):
     """AP evidence for the opt-in approx top-k (+2.7% throughput,
     tools/ab_tail.py): on the real-pixel collage protocol, approx_max_k
-    (recall 0.95) must land within a small AP delta of exact lax.top_k —
-    approx reorders only near-cutoff candidates, which on these scenes
-    (<=4 faces, 256-candidate cap) is deep below the scored detections.
-    If this ever drifts, the knob's DEPLOY.md claim needs re-measuring."""
+    (recall 0.95) must land within a small AP delta of exact lax.top_k.
+
+    The cap is pinned BELOW the anchor count so the top-k truncation is
+    real: mnet025 at 64x64 has (8^2+4^2+2^2)*2 = 168 anchors, and at the
+    protocol's 256-candidate default k == n, where approx_max_k (with its
+    aggregate-to-topk pass) degenerates to exact top-k and the gate would
+    be vacuous.  At k=64 < 168 approx genuinely drops near-cutoff
+    candidates — the regime the DEPLOY.md claim is about.  If this ever
+    drifts, the knob needs re-measuring."""
+    from rs_face_detection_tpu.configs import RPN_ANCHOR_CFG
+    from rs_face_detection_tpu.ops.anchors import generate_anchors_fpn
+
+    n_anchors = sum(
+        (64 // s) ** 2 * a.shape[0]
+        for s, a in generate_anchors_fpn(RPN_ANCHOR_CFG).items()
+    )
+    cap = 64
+    assert cap < n_anchors, (cap, n_anchors)  # truncation must be real
+
     root = collage_tree[0]
-    exact = _run_eval_wider(root, "--no-batched", capsys=capsys)
+    exact = _run_eval_wider(
+        root, "--no-batched", "--max-candidates", str(cap), capsys=capsys
+    )
     approx = _run_eval_wider(
-        root, "--no-batched", "--candidate-selection", "approx",
+        root, "--no-batched", "--max-candidates", str(cap),
+        "--candidate-selection", "approx",
         capsys=capsys,
     )
+    # the truncated exact run must still find the faces (cap 64 >> 4/scene)
+    assert exact["hard"]["ap"] >= 0.35, exact
     for split in ("easy", "medium", "hard"):
         assert abs(approx[split]["ap"] - exact[split]["ap"]) <= 0.02, (
             split, exact[split]["ap"], approx[split]["ap"],

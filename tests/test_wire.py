@@ -670,6 +670,105 @@ def test_wire_log_settings(wire_port):
         client.close()
 
 
+@needs_protoc
+def test_protoc_golden_oneof_default_presence():
+    """proto3 oneof members have EXPLICIT presence: protoc serializes
+    `bool_param: false` (grpc_service.proto:1694 SettingValue), and decode
+    must report which case was set rather than pre-filling all three."""
+    from rs_face_detection_tpu.runtime.wire import LOG_SETTINGS_REQUEST
+
+    request = {"settings": {"log_info": {"bool_param": False}}}
+    golden = _protoc_encode(
+        "LogSettingsRequest",
+        'settings { key: "log_info" value { bool_param: false } }',
+    )
+    assert encode_message(LOG_SETTINGS_REQUEST, request) == golden
+    decoded = decode_message(LOG_SETTINGS_REQUEST, golden)
+    val = decoded["settings"]["log_info"]
+    assert val == {"bool_param": False}  # present, and ONLY this case
+    assert "uint32_param" not in val and "string_param" not in val
+
+
+def test_wire_log_settings_atomic_reject(wire_port):
+    """Triton semantics: a rejected LogSettings request must leave the
+    prior state fully in effect — no key from the failed request may be
+    applied (the valid key precedes the bad one in the map)."""
+    import grpc
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        before = client.log_settings()
+        assert before["log_info"] is True
+        with pytest.raises(grpc.RpcError) as e:
+            client.log_settings({"log_info": False, "log_typo": 1})
+        assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+        after = client.log_settings()
+        assert after == before  # log_info=False must NOT have stuck
+    finally:
+        client.close()
+
+
+def test_wire_log_settings_wrong_type_rejected(wire_port):
+    """A SettingValue whose oneof case does not match the key's expected
+    type is INVALID_ARGUMENT, not silently coerced: log_info sent as
+    uint32_param must not flip the boolean."""
+    import grpc
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        before = client.log_settings()
+        for bad in (
+            {"log_info": 1},            # uint32_param for a bool key
+            {"log_verbose_level": "2"},  # string_param for a uint32 key
+            {"log_format": True},        # bool_param for a string key
+        ):
+            with pytest.raises(grpc.RpcError) as e:
+                client.log_settings(bad)
+            assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+            assert "expects" in e.value.details()
+        assert client.log_settings() == before
+    finally:
+        client.close()
+
+
+def test_wire_log_settings_bad_file_keeps_old_handler(wire_port, tmp_path):
+    """A failed log_file update must not destroy working file logging:
+    the old handler is replaced only after the new one opens (Triton
+    keeps the prior setting when an update fails)."""
+    import grpc
+    import logging
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    logger = logging.getLogger("rs_face_detection_tpu")
+    before_level = logger.level
+    good = str(tmp_path / "server.log")
+    try:
+        state = client.log_settings({"log_file": good, "log_info": True})
+        assert state["log_file"] == good
+        logger.info("line-one")
+        with open(good) as f:
+            assert "line-one" in f.read()
+
+        with pytest.raises(grpc.RpcError) as e:
+            client.log_settings(
+                {"log_file": str(tmp_path / "no-such-dir" / "x.log")}
+            )
+        assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+        # prior handler still attached and reported
+        assert client.log_settings()["log_file"] == good
+        logger.info("line-two")
+        with open(good) as f:
+            assert "line-two" in f.read()
+    finally:
+        client.log_settings({"log_file": ""})
+        logger.setLevel(before_level)
+        client.close()
+
+
 def test_wire_bad_dtype_invalid_argument(wire_port):
     import grpc
 

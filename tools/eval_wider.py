@@ -38,11 +38,12 @@ def build_detector(args):
         return build_scrfd_detector(args)
     # Dense-scene eval cap: the serving default (128) is tuned for the 0.7
     # production threshold; WIDER-hard crowd scenes need more NMS candidates,
-    # so the eval protocol pins the pre-flip 256 regardless of the default.
+    # so the eval protocol pins the pre-flip 256 regardless of the default
+    # (overridable via --max-candidates).
     cfg = FaceDetectionConfig(
         backbone=args.backbone,
         image_size=(args.size, args.size),
-        max_candidates=256,
+        max_candidates=getattr(args, "max_candidates", 256),
         confidence_threshold=getattr(args, "confidence", 0.02),
         candidate_selection=getattr(args, "candidate_selection", "exact"),
     )
@@ -236,6 +237,17 @@ def main() -> int:
         help="pre-NMS top-k mode (retinaface detector): exact lax.top_k "
         "(default) or the +2.7%%-throughput approx_max_k opt-in — run both "
         "to measure the AP cost of approx on your data",
+    )
+    parser.add_argument(
+        "--max-candidates",
+        type=int,
+        default=256,
+        dest="max_candidates",
+        help="pre-NMS candidate cap (retinaface detector).  The eval "
+        "protocol default stays at the pre-flip 256 (WIDER-hard crowd "
+        "scenes need more NMS candidates than the 128 serving default); "
+        "lower it below the anchor count to exercise real top-k "
+        "truncation (e.g. the approx-vs-exact AP parity gate)",
     )
     parser.add_argument("--iou", type=float, default=0.5)
     parser.add_argument("--max-images", type=int, default=None)
