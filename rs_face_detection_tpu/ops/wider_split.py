@@ -338,6 +338,67 @@ def collect_predictions(
     return predictions
 
 
+def dump_predictions(
+    predictions: Mapping[str, np.ndarray], out_dir: str
+) -> int:
+    """Write predictions as an official WIDER submission tree.
+
+    One `<out_dir>/<event>/<image>.txt` per image, in the format the
+    published eval_tools (and its widely-used Python port,
+    widerface_evaluate) consume:
+
+        <image stem>
+        <n_boxes>
+        x y w h score        # one per box
+
+    Corner boxes convert with the official +1 convention (w = x2-x1+1 —
+    the same one the reference's NMS areas use, processing/nms.rs:39-58),
+    which the scorer undoes when it re-adds the corners.  Keys are the
+    GT-relative "<event>/<image>" paths.  Returns the number of files
+    written, so callers can assert coverage."""
+    written = 0
+    for key, dets in predictions.items():
+        dets = np.asarray(dets, np.float32)
+        dets = (
+            dets.reshape(-1, dets.shape[-1])[:, :5]
+            if dets.size
+            else np.zeros((0, 5), np.float32)
+        )
+        path = os.path.join(out_dir, f"{key}.txt")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(f"{os.path.basename(key)}\n{len(dets)}\n")
+            for x1, y1, x2, y2, score in dets:
+                f.write(
+                    f"{x1:.3f} {y1:.3f} {x2 - x1 + 1:.3f} "
+                    f"{y2 - y1 + 1:.3f} {score:.6f}\n"
+                )
+        written += 1
+    return written
+
+
+def load_dumped_predictions(in_dir: str) -> Dict[str, np.ndarray]:
+    """Read a dump_predictions tree back to corner-box arrays (the inverse,
+    also reads third-party submission trees in the official format)."""
+    predictions: Dict[str, np.ndarray] = {}
+    for event in sorted(os.listdir(in_dir)):
+        event_dir = os.path.join(in_dir, event)
+        if not os.path.isdir(event_dir):
+            continue
+        for fn in sorted(os.listdir(event_dir)):
+            if not fn.endswith(".txt"):
+                continue
+            with open(os.path.join(event_dir, fn)) as f:
+                lines = f.read().splitlines()
+            n = int(lines[1]) if len(lines) > 1 else 0
+            rows = np.zeros((n, 5), np.float32)
+            for i, line in enumerate(lines[2 : 2 + n]):
+                x, y, w, h, s = (float(v) for v in line.split())
+                rows[i] = (x, y, x + w - 1.0, y + h - 1.0, s)
+            predictions[f"{event}/{fn[:-4]}"] = rows
+    return predictions
+
+
 def evaluate_wider_official(
     detect_many,
     images_root: str,
@@ -346,8 +407,13 @@ def evaluate_wider_official(
     iou_threshold: float = 0.5,
     max_images: Optional[int] = None,
     progress_every: int = 0,
+    dump_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
-    """End to end: detect every GT image once, score all difficulties."""
+    """End to end: detect every GT image once, score all difficulties.
+
+    dump_dir: also write the predictions as an official submission tree
+    (dump_predictions) so the external eval_tools / widerface_evaluate
+    scorers can be run on the same sweep."""
     gt = load_gt_mat(gt_mat)
     keys = sorted(gt)
     if max_images is not None:
@@ -357,4 +423,6 @@ def evaluate_wider_official(
     predictions = collect_predictions(
         detect_many, images_root, keys, progress_every=progress_every
     )
+    if dump_dir is not None:
+        dump_predictions(predictions, dump_dir)
     return evaluate_predictions(predictions, gt, splits, iou_threshold)

@@ -312,3 +312,58 @@ def test_batched_eval_parity_with_serial(tmp_path):
     batched = evaluate_wider_batched(detect_many, images_root, gt_path)
     assert batched["num_images"] == serial["num_images"]
     assert batched["ap"] == pytest.approx(serial["ap"], abs=1e-6)
+
+
+def test_dump_predictions_roundtrip_and_rescore(tmp_path):
+    """The official submission-tree writer is lossless for scoring: the
+    dumped eval_tools-format files read back to the same corner boxes
+    (+1 w/h convention both ways) and re-score to identical APs — so the
+    external eval_tools / widerface_evaluate scorers see exactly the
+    sweep the in-tree protocol scored."""
+    from rs_face_detection_tpu.ops.wider_split import (
+        dump_predictions,
+        load_dumped_predictions,
+    )
+
+    gt_mat, split_mats = _write_mats(tmp_path)
+    predictions = _perfect_predictions()
+    direct = evaluate_predictions(
+        predictions,
+        load_gt_mat(gt_mat),
+        {d: load_split_mat(p) for d, p in split_mats.items()},
+    )
+
+    out = str(tmp_path / "submission")
+    assert dump_predictions(predictions, out) == len(predictions)
+    # official layout: one <event>/<image>.txt per image, header lines
+    path = os.path.join(out, "0--Ev", "img_a.txt")
+    lines = open(path).read().splitlines()
+    assert lines[0] == "img_a" and lines[1] == "3"
+    # +1 convention: the 10px-wide face at x1=0,x2=9 dumps as w=10
+    assert lines[2].split()[:4] == ["0.000", "0.000", "10.000", "10.000"]
+
+    loaded = load_dumped_predictions(out)
+    assert set(loaded) == set(predictions)
+    for k in predictions:
+        np.testing.assert_allclose(loaded[k], predictions[k], atol=1e-3)
+
+    rescored = evaluate_predictions(
+        loaded,
+        load_gt_mat(gt_mat),
+        {d: load_split_mat(p) for d, p in split_mats.items()},
+    )
+    for d in direct:
+        assert rescored[d]["ap"] == pytest.approx(direct[d]["ap"], abs=1e-6)
+
+
+def test_dump_predictions_empty_image(tmp_path):
+    from rs_face_detection_tpu.ops.wider_split import (
+        dump_predictions,
+        load_dumped_predictions,
+    )
+
+    dump_predictions({"0--Ev/empty": np.zeros((0, 5), np.float32)}, str(tmp_path))
+    lines = open(tmp_path / "0--Ev" / "empty.txt").read().splitlines()
+    assert lines == ["empty", "0"]
+    loaded = load_dumped_predictions(str(tmp_path))
+    assert loaded["0--Ev/empty"].shape == (0, 5)

@@ -252,6 +252,16 @@ def main() -> int:
     parser.add_argument("--iou", type=float, default=0.5)
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument(
+        "--dump-predictions",
+        default=None,
+        dest="dump_predictions",
+        metavar="DIR",
+        help="also write the detection sweep as an official WIDER "
+        "submission tree (<DIR>/<event>/<image>.txt, eval_tools format) "
+        "so the external eval_tools / widerface_evaluate scorers can "
+        "cross-check the in-tree protocol; requires --split",
+    )
+    parser.add_argument(
         "--split",
         default=None,
         choices=("easy", "medium", "hard", "all"),
@@ -279,6 +289,10 @@ def main() -> int:
         "--size is always included)",
     )
     args = parser.parse_args()
+
+    if args.dump_predictions and not args.split:
+        print("--dump-predictions requires --split (the official protocol)")
+        return 2
 
     from rs_face_detection_tpu.ops.wider import evaluate_wider, find_wider_root
 
@@ -320,6 +334,7 @@ def main() -> int:
             iou_threshold=args.iou,
             max_images=args.max_images,
             progress_every=50,
+            dump_dir=getattr(args, "dump_predictions", None),
         )
         print(
             json.dumps(
