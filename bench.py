@@ -401,6 +401,30 @@ def main() -> int:
     args = parser.parse_args()
 
     t_start = time.perf_counter()
+
+    # Last-good persistence: the relay has multi-hour outages (observed
+    # 13+ h), and the driver records whatever this process prints as the
+    # round's official number.  A run that can't measure must not ERASE the
+    # evidence of the last run that could: every failure line embeds the
+    # most recent successful full result (written below on success), and
+    # the failure metric string still says clearly that THIS run measured
+    # nothing.
+    last_good_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json"
+    )
+
+    def _last_good():
+        try:
+            with open(last_good_path) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
+    def _fail_line(payload: dict) -> str:
+        lg = _last_good()
+        if lg is not None:
+            payload["last_good"] = lg
+        return json.dumps(payload)
     # Aux time budget: the headline fields always complete, but each aux
     # block (vit / embed / scrfd / high-res / int8) first checks the
     # remaining wall-clock budget so a slow remote-compile day cannot run
@@ -477,7 +501,7 @@ def main() -> int:
             else f"no response within {probe_timeout:.0f}s (relay down?)"
         )
         print(
-            json.dumps(
+            _fail_line(
                 {
                     "metric": "images/sec/chip (device unreachable)",
                     "value": 0.0,
@@ -499,7 +523,7 @@ def main() -> int:
         detail = payload  # error/timeout string, diagnostic string, or None
         if status != "ok" or payload is not None:
             print(
-                json.dumps(
+                _fail_line(
                     {
                         "metric": "images/sec/chip (relay degraded)",
                         "value": 0.0,
@@ -545,7 +569,7 @@ def main() -> int:
                 else f"hard deadline {hard_deadline_s:.0f}s exceeded"
             )
             print(
-                json.dumps(
+                _fail_line(
                     {
                         "metric": "images/sec/chip (bench hung mid-run)",
                         "value": 0.0,
@@ -1258,7 +1282,7 @@ def main() -> int:
         if sanity_detail:
             reasons.append(f"end sanity: {sanity_detail}")
         print(
-            json.dumps(
+            _fail_line(
                 {
                     "metric": "images/sec/chip (relay degraded during run)",
                     "value": 0.0,
@@ -1275,6 +1299,28 @@ def main() -> int:
         result["relay_sanity"] = "ok"
     result.pop("_phase", None)  # breadcrumb is for the wedge paths only
     print(json.dumps(result))
+    if not args.smoke and result.get("value", 0) > 0:
+        # Persist for the failure paths of FUTURE runs (see _fail_line).
+        try:
+            import datetime
+
+            with open(last_good_path, "w") as f:
+                json.dump(
+                    {
+                        "measured_utc": datetime.datetime.now(
+                            datetime.timezone.utc
+                        ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "note": (
+                            "last successful full hardware bench "
+                            "(relay_sanity bracket passed)"
+                        ),
+                        "result": result,
+                    },
+                    f,
+                    indent=1,
+                )
+        except OSError as e:
+            print(f"[bench] could not persist last-good: {e}", file=sys.stderr)
     return 0
 
 
