@@ -772,12 +772,13 @@ def serve(
     )
     server.add_generic_rpc_handlers((_handlers(servicer),))
     if triton_wire:
-        from .wire import TritonWireServicer, wire_handlers
+        from .wire import TritonWireServicer, health_handlers, wire_handlers
 
         # facade=servicer: shm regions and the jax.profiler trace session
         # are shared between the JSON and protobuf protocols.
+        wire_servicer = TritonWireServicer(registry, facade=servicer)
         server.add_generic_rpc_handlers(
-            (wire_handlers(TritonWireServicer(registry, facade=servicer)),)
+            (wire_handlers(wire_servicer), health_handlers(wire_servicer))
         )
     bound = server.add_insecure_port(f"[::]:{port}")
     server.start()

@@ -47,6 +47,17 @@ from .proto3 import Field, decode_message, encode_message
 
 SERVICE = "inference.GRPCInferenceService"
 
+# The reference also vendors the standard gRPC health protocol
+# (triton_proto/health.proto: grpc.health.v1.Health/Check) — unused by its
+# pipeline but part of the Triton server surface (kubernetes/grpc-health-probe
+# readiness checks speak it).  Served here for drop-in parity.
+HEALTH_SERVICE = "grpc.health.v1.Health"
+HEALTH_CHECK_REQUEST = {"service": Field(1, "string")}
+# ServingStatus enum (health.proto:53-61)
+HEALTH_CHECK_RESPONSE = {"status": Field(1, "enum")}
+HEALTH_SERVING_STATUS = {0: "UNKNOWN", 1: "SERVING", 2: "NOT_SERVING",
+                         3: "SERVICE_UNKNOWN"}
+
 # ---------------------------------------------------------------------------
 # Message schemas (subset of triton_proto/grpc_service.proto +
 # model_config.proto; numbers are the wire contract and must not change).
@@ -514,6 +525,21 @@ class TritonWireServicer:
         return self._own_shm
 
     # -- health ----------------------------------------------------------
+
+    def health_check(self, request, context):
+        """grpc.health.v1.Health/Check (health.proto:70-78).  Empty service
+        = whole-server health; the two service names this server exposes
+        answer individually; anything else is NOT_FOUND per the gRPC health
+        protocol spec."""
+        import grpc
+
+        service = request["service"]
+        if service in ("", SERVICE, HEALTH_SERVICE):
+            live = self.registry.server_live()
+            return {"status": 1 if live else 2}  # SERVING / NOT_SERVING
+        context.abort(
+            grpc.StatusCode.NOT_FOUND, f"unknown service {service!r}"
+        )
 
     def server_live(self, request, context):
         return {"live": self.registry.server_live()}
@@ -1247,6 +1273,22 @@ def wire_handlers(servicer: TritonWireServicer):
     return grpc.method_handlers_generic_handler(SERVICE, rpcs)
 
 
+def health_handlers(servicer: TritonWireServicer):
+    """The generic gRPC handler for grpc.health.v1.Health (health.proto)."""
+    import grpc
+
+    return grpc.method_handlers_generic_handler(
+        HEALTH_SERVICE,
+        {
+            "Check": grpc.unary_unary_rpc_method_handler(
+                servicer.health_check,
+                request_deserializer=_de(HEALTH_CHECK_REQUEST),
+                response_serializer=_ser(HEALTH_CHECK_RESPONSE),
+            ),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # Client — the reference TritonInferenceClient subset (client.rs:71-118),
 # speaking the same hand-rolled protobuf bytes.
@@ -1281,6 +1323,17 @@ class TritonWireClient:
             response_deserializer=_de(resp_schema),
         )
         return fn(request, timeout=self._timeout)
+
+    def health_check(self, service: str = "") -> str:
+        """grpc.health.v1.Health/Check — returns the ServingStatus name
+        ("SERVING", "NOT_SERVING", ...)."""
+        fn = self._channel.unary_unary(
+            f"/{HEALTH_SERVICE}/Check",
+            request_serializer=_ser(HEALTH_CHECK_REQUEST),
+            response_deserializer=_de(HEALTH_CHECK_RESPONSE),
+        )
+        out = fn({"service": service}, timeout=self._timeout)
+        return HEALTH_SERVING_STATUS.get(out["status"], "UNKNOWN")
 
     def server_live(self) -> bool:
         return self._unary("ServerLive", EMPTY, SERVER_LIVE_RESPONSE, {})["live"]

@@ -375,6 +375,35 @@ def test_wire_health_and_ready(wire_port):
         client.close()
 
 
+def test_wire_grpc_health_v1(wire_port):
+    """The vendored standard health protocol (triton_proto/health.proto:
+    grpc.health.v1.Health/Check) answers on the wire: whole-server and
+    known-service checks are SERVING, unknown services NOT_FOUND per the
+    gRPC health spec.  Bytes sanity: HealthCheckResponse{status=SERVING}
+    is the canonical varint field-1 encoding."""
+    import grpc
+
+    from rs_face_detection_tpu.runtime.wire import (
+        HEALTH_CHECK_RESPONSE,
+        encode_message,
+    )
+
+    assert encode_message(HEALTH_CHECK_RESPONSE, {"status": 1}) == b"\x08\x01"
+
+    port, _ = wire_port
+    client = TritonWireClient(f"localhost:{port}")
+    try:
+        assert client.health_check() == "SERVING"
+        assert client.health_check("inference.GRPCInferenceService") == (
+            "SERVING"
+        )
+        with pytest.raises(grpc.RpcError) as e:
+            client.health_check("no.such.Service")
+        assert e.value.code() == grpc.StatusCode.NOT_FOUND
+    finally:
+        client.close()
+
+
 def test_wire_unknown_model_not_found(wire_port):
     import grpc
 
