@@ -90,7 +90,8 @@ def bbox_vote(
         area = lambda b: (b[..., 2] - b[..., 0] + 1.0) * (
             b[..., 3] - b[..., 1] + 1.0
         )
-        iou = inter / (area(box) + area(dets) - inter)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            iou = inter / (area(box) + area(dets) - inter)
         group = iou >= iou_threshold
         # A degenerate top box (zero "+1" area or NaN coords) has NaN
         # self-IoU; always consume it so the greedy loop stays total.
