@@ -157,14 +157,16 @@ def _decode_scalar(kind: str, buf: bytes, pos: int) -> Tuple[Any, int]:
         if kind == "int64":
             return _signed(raw, 64), pos
         return raw, pos
-    if kind == "float":
-        return struct.unpack_from("<f", buf, pos)[0], pos + 4
-    if kind == "double":
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
-    if kind == "fixed32":
-        return struct.unpack_from("<I", buf, pos)[0], pos + 4
-    if kind == "fixed64":
-        return struct.unpack_from("<Q", buf, pos)[0], pos + 8
+    if kind in ("float", "fixed32"):
+        if pos + 4 > len(buf):
+            raise ValueError(f"truncated {kind} field")
+        fmt = "<f" if kind == "float" else "<I"
+        return struct.unpack_from(fmt, buf, pos)[0], pos + 4
+    if kind in ("double", "fixed64"):
+        if pos + 8 > len(buf):
+            raise ValueError(f"truncated {kind} field")
+        fmt = "<d" if kind == "double" else "<Q"
+        return struct.unpack_from(fmt, buf, pos)[0], pos + 8
     if kind in ("string", "bytes"):
         size, pos = _decode_varint(buf, pos)
         end = pos + size
@@ -238,14 +240,18 @@ def _skip_field(wire_type: int, buf: bytes, pos: int) -> int:
     if wire_type == 0:
         _, pos = _decode_varint(buf, pos)
         return pos
-    if wire_type == 1:
-        return pos + 8
-    if wire_type == 5:
-        return pos + 4
-    if wire_type == 2:
+    elif wire_type == 1:
+        pos += 8
+    elif wire_type == 5:
+        pos += 4
+    elif wire_type == 2:
         size, pos = _decode_varint(buf, pos)
-        return pos + size
-    raise ValueError(f"unsupported wire type {wire_type}")
+        pos += size
+    else:
+        raise ValueError(f"unsupported wire type {wire_type}")
+    if pos > len(buf):  # protoc rejects truncated unknown fields too
+        raise ValueError("truncated unknown field")
+    return pos
 
 
 def decode_message(schema: Dict[str, Field], buf: bytes) -> Dict[str, Any]:
@@ -274,9 +280,17 @@ def decode_message(schema: Dict[str, Field], buf: bytes) -> Dict[str, Any]:
             pos = _skip_field(wire_type, buf, pos)
             continue
         name, field = entry
+        if field.map_entry is not None or field.kind == "message":
+            if wire_type != 2:
+                raise ValueError(
+                    f"field {name} (#{number}): wire type {wire_type}, "
+                    f"expected 2 (length-delimited)"
+                )
         if field.map_entry is not None:
             size, pos = _decode_varint(buf, pos)
             end = pos + size
+            if end > len(buf):
+                raise ValueError("truncated map entry")
             kf, vf = field.map_entry
             entry_msg = decode_message({"key": kf, "value": vf}, buf[pos:end])
             msg[name][entry_msg["key"]] = entry_msg["value"]

@@ -104,6 +104,47 @@ def test_truncated_raises():
         decode_message(SERVER_LIVE_RESPONSE, b"\x08")
 
 
+def test_malformed_inputs_raise_value_error():
+    """Every malformed shape must surface as ValueError (never struct.error
+    or a silent mis-decode) so the gRPC deserializer layer can map it to
+    INVALID_ARGUMENT: truncated fixed-width scalars, truncated unknown
+    fields (protoc rejects those too), truncated map entries, and
+    message/map tags carrying a non-length-delimited wire type (a varint
+    tag whose payload byte happens to parse as a plausible size would
+    otherwise mis-decode garbage as a submessage)."""
+    from rs_face_detection_tpu.runtime.proto3 import (
+        Field,
+        _encode_varint,
+        _key,
+    )
+
+    schema = {
+        "a": Field(1, "int32"),
+        "m": Field(2, "message", schema={"x": Field(1, "int32")}),
+        "mp": Field(
+            3, "message", map_entry=(Field(1, "string"), Field(2, "int32"))
+        ),
+        "f": Field(4, "float"),
+        "d": Field(5, "double"),
+    }
+    cases = {
+        "unknown truncated fixed64": _key(9, 1),
+        "unknown truncated fixed32": _key(9, 5) + b"\x00",
+        "unknown length-delim overrun": _key(9, 2) + _encode_varint(50) + b"ab",
+        "truncated float": _key(4, 5) + b"\x00\x00",
+        "truncated double": _key(5, 1) + b"\x00" * 7,
+        "message wrong wire type": _key(2, 0) + b"\x02\x08\x01",
+        "map wrong wire type": _key(3, 0) + b"\x02\x08\x01",
+        "map entry overrun": _key(3, 2) + _encode_varint(100) + b"\x0a",
+    }
+    for label, buf in cases.items():
+        with pytest.raises(ValueError):
+            decode_message(schema, buf)
+        # and embedded after a valid field (decoder mid-stream)
+        with pytest.raises(ValueError):
+            decode_message(schema, _key(1, 0) + b"\x07" + buf)
+
+
 def test_packed_numeric_bulk_paths_roundtrip():
     """The fixed-width packed kinds (float/double/fixed32/fixed64) bulk-
     encode/decode via numpy (seconds -> ms at the production 1.2M-float
