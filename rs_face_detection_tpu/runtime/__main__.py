@@ -41,7 +41,25 @@ def main(argv=None) -> int:
         default=2.0,
         help="max wait for batch-mates after the first queued request",
     )
+    parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="directory of imported .npz checkpoints "
+        "(tools/import_checkpoint.py output); sets RSFD_CHECKPOINT_DIR "
+        "before the model registry is built",
+    )
+    parser.add_argument(
+        "--no-triton-wire",
+        action="store_true",
+        help="serve only the JSON facade (skip the genuine Triton "
+        "protobuf contract on the same port)",
+    )
     args = parser.parse_args(argv)
+
+    if args.checkpoint_dir:
+        import os
+
+        os.environ["RSFD_CHECKPOINT_DIR"] = args.checkpoint_dir
 
     from .server import serve
 
@@ -50,6 +68,7 @@ def main(argv=None) -> int:
         max_workers=args.max_workers,
         dynamic_batching=args.dynamic_batching,
         batch_delay_ms=args.batch_delay_ms,
+        triton_wire=not args.no_triton_wire,
     )
     port = getattr(server, "_rsfd_port", args.port)
     if args.warmup:
