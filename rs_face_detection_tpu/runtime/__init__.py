@@ -8,10 +8,13 @@ and AOT compiled-model artifacts.
 - `aot`: jax.export serving artifacts (compiled-model repository analog).
 - `shm`: POSIX shared-memory regions for zero-copy localhost ModelInfer
   (Triton's system shared-memory verb family).
+- `repository`: Triton-style on-disk model repository (config.pbtxt +
+  versioned .npz weights) -> ModelRegistry builders.
 """
 
-from . import aot, batcher, native, shm
+from . import aot, batcher, native, repository, shm
 from .batcher import DynamicBatcher
+from .repository import attach_repository_builders, write_repository_entry
 from .shm import SharedMemoryRegistry, SharedRegion
 
 __all__ = [
@@ -19,7 +22,10 @@ __all__ = [
     "DynamicBatcher",
     "aot",
     "batcher",
+    "repository",
     "shm",
     "SharedMemoryRegistry",
     "SharedRegion",
+    "attach_repository_builders",
+    "write_repository_entry",
 ]

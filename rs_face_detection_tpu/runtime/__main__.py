@@ -54,6 +54,15 @@ def main(argv=None) -> int:
         help="serve only the JSON facade (skip the genuine Triton "
         "protobuf contract on the same port)",
     )
+    parser.add_argument(
+        "--model-repository",
+        default=None,
+        metavar="DIR",
+        help="serve a Triton-style model repository "
+        "(<DIR>/<model>/config.pbtxt + <version>/model.npz, "
+        "runtime/repository.py) instead of the built-in builders — "
+        "the reference's Triton repository workflow",
+    )
     args = parser.parse_args(argv)
 
     if args.checkpoint_dir:
@@ -63,7 +72,20 @@ def main(argv=None) -> int:
 
     from .server import serve
 
+    registry = None
+    if args.model_repository:
+        from ..models.registry import ModelRegistry
+        from .repository import attach_repository_builders
+
+        registry = ModelRegistry()
+        names = attach_repository_builders(registry, args.model_repository)
+        print(
+            f"model repository {args.model_repository}: "
+            f"{len(names)} models ({', '.join(names) or 'none'})"
+        )
+
     server = serve(
+        registry=registry,
         port=args.port,
         max_workers=args.max_workers,
         dynamic_batching=args.dynamic_batching,

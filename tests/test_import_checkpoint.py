@@ -93,6 +93,33 @@ def test_cli_roundtrip_resnet18(tmp_path):
     assert _flatten(jax.tree.map(np.asarray, template)).keys() == loaded_flat.keys()
 
 
+def test_cli_repository_mode(tmp_path):
+    """pth -> CLI --repository -> Triton-layout tree a registry can serve."""
+    from import_checkpoint import main
+
+    mirror = randomize_state_dict(ResNet18ClassifierMirror(4), seed=5)
+    src = str(tmp_path / "quality.pth")
+    torch.save(mirror.state_dict(), src)
+    repo = str(tmp_path / "models")
+    assert main(
+        [src, "face_quality", "--image-size", "64x64", "--repository", repo]
+    ) == 0
+    assert os.path.exists(os.path.join(repo, "face_quality", "config.pbtxt"))
+    assert os.path.exists(
+        os.path.join(repo, "face_quality", "1", "model.npz")
+    )
+
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+    from rs_face_detection_tpu.runtime.repository import (
+        attach_repository_builders,
+    )
+
+    reg = ModelRegistry()
+    assert attach_repository_builders(reg, repo) == ["face_quality"]
+    reg.load("face_quality")
+    assert reg.spec("face_quality").input_shape == (64, 64, 3)
+
+
 def test_minifas_roundtrip_spec_reconstruction(tmp_path):
     """MiniFAS spec (derived from shapes) survives the npz meta round trip."""
     mirror = randomize_state_dict(MiniFASNetMirror(width=8, se=True), seed=1)

@@ -1,0 +1,283 @@
+"""Triton-style on-disk model repository (runtime/repository.py).
+
+The reference's models live in a Triton model repository driven by
+text-format config.pbtxt files (model_config.proto; repository verbs
+client.rs:127-146).  These tests cover the text-format parser subset, the
+scan/validation semantics Triton applies (name==dirname, highest servable
+version, dims/data_type checks), the writer round trip, and an end-to-end
+serve: import-shaped .npz -> repository -> ModelRegistry -> wire ModelInfer.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rs_face_detection_tpu.runtime.repository import (
+    RepositoryModel,
+    as_list,
+    attach_repository_builders,
+    parse_pbtxt,
+    scan_repository,
+    write_repository_entry,
+)
+
+
+# ---------------------------------------------------------------------------
+# text-format parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_pbtxt_triton_config_shape():
+    # The layout Triton docs/examples use: bracket list of message blocks,
+    # colon-less message fields, enums, comments, trailing commas.
+    text = """
+# generated
+name: "face_detection_retina"
+platform: "tensorrt_plan"
+max_batch_size: 0
+input [
+  {
+    name: "data"
+    data_type: TYPE_FP32
+    format: FORMAT_NCHW
+    dims: [ 1, 3, 640, 640 ]
+  }
+]
+output [
+  { name: "face_rpn_cls_prob_reshape_stride32" data_type: TYPE_FP32 dims: [1, 4, 20, 20] },
+  { name: "face_rpn_bbox_pred_stride32" data_type: TYPE_FP32 dims: [1, 8, 20, 20] }
+]
+dynamic_batching {
+  preferred_batch_size: [ 4, 8 ]
+  max_queue_delay_microseconds: 100
+}
+instance_group [ { count: 2 kind: KIND_GPU } ]
+"""
+    cfg = parse_pbtxt(text)
+    assert cfg["name"] == "face_detection_retina"
+    assert cfg["max_batch_size"] == 0
+    inp = as_list(cfg["input"])
+    assert len(inp) == 1
+    assert inp[0]["data_type"] == "TYPE_FP32"
+    assert inp[0]["format"] == "FORMAT_NCHW"
+    assert as_list(inp[0]["dims"]) == [1, 3, 640, 640]
+    outs = as_list(cfg["output"])
+    assert [o["name"] for o in outs] == [
+        "face_rpn_cls_prob_reshape_stride32",
+        "face_rpn_bbox_pred_stride32",
+    ]
+    db = cfg["dynamic_batching"]
+    assert as_list(db["preferred_batch_size"]) == [4, 8]
+    assert db["max_queue_delay_microseconds"] == 100
+    ig = as_list(cfg["instance_group"])
+    assert ig[0] == {"count": 2, "kind": "KIND_GPU"}
+
+
+def test_parse_pbtxt_repeated_by_key_and_scalars():
+    cfg = parse_pbtxt(
+        'input { name: "a" }\ninput { name: "b" }\n'
+        "flag: true\nneg: -1\nratio: 0.25\n"
+        'joined: "ab" "cd"\n'
+    )
+    assert [i["name"] for i in cfg["input"]] == ["a", "b"]
+    assert cfg["flag"] is True
+    assert cfg["neg"] == -1
+    assert cfg["ratio"] == 0.25
+    assert cfg["joined"] == "abcd"  # adjacent literals concatenate
+
+
+def test_parse_pbtxt_malformed():
+    for bad in ("input {", "input }", 'name: "x', "dims: [1, 2", ": 3"):
+        with pytest.raises(ValueError):
+            parse_pbtxt(bad)
+
+
+# ---------------------------------------------------------------------------
+# scan semantics
+# ---------------------------------------------------------------------------
+
+
+def _tiny_npz(path, name="m"):
+    """A self-describing resnet18-family checkpoint (smallest builder)."""
+    from rs_face_detection_tpu.models.checkpoint_io import save_imported
+    from rs_face_detection_tpu.models.classifiers import (
+        init_resnet18_classifier,
+    )
+
+    model, variables = init_resnet18_classifier(3, (32, 32), softmax=True)
+    meta = {
+        "family": "resnet18",
+        "num_outputs": 3,
+        "image_size": [32, 32],
+        "softmax": True,
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    save_imported(path, variables, meta)
+    return model, variables, meta
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt")
+    path = str(root / "m.npz")
+    model, variables, meta = _tiny_npz(path)
+    return path, model, variables, meta
+
+
+def test_scan_picks_highest_servable_version(tmp_path, tiny_ckpt):
+    _, _, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta, version=1)
+    write_repository_entry(root, "face_quality", variables, meta, version=3)
+    os.makedirs(os.path.join(root, "face_quality", "7"))  # empty: skipped
+    (models,) = scan_repository(root)
+    assert models.name == "face_quality"
+    assert models.version == 3
+    assert models.weights_path.endswith(os.path.join("3", "model.npz"))
+
+
+def test_scan_rejects_name_mismatch(tmp_path):
+    d = tmp_path / "modelA"
+    d.mkdir()
+    (d / "config.pbtxt").write_text('name: "other"\n')
+    with pytest.raises(ValueError, match="does not match"):
+        scan_repository(str(tmp_path))
+
+
+def test_scan_skips_weightless_and_nonmodel_entries(tmp_path):
+    (tmp_path / "notes.txt").write_text("hi")
+    d = tmp_path / "empty_model"
+    d.mkdir()
+    (d / "config.pbtxt").write_text('name: "empty_model"\n')
+    assert scan_repository(str(tmp_path)) == []
+
+
+def test_scan_missing_root():
+    with pytest.raises(ValueError, match="not a directory"):
+        scan_repository("/nonexistent/repo/path")
+
+
+# ---------------------------------------------------------------------------
+# registry round trip + dims validation
+# ---------------------------------------------------------------------------
+
+
+def test_repository_serves_through_registry(tmp_path, tiny_ckpt):
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+
+    _, model, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta)
+    reg = ModelRegistry()
+    names = attach_repository_builders(reg, root)
+    assert names == ["face_quality"]
+    reg.load("face_quality")
+    spec = reg.spec("face_quality")
+    assert spec.input_shape == (32, 32, 3)
+    assert "logits" in spec.output_spec
+    # inference parity with a direct apply
+    x = np.random.default_rng(0).random((1, 32, 32, 3), np.float32)
+    got = np.asarray(reg.infer("face_quality", x))
+    mod, var = reg.get("face_quality")
+    want = np.asarray(mod.apply(var, x))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_repository_rejects_bad_dims(tmp_path, tiny_ckpt):
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+
+    _, _, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta)
+    cfg = os.path.join(root, "face_quality", "config.pbtxt")
+    with open(cfg, "w") as f:
+        f.write(
+            'name: "face_quality"\n'
+            'input [ { name: "data" data_type: TYPE_FP32 '
+            "dims: [ 3, 112, 112 ] } ]\n"
+        )
+    reg = ModelRegistry()
+    attach_repository_builders(reg, root)
+    with pytest.raises(Exception, match="dims"):
+        reg.load("face_quality")
+
+
+def test_repository_rejects_bad_dtype(tmp_path, tiny_ckpt):
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+
+    _, _, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta)
+    cfg = os.path.join(root, "face_quality", "config.pbtxt")
+    with open(cfg, "w") as f:
+        f.write(
+            'name: "face_quality"\n'
+            'input [ { name: "data" data_type: TYPE_INT8 '
+            "dims: [ 3, 32, 32 ] } ]\n"
+        )
+    reg = ModelRegistry()
+    attach_repository_builders(reg, root)
+    with pytest.raises(Exception, match="TYPE_INT8|data_type"):
+        reg.load("face_quality")
+
+
+def test_dims_variants_accepted(tmp_path, tiny_ckpt):
+    """CHW, HWC, leading batch dim, and -1 wildcards all describe the
+    checkpoint (Triton's dims conventions vary by max_batch_size)."""
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+
+    _, _, variables, meta = tiny_ckpt
+    for dims in ("3, 32, 32", "32, 32, 3", "1, 3, 32, 32", "-1, -1, 3"):
+        root = str(tmp_path / dims.replace(", ", "_"))
+        write_repository_entry(root, "face_quality", variables, meta)
+        cfg = os.path.join(root, "face_quality", "config.pbtxt")
+        with open(cfg, "w") as f:
+            f.write(
+                'name: "face_quality"\n'
+                f'input [ {{ name: "data" dims: [ {dims} ] }} ]\n'
+            )
+        reg = ModelRegistry()
+        attach_repository_builders(reg, root)
+        reg.load("face_quality")  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# end to end: repository -> serve -> wire ModelInfer
+# ---------------------------------------------------------------------------
+
+
+def test_repository_over_the_wire(tmp_path, tiny_ckpt):
+    pytest.importorskip("grpc")
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+    from rs_face_detection_tpu.runtime.server import serve
+    from rs_face_detection_tpu.runtime.wire import TritonWireClient
+
+    _, model, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta)
+    reg = ModelRegistry()
+    attach_repository_builders(reg, root)
+    server = serve(None, reg, port=0)
+    try:
+        client = TritonWireClient(f"localhost:{server._rsfd_port}")
+        try:
+            # Triton flow: repository model is registered but not loaded
+            # until RepositoryModelLoad (client.rs:127-136).
+            assert client.model_ready("face_quality") is False
+            client.repository_model_load("face_quality")
+            assert client.model_ready("face_quality") is True
+            x = np.random.default_rng(1).random((1, 3, 32, 32), np.float32)
+            ((oname, shape, arr),) = client.model_infer("face_quality", x)
+            assert shape == [1, 3]
+            want = np.asarray(
+                model.apply(variables, np.transpose(x, (0, 2, 3, 1)))
+            )
+            np.testing.assert_allclose(arr, want, rtol=1e-5, atol=1e-6)
+            # the repository verbs see the repository models
+            idx = {m["name"]: m for m in client.repository_index()}
+            assert "face_quality" in idx
+        finally:
+            client.close()
+    finally:
+        server.stop(0)

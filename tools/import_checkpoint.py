@@ -79,7 +79,20 @@ def main(argv=None) -> int:
         description="Convert a public PyTorch checkpoint to a registry .npz"
     )
     parser.add_argument("src", help="input .pth/.pt checkpoint")
-    parser.add_argument("out", help="output .npz (name it <model_name>.npz)")
+    parser.add_argument(
+        "out",
+        help="output .npz (name it <model_name>.npz); with --repository, "
+        "the model NAME instead (the layout supplies the paths)",
+    )
+    parser.add_argument(
+        "--repository",
+        default=None,
+        metavar="DIR",
+        help="write a Triton-style repository entry "
+        "(<DIR>/<out>/config.pbtxt + <DIR>/<out>/1/model.npz, servable "
+        "via `python -m rs_face_detection_tpu.runtime "
+        "--model-repository DIR`) instead of a flat .npz",
+    )
     parser.add_argument(
         "--kind",
         default="auto",
@@ -134,9 +147,19 @@ def main(argv=None) -> int:
         stem_s2d=stem_s2d,
         strict=not args.lenient,
     )
-    save_imported(args.out, variables, meta)
+    if args.repository:
+        from rs_face_detection_tpu.runtime.repository import (
+            write_repository_entry,
+        )
+
+        out_path = write_repository_entry(
+            args.repository, args.out, variables, meta
+        )
+    else:
+        save_imported(args.out, variables, meta)
+        out_path = args.out
     desc = ", ".join(f"{k}={v}" for k, v in meta.items() if k != "spec")
-    print(f"{args.src} -> {args.out} ({desc})")
+    print(f"{args.src} -> {out_path} ({desc})")
     print(
         "serve it: name the file <model_name>.npz inside RSFD_CHECKPOINT_DIR "
         "(e.g. face_detection_retina.npz) and (re)build the pipeline"
