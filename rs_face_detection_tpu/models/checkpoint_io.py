@@ -412,11 +412,16 @@ def _assert_tree_compatible(template: Any, loaded: Any, name: str) -> None:
 
 
 def load_imported_model(
-    path: str, expect_family: Optional[str] = None, **overrides: Any
-) -> Tuple[Any, Any]:
+    path: str,
+    expect_family: Optional[str] = None,
+    return_meta: bool = False,
+    **overrides: Any,
+) -> Any:
     """(model, variables) from a tools/import_checkpoint.py .npz at an
     explicit path — the registry-dir-independent sibling of
     maybe_serve_checkpoint, shared by the eval/export CLIs.
+    return_meta=True appends the embedded meta dict (single file read for
+    callers that also need the architecture description).
 
     Files without meta cannot reconstruct an architecture and raise —
     re-import them through tools/import_checkpoint.py.
@@ -434,7 +439,10 @@ def load_imported_model(
         )
     model, template = build_from_meta(meta, **overrides)
     _assert_tree_compatible(template, loaded, path)
-    return model, jax.tree.map(jnp.asarray, loaded)
+    variables = jax.tree.map(jnp.asarray, loaded)
+    if return_meta:
+        return model, variables, meta
+    return model, variables
 
 
 def maybe_serve_checkpoint(

@@ -58,9 +58,9 @@ _TOKEN_RE = re.compile(
     r"""
     \s+                                   # whitespace (skipped)
   | \#[^\n]*                              # comment (skipped)
-  | (?P<string>"(?:\\.|[^"\\])*")         # double-quoted string
-  | (?P<punct>[{}\[\]:,])                 # structure
-  | (?P<scalar>[^\s{}\[\]:,"#]+)          # number / bool / enum / ident
+  | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')  # quoted string
+  | (?P<punct>[{}\[\]:,;])                # structure (; is a separator)
+  | (?P<scalar>[^\s{}\[\]:,;"'#]+)        # number / bool / enum / ident
     """,
     re.VERBOSE,
 )
@@ -143,7 +143,7 @@ class _Parser:
                     raise ValueError("config.pbtxt: unmatched '}'")
                 self.i += 1
                 return msg
-            if tok == ("punct", ","):  # permissive: stray separators
+            if tok[0] == "punct" and tok[1] in (",", ";"):  # separators
                 self.i += 1
                 continue
             kind, key = self._next()
@@ -385,10 +385,11 @@ def attach_repository_builders(registry, root: str) -> List[str]:
 
     def make_builder(m: RepositoryModel):
         def builder():
-            from ..models.checkpoint_io import load_imported, load_imported_model
+            from ..models.checkpoint_io import load_imported_model
 
-            model_obj, variables = load_imported_model(m.weights_path)
-            _, meta = load_imported(m.weights_path)
+            model_obj, variables, meta = load_imported_model(
+                m.weights_path, return_meta=True
+            )
             input_shape = _input_shape_from_meta(meta)
             _validate_config(m, input_shape)
             family = meta.get("family", "?")

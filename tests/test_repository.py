@@ -77,14 +77,16 @@ instance_group [ { count: 2 kind: KIND_GPU } ]
 def test_parse_pbtxt_repeated_by_key_and_scalars():
     cfg = parse_pbtxt(
         'input { name: "a" }\ninput { name: "b" }\n'
-        "flag: true\nneg: -1\nratio: 0.25\n"
+        "flag: true;\nneg: -1\nratio: 0.25\n"
         'joined: "ab" "cd"\n'
+        "single: 'sq'\n"  # single-quoted strings are legal text format
     )
     assert [i["name"] for i in cfg["input"]] == ["a", "b"]
-    assert cfg["flag"] is True
+    assert cfg["flag"] is True  # trailing ';' separator tolerated
     assert cfg["neg"] == -1
     assert cfg["ratio"] == 0.25
     assert cfg["joined"] == "abcd"  # adjacent literals concatenate
+    assert cfg["single"] == "sq"
 
 
 def test_parse_pbtxt_malformed():
