@@ -29,6 +29,11 @@ from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple
 import jax
 import numpy as np
 
+#: Canonical detection output contract string — shared with the repository
+#: loader (runtime/repository.py) so ModelMetadata reports one contract
+#: regardless of whether the model came from a builder or a repository.
+DETECTION_OUTPUT_SPEC = "per-stride score/(A) bbox/(4A) landmark/(10A) maps"
+
 
 @dataclass
 class ModelSpec:
@@ -298,7 +303,7 @@ def _attach_standard_builders(registry: ModelRegistry) -> None:
         spec = ModelSpec(
             name=cfg.model_name,
             input_shape=(h, w, 3),
-            output_spec="per-stride score/(A) bbox/(4A) landmark/(10A) maps",
+            output_spec=DETECTION_OUTPUT_SPEC,
             max_batch_size=cfg.max_batch_size,
             preprocessing="letterbox 640, BGR->RGB, raw 0-255",
         )

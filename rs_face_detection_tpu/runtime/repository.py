@@ -103,9 +103,18 @@ def _scalar_value(tok: str) -> Any:
     return tok  # enum / identifier, kept as string
 
 
+_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "\\": "\\", '"': '"', "'": "'",
+    "a": "\a", "b": "\b", "f": "\f", "v": "\v", "0": "\0",
+}
+
+
 def _unquote(tok: str) -> str:
-    body = tok[1:-1]
-    return body.encode("utf-8").decode("unicode_escape")
+    """Resolve backslash escapes without mangling non-ASCII text (a
+    unicode_escape round trip would mojibake UTF-8 model names)."""
+    return re.sub(
+        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), tok[1:-1]
+    )
 
 
 class _Parser:
@@ -244,7 +253,49 @@ def _version_dirs(model_dir: str) -> List[int]:
     return sorted(out)
 
 
-def scan_repository(root: str) -> List[RepositoryModel]:
+#: config.pbtxt fields this loader reads as SINGULAR — a duplicate (which
+#: protoc's text parser rejects for non-repeated fields) parses into a list
+#: and must be diagnosed at scan time, not as a TypeError at load time.
+_SINGULAR_FIELDS = ("name", "max_batch_size", "default_model_filename")
+
+
+def _scan_one(root: str, entry: str) -> Optional[RepositoryModel]:
+    model_dir = os.path.join(root, entry)
+    cfg_path = os.path.join(model_dir, "config.pbtxt")
+    config: Dict[str, Any] = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = parse_pbtxt(f.read())
+    for key in _SINGULAR_FIELDS:
+        if isinstance(config.get(key), list):
+            raise ValueError(
+                f"{cfg_path}: field {key!r} appears more than once "
+                f"(it is singular in model_config.proto)"
+            )
+    cfg_name = config.get("name", entry)
+    if cfg_name != entry:
+        raise ValueError(
+            f"{cfg_path}: name {cfg_name!r} does not match the model "
+            f"directory {entry!r} (Triton requires them equal)"
+        )
+    filename = config.get("default_model_filename", "model.npz")
+    versions = _version_dirs(model_dir)
+    for v in reversed(versions):
+        candidate = os.path.join(model_dir, str(v), filename)
+        if os.path.exists(candidate):
+            return RepositoryModel(
+                name=entry,
+                path=model_dir,
+                version=v,
+                weights_path=candidate,
+                config=config,
+            )
+    return None  # not a servable model dir (no weights) — skip quietly
+
+
+def scan_repository(
+    root: str, errors: Optional[List[Tuple[str, str]]] = None
+) -> List[RepositoryModel]:
     """Scan a repository tree; returns one entry per valid model directory.
 
     Triton semantics preserved: the model name is the directory name, and a
@@ -252,44 +303,27 @@ def scan_repository(root: str) -> List[RepositoryModel]:
     mismatch too); the served version is the highest numeric subdirectory
     that contains the weights file (`default_model_filename`, default
     `model.npz`).
+
+    errors: when given, a malformed model directory is recorded there as
+    (name, message) and the scan continues — Triton likewise marks the
+    broken model UNAVAILABLE and serves the rest; when None, the first
+    malformed entry raises.
     """
     if not os.path.isdir(root):
         raise ValueError(f"model repository {root!r} is not a directory")
     models: List[RepositoryModel] = []
     for entry in sorted(os.listdir(root)):
-        model_dir = os.path.join(root, entry)
-        if not os.path.isdir(model_dir):
+        if not os.path.isdir(os.path.join(root, entry)):
             continue
-        cfg_path = os.path.join(model_dir, "config.pbtxt")
-        config: Dict[str, Any] = {}
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                config = parse_pbtxt(f.read())
-        cfg_name = config.get("name", entry)
-        if cfg_name != entry:
-            raise ValueError(
-                f"{cfg_path}: name {cfg_name!r} does not match the model "
-                f"directory {entry!r} (Triton requires them equal)"
-            )
-        filename = config.get("default_model_filename", "model.npz")
-        versions = _version_dirs(model_dir)
-        picked = None
-        for v in reversed(versions):
-            candidate = os.path.join(model_dir, str(v), filename)
-            if os.path.exists(candidate):
-                picked = (v, candidate)
-                break
-        if picked is None:
-            continue  # not a servable model dir (no weights) — skip quietly
-        models.append(
-            RepositoryModel(
-                name=entry,
-                path=model_dir,
-                version=picked[0],
-                weights_path=picked[1],
-                config=config,
-            )
-        )
+        try:
+            scanned = _scan_one(root, entry)
+        except ValueError as e:
+            if errors is None:
+                raise
+            errors.append((entry, str(e)))
+            continue
+        if scanned is not None:
+            models.append(scanned)
     return models
 
 
@@ -297,21 +331,23 @@ def scan_repository(root: str) -> List[RepositoryModel]:
 # spec derivation + config validation
 # ---------------------------------------------------------------------------
 
-#: (output_spec template, preprocessing note) per checkpoint family.
-_FAMILY_OUTPUT = {
-    "retinaface": (
-        "per-stride score/(A) bbox/(4A) landmark/(10A) maps",
-        "letterbox, BGR->RGB, raw 0-255",
-    ),
-    "scrfd": (
-        "per-stride score/bbox/landmark maps",
-        "letterbox, BGR->RGB, (px-127.5)/128",
-    ),
-    "iresnet": ("embedding", "BGR->RGB, (px-127.5)*0.0078125"),
-    "minifas": ("logits", "raw 0-255, channel-reversed"),
-    "resnet18": ("logits", "BGR->RGB, (px-mean)*std"),
-    "clip_vit": ("logits", "BGR->RGB, ImageNet mean/std"),
-}
+def _family_output() -> Dict[str, Tuple[str, str]]:
+    """(output_spec, preprocessing note) per checkpoint family.  The
+    detection contract string is imported from the registry so the two
+    serving surfaces cannot drift."""
+    from ..models.registry import DETECTION_OUTPUT_SPEC
+
+    return {
+        "retinaface": (DETECTION_OUTPUT_SPEC, "letterbox, BGR->RGB, raw 0-255"),
+        "scrfd": (
+            "per-stride score/bbox/landmark maps",
+            "letterbox, BGR->RGB, (px-127.5)/128",
+        ),
+        "iresnet": ("embedding", "BGR->RGB, (px-127.5)*0.0078125"),
+        "minifas": ("logits", "raw 0-255, channel-reversed"),
+        "resnet18": ("logits", "BGR->RGB, (px-mean)*std"),
+        "clip_vit": ("logits", "BGR->RGB, ImageNet mean/std"),
+    }
 
 
 def _input_shape_from_meta(meta: Dict[str, Any]) -> Tuple[int, int, int]:
@@ -322,16 +358,22 @@ def _input_shape_from_meta(meta: Dict[str, Any]) -> Tuple[int, int, int]:
     return (int(h), int(w), 3)
 
 
-def _dims_compatible(dims: List[int], hwc: Tuple[int, int, int]) -> bool:
+def _dims_compatible(
+    dims: List[int], hwc: Tuple[int, int, int], max_batch_size: int
+) -> bool:
     """Do config.pbtxt input dims describe this model's (H, W, C)?
 
-    Accepts CHW / HWC, with or without a leading batch dim (Triton omits
-    the batch dim when max_batch_size > 0 and carries it when 0), and -1
-    wildcards anywhere.
+    Accepts CHW / HWC with -1 wildcards.  Triton's batch-dim convention is
+    enforced: when max_batch_size > 0 the dims must OMIT the batch dim
+    (3 entries); only max_batch_size == 0 carries it explicitly (4 entries,
+    also accepted as 3 for batchless models) — a config Triton would
+    reject must not validate here either.
     """
     h, w, c = hwc
     dims = [int(d) for d in dims]
     if len(dims) == 4:
+        if max_batch_size > 0:
+            return False  # batch dim must be omitted when batching is on
         dims = dims[1:]
     if len(dims) != 3:
         return False
@@ -345,17 +387,20 @@ def _dims_compatible(dims: List[int], hwc: Tuple[int, int, int]) -> bool:
 def _validate_config(
     model: RepositoryModel, input_shape: Tuple[int, int, int]
 ) -> None:
+    max_batch_size = int(model.config.get("max_batch_size", 0))
     inputs = as_list(model.config.get("input"))
     for spec in inputs:
         dims = spec.get("dims")
         if dims is None:
             continue
         dims = as_list(dims)
-        if not _dims_compatible(dims, input_shape):
+        if not _dims_compatible(dims, input_shape, max_batch_size):
             raise ValueError(
                 f"{model.path}/config.pbtxt: input dims {dims} do not "
                 f"describe the checkpoint's input shape {input_shape} "
-                f"(HWC, from the .npz meta)"
+                f"(HWC, from the .npz meta) under "
+                f"max_batch_size={max_batch_size} (Triton omits the batch "
+                f"dim when max_batch_size > 0)"
             )
         dt = spec.get("data_type")
         if dt not in (None, "TYPE_FP32"):
@@ -378,10 +423,22 @@ def attach_repository_builders(registry, root: str) -> List[str]:
     checkpoint_io.load_imported_model (architecture from embedded meta),
     validates config.pbtxt dims/data_type against it, and derives the
     ModelSpec Triton would synthesize from the config.
+
+    A malformed model directory does NOT abort the scan: like Triton, the
+    broken model is still registered (so repository_index lists it) with a
+    builder that raises its scan error on load — every other model serves
+    normally.
     """
     from ..models.registry import ModelSpec
 
-    models = scan_repository(root)
+    errors: List[Tuple[str, str]] = []
+    models = scan_repository(root, errors=errors)
+
+    def make_failing_builder(name: str, message: str):
+        def builder():
+            raise ValueError(message)
+
+        return builder
 
     def make_builder(m: RepositoryModel):
         def builder():
@@ -393,7 +450,7 @@ def attach_repository_builders(registry, root: str) -> List[str]:
             input_shape = _input_shape_from_meta(meta)
             _validate_config(m, input_shape)
             family = meta.get("family", "?")
-            output_spec, preprocessing = _FAMILY_OUTPUT.get(
+            output_spec, preprocessing = _family_output().get(
                 family, ("unknown", "unknown")
             )
             if family == "iresnet":
@@ -411,7 +468,9 @@ def attach_repository_builders(registry, root: str) -> List[str]:
 
     for m in models:
         registry.register_builder(m.name, make_builder(m))
-    return [m.name for m in models]
+    for name, message in errors:
+        registry.register_builder(name, make_failing_builder(name, message))
+    return [m.name for m in models] + [name for name, _ in errors]
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +515,9 @@ def write_repository_entry(
 
     Returns the weights path.  The generated config round-trips through
     parse_pbtxt/scan_repository and matches what _validate_config expects.
+    An EXISTING config.pbtxt is left untouched — publishing a new version
+    into an entry whose config an operator has hand-tuned (max_batch_size
+    etc.) must not revert those edits.
     """
     from ..models.checkpoint_io import save_imported
 
@@ -463,8 +525,10 @@ def write_repository_entry(
     version_dir = os.path.join(model_dir, str(version))
     os.makedirs(version_dir, exist_ok=True)
     input_shape = _input_shape_from_meta(dict(meta))
-    with open(os.path.join(model_dir, "config.pbtxt"), "w") as f:
-        f.write(_render_pbtxt(name, input_shape, max_batch_size))
+    cfg_path = os.path.join(model_dir, "config.pbtxt")
+    if not os.path.exists(cfg_path):
+        with open(cfg_path, "w") as f:
+            f.write(_render_pbtxt(name, input_shape, max_batch_size))
     weights_path = os.path.join(version_dir, "model.npz")
     save_imported(weights_path, variables, meta)
     return weights_path

@@ -160,6 +160,80 @@ def test_scan_missing_root():
         scan_repository("/nonexistent/repo/path")
 
 
+def test_duplicate_singular_field_rejected_at_scan(tmp_path):
+    """protoc text format rejects duplicate singular fields; so does the
+    scan (a silent list would TypeError deep inside the builder)."""
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "config.pbtxt").write_text(
+        'name: "m"\nmax_batch_size: 4\nmax_batch_size: 8\n'
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        scan_repository(str(tmp_path))
+
+
+def test_unquote_preserves_utf8_and_escapes():
+    cfg = parse_pbtxt('note: "café \\"x\\" \\n tab\\t"')
+    assert cfg["note"] == 'café "x" \n tab\t'
+
+
+def test_one_broken_model_does_not_take_down_the_rest(tmp_path, tiny_ckpt):
+    """Triton semantics: a malformed model dir is registered UNAVAILABLE
+    (its load raises the scan error) while every other model serves."""
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+
+    _, _, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta)
+    bad = tmp_path / "broken"
+    bad.mkdir()
+    (bad / "config.pbtxt").write_text('name: "broken"\ninput {')  # malformed
+
+    reg = ModelRegistry()
+    names = attach_repository_builders(reg, root)
+    assert set(names) == {"face_quality", "broken"}
+    reg.load("face_quality")  # good model serves
+    with pytest.raises(Exception):
+        reg.load("broken")  # broken model raises ITS error on load
+
+
+def test_writer_preserves_hand_edited_config(tmp_path, tiny_ckpt):
+    """Publishing a new version must not clobber operator config edits."""
+    _, _, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta, version=1)
+    cfg = os.path.join(root, "face_quality", "config.pbtxt")
+    hand_edit = open(cfg).read().replace(
+        "max_batch_size: 1", "max_batch_size: 8"
+    )
+    with open(cfg, "w") as f:
+        f.write(hand_edit)
+    write_repository_entry(root, "face_quality", variables, meta, version=2)
+    assert "max_batch_size: 8" in open(cfg).read()
+    (scanned,) = scan_repository(root)
+    assert scanned.version == 2
+
+
+def test_batch_dim_rejected_when_batching_enabled(tmp_path, tiny_ckpt):
+    """Triton omits the batch dim when max_batch_size > 0; a 4-entry dims
+    under max_batch_size > 0 must be rejected, not silently stripped."""
+    from rs_face_detection_tpu.models.registry import ModelRegistry
+
+    _, _, variables, meta = tiny_ckpt
+    root = str(tmp_path)
+    write_repository_entry(root, "face_quality", variables, meta)
+    cfg = os.path.join(root, "face_quality", "config.pbtxt")
+    with open(cfg, "w") as f:
+        f.write(
+            'name: "face_quality"\nmax_batch_size: 8\n'
+            'input [ { name: "data" dims: [ 1, 3, 32, 32 ] } ]\n'
+        )
+    reg = ModelRegistry()
+    attach_repository_builders(reg, root)
+    with pytest.raises(Exception, match="batch"):
+        reg.load("face_quality")
+
+
 # ---------------------------------------------------------------------------
 # registry round trip + dims validation
 # ---------------------------------------------------------------------------

@@ -160,10 +160,17 @@ def main(argv=None) -> int:
         out_path = args.out
     desc = ", ".join(f"{k}={v}" for k, v in meta.items() if k != "spec")
     print(f"{args.src} -> {out_path} ({desc})")
-    print(
-        "serve it: name the file <model_name>.npz inside RSFD_CHECKPOINT_DIR "
-        "(e.g. face_detection_retina.npz) and (re)build the pipeline"
-    )
+    if args.repository:
+        print(
+            "serve it: python -m rs_face_detection_tpu.runtime "
+            f"--model-repository {args.repository}"
+        )
+    else:
+        print(
+            "serve it: name the file <model_name>.npz inside "
+            "RSFD_CHECKPOINT_DIR (e.g. face_detection_retina.npz) and "
+            "(re)build the pipeline"
+        )
     return 0
 
 
