@@ -10,6 +10,10 @@ and AOT compiled-model artifacts.
   (Triton's system shared-memory verb family).
 - `repository`: Triton-style on-disk model repository (config.pbtxt +
   versioned .npz weights) -> ModelRegistry builders.
+- `wire` (optional, needs grpcio): the genuine Triton protobuf contract
+  (inference.GRPCInferenceService) on the same port as the facade.
+- `http`: the KServe-v2 HTTP/REST endpoint (Triton's second client
+  surface) over the same wire servicer — `serve(http_port=...)`.
 """
 
 from . import aot, batcher, native, repository, shm

@@ -55,6 +55,15 @@ def main(argv=None) -> int:
         "protobuf contract on the same port)",
     )
     parser.add_argument(
+        "--http-port",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="also serve the KServe-v2 HTTP/REST endpoint "
+        "(runtime/http.py — Triton's second client surface) on PORT, "
+        "sharing state with the gRPC protocols",
+    )
+    parser.add_argument(
         "--model-repository",
         default=None,
         metavar="DIR",
@@ -91,8 +100,11 @@ def main(argv=None) -> int:
         dynamic_batching=args.dynamic_batching,
         batch_delay_ms=args.batch_delay_ms,
         triton_wire=not args.no_triton_wire,
+        http_port=args.http_port,
     )
     port = getattr(server, "_rsfd_port", args.port)
+    if args.http_port is not None:
+        print(f"KServe-v2 HTTP endpoint on :{server._rsfd_http_port}")
     if args.warmup:
         import cv2
         import numpy as np

@@ -733,6 +733,7 @@ def serve(
     batch_delay_ms: float = 2.0,
     ekyc_pipeline=None,
     triton_wire: bool = True,
+    http_port: Optional[int] = None,
 ):
     """Start a gRPC server; returns the grpc.Server (caller stops it).
 
@@ -743,6 +744,11 @@ def serve(
     (inference.GRPCInferenceService — runtime/wire.py) on the same port, so
     a stock Triton client (or the reference crate) can connect; gRPC routes
     the two services by method path.
+
+    http_port: when set, also serve the KServe-v2 HTTP/REST endpoint
+    (runtime/http.py) on that port, sharing the wire servicer's jit cache,
+    shm registry, statistics, and trace session.  The HTTP server is
+    attached as ``server._rsfd_http`` and stopped by ``server.stop``.
     """
     if not _HAS_GRPC:
         raise RuntimeError("grpcio not available")
@@ -771,18 +777,34 @@ def serve(
         ekyc_pipeline=ekyc_pipeline,
     )
     server.add_generic_rpc_handlers((_handlers(servicer),))
-    if triton_wire:
+    wire_servicer = None
+    if triton_wire or http_port is not None:
         from .wire import TritonWireServicer, health_handlers, wire_handlers
 
         # facade=servicer: shm regions and the jax.profiler trace session
         # are shared between the JSON and protobuf protocols.
         wire_servicer = TritonWireServicer(registry, facade=servicer)
-        server.add_generic_rpc_handlers(
-            (wire_handlers(wire_servicer), health_handlers(wire_servicer))
-        )
+        if triton_wire:
+            server.add_generic_rpc_handlers(
+                (wire_handlers(wire_servicer), health_handlers(wire_servicer))
+            )
     bound = server.add_insecure_port(f"[::]:{port}")
     server.start()
     server._rsfd_port = bound  # convenience for port=0 callers
+    if http_port is not None:
+        from .http import serve_http
+
+        http_server = serve_http(wire_servicer=wire_servicer, port=http_port)
+        server._rsfd_http = http_server
+        server._rsfd_http_port = http_server._rsfd_port
+        _grpc_stop = server.stop
+
+        def _stop(grace=None):
+            http_server.shutdown()
+            http_server.server_close()
+            return _grpc_stop(grace)
+
+        server.stop = _stop
     return server
 
 
