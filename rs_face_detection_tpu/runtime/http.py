@@ -117,6 +117,27 @@ def _http_status(code: Any) -> int:
     }.get(code, 400)
 
 
+def _json_body(body: bytes) -> Dict[str, Any]:
+    """Parse an optional JSON object body; malformed input is the caller's
+    error (400), never a 500."""
+    import grpc
+
+    if not body:
+        return {}
+    try:
+        obj = json.loads(body)
+    except ValueError as e:
+        raise _HttpAbort(
+            grpc.StatusCode.INVALID_ARGUMENT, f"malformed request JSON: {e}"
+        )
+    if not isinstance(obj, dict):
+        raise _HttpAbort(
+            grpc.StatusCode.INVALID_ARGUMENT,
+            "request JSON must be an object",
+        )
+    return obj
+
+
 def _wrap_param(value: Any) -> Dict[str, Any]:
     """Plain HTTP JSON parameter value -> the proto InferParameter oneof
     shape the wire servicer reads (grpc_service.proto:441-460)."""
@@ -538,7 +559,7 @@ class TritonHTTPHandler(BaseHTTPRequestHandler):
     # -- repository ------------------------------------------------------------
 
     def _repository_index(self, m: Dict[str, str], body: bytes) -> None:
-        request = json.loads(body) if body else {}
+        request = _json_body(body)
         out = self.wire.repository_index(
             {"ready": bool(request.get("ready", False))}, _HttpContext()
         )
@@ -566,7 +587,7 @@ class TritonHTTPHandler(BaseHTTPRequestHandler):
         self._send_json(list(out["regions"].values()))
 
     def _shm_register(self, m: Dict[str, str], body: bytes) -> None:
-        request = json.loads(body) if body else {}
+        request = _json_body(body)
         self.wire.system_shared_memory_register(
             {
                 "name": m["region"],
@@ -609,7 +630,7 @@ class TritonHTTPHandler(BaseHTTPRequestHandler):
         self._send_json(_unwrap_params(out["settings"]))
 
     def _logging_post(self, m: Dict[str, str], body: bytes) -> None:
-        request = json.loads(body) if body else {}
+        request = _json_body(body)
         settings: Dict[str, Any] = {}
         for key, value in request.items():
             if isinstance(value, bool):
@@ -628,7 +649,7 @@ class TritonHTTPHandler(BaseHTTPRequestHandler):
         )
 
     def _trace_post(self, m: Dict[str, str], body: bytes) -> None:
-        request = json.loads(body) if body else {}
+        request = _json_body(body)
         settings = {
             k: {"value": v if isinstance(v, list) else [str(v)]}
             for k, v in request.items()
