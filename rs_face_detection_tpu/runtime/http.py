@@ -693,3 +693,221 @@ def serve_http(
     server._rsfd_thread = thread  # type: ignore[attr-defined]
     server._rsfd_port = server.server_address[1]  # type: ignore[attr-defined]
     return server
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+
+class TritonHTTPError(RuntimeError):
+    """A /v2 verb failed; carries the HTTP status and Triton's error JSON
+    detail (what tritonclient.http raises as InferenceServerException)."""
+
+    def __init__(self, status: int, detail: str) -> None:
+        super().__init__(f"HTTP {status}: {detail}")
+        self.status = status
+        self.detail = detail
+
+
+class TritonHTTPClient:
+    """tritonclient.http-shaped client for the /v2 endpoint.
+
+    Mirrors TritonWireClient's verb surface over REST; ``infer`` uses the
+    binary tensor-data extension by default (the tritonclient.http default
+    path — raw little-endian tensors after the JSON header)."""
+
+    def __init__(self, host: str = "localhost", port: int = 8000,
+                 timeout_s: float = 60.0) -> None:
+        import http.client as _http_client
+
+        self._conn_factory = lambda: _http_client.HTTPConnection(
+            host, port, timeout=timeout_s
+        )
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: bytes = b"",
+        headers: Optional[Dict[str, str]] = None,
+        ok_statuses: Tuple[int, ...] = (200,),
+    ) -> Tuple[int, Dict[str, str], bytes]:
+        conn = self._conn_factory()
+        try:
+            conn.request(method, path, body=body, headers=headers or {})
+            resp = conn.getresponse()
+            payload = resp.read()
+            if resp.status not in ok_statuses:
+                try:
+                    detail = json.loads(payload).get("error", "")
+                except ValueError:
+                    detail = payload.decode("utf-8", "replace")
+                raise TritonHTTPError(resp.status, detail)
+            return resp.status, dict(resp.getheaders()), payload
+        finally:
+            conn.close()
+
+    def _get_json(self, path: str) -> Any:
+        return json.loads(self._request("GET", path)[2])
+
+    def _post_json(self, path: str, obj: Any = None) -> Any:
+        body = json.dumps(obj).encode() if obj is not None else b""
+        payload = self._request("POST", path, body)[2]
+        return json.loads(payload) if payload else {}
+
+    # -- health / metadata ---------------------------------------------------
+
+    def server_live(self) -> bool:
+        try:
+            return self._request(
+                "GET", "/v2/health/live", ok_statuses=(200, 400)
+            )[0] == 200
+        except OSError:
+            return False
+
+    def server_ready(self) -> bool:
+        return self._request(
+            "GET", "/v2/health/ready", ok_statuses=(200, 400)
+        )[0] == 200
+
+    def model_ready(self, name: str) -> bool:
+        return self._request(
+            "GET", f"/v2/models/{name}/ready", ok_statuses=(200, 400)
+        )[0] == 200
+
+    def server_metadata(self) -> Dict[str, Any]:
+        return self._get_json("/v2")
+
+    def model_metadata(self, name: str) -> Dict[str, Any]:
+        return self._get_json(f"/v2/models/{name}")
+
+    def model_config(self, name: str) -> Dict[str, Any]:
+        return self._get_json(f"/v2/models/{name}/config")
+
+    def model_statistics(self, name: str) -> List[Dict[str, Any]]:
+        return self._get_json(f"/v2/models/{name}/stats")["model_stats"]
+
+    # -- repository ------------------------------------------------------------
+
+    def repository_index(self, ready_only: bool = False) -> List[Dict[str, Any]]:
+        return self._post_json(
+            "/v2/repository/index", {"ready": ready_only}
+        )
+
+    def repository_model_load(self, name: str) -> None:
+        self._post_json(f"/v2/repository/models/{name}/load")
+
+    def repository_model_unload(self, name: str) -> None:
+        self._post_json(f"/v2/repository/models/{name}/unload")
+
+    # -- shared memory -----------------------------------------------------
+
+    def system_shared_memory_register(
+        self, name: str, key: str, byte_size: int
+    ) -> None:
+        self._post_json(
+            f"/v2/systemsharedmemory/region/{name}/register",
+            {"key": key, "offset": 0, "byte_size": byte_size},
+        )
+
+    def system_shared_memory_status(self, name: str = "") -> List[Dict[str, Any]]:
+        path = (
+            f"/v2/systemsharedmemory/region/{name}/status"
+            if name
+            else "/v2/systemsharedmemory/status"
+        )
+        return self._get_json(path)
+
+    def system_shared_memory_unregister(self, name: str = "") -> None:
+        path = (
+            f"/v2/systemsharedmemory/region/{name}/unregister"
+            if name
+            else "/v2/systemsharedmemory/unregister"
+        )
+        self._post_json(path)
+
+    # -- logging / trace -----------------------------------------------------
+
+    def log_settings(self, settings: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        if settings:
+            return self._post_json("/v2/logging", settings)
+        return self._get_json("/v2/logging")
+
+    def trace_setting(self, settings: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        if settings:
+            return self._post_json("/v2/trace/setting", settings)
+        return self._get_json("/v2/trace/setting")
+
+    # -- inference ------------------------------------------------------------
+
+    def infer(
+        self,
+        model_name: str,
+        x: np.ndarray,
+        input_name: str = "data",
+        datatype: str = "FP32",
+        requested_outputs: Optional[List[str]] = None,
+        binary: bool = True,
+        request_id: str = "",
+    ) -> List[Tuple[str, List[int], np.ndarray]]:
+        """Run one tensor through /v2/models/{m}/infer.
+
+        Returns [(name, shape, array)] in response order.  binary=True
+        (default) sends/receives raw tensors via the binary extension;
+        binary=False uses pure JSON ``data`` lists."""
+        x = np.ascontiguousarray(x)
+        request: Dict[str, Any] = {"inputs": [], "outputs": []}
+        if request_id:
+            request["id"] = request_id
+        tensor: Dict[str, Any] = {
+            "name": input_name,
+            "shape": list(x.shape),
+            "datatype": datatype,
+        }
+        blob = b""
+        if binary:
+            blob = x.astype(x.dtype.newbyteorder("<"), copy=False).tobytes()
+            tensor["parameters"] = {"binary_data_size": len(blob)}
+        else:
+            tensor["data"] = x.reshape(-1).tolist()
+        request["inputs"].append(tensor)
+        for out_name in requested_outputs or []:
+            request["outputs"].append(
+                {"name": out_name, "parameters": {"binary_data": binary}}
+            )
+        if not request["outputs"]:
+            del request["outputs"]
+            if binary:
+                request["parameters"] = {"binary_data_output": True}
+        header = json.dumps(request).encode()
+        headers = {}
+        if binary or blob:
+            headers["Inference-Header-Content-Length"] = str(len(header))
+        _, resp_headers, payload = self._request(
+            "POST", f"/v2/models/{model_name}/infer", header + blob, headers
+        )
+        header_len = resp_headers.get("Inference-Header-Content-Length")
+        if header_len is not None:
+            response = json.loads(payload[: int(header_len)])
+            binary_blob = payload[int(header_len):]
+        else:
+            response = json.loads(payload)
+            binary_blob = b""
+        outs: List[Tuple[str, List[int], np.ndarray]] = []
+        pos = 0
+        for meta in response["outputs"]:
+            np_dtype = np.dtype(NP_DTYPE.get(meta["datatype"], np.float32))
+            nbytes = (meta.get("parameters") or {}).get("binary_data_size")
+            if nbytes is not None:
+                arr = np.frombuffer(
+                    binary_blob[pos : pos + nbytes],
+                    dtype=np_dtype.newbyteorder("<"),
+                ).reshape(meta["shape"])
+                pos += nbytes
+            else:
+                arr = np.asarray(meta["data"], dtype=np_dtype).reshape(
+                    meta["shape"]
+                )
+            outs.append((meta["name"], list(meta["shape"]), arr))
+        return outs

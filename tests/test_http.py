@@ -426,3 +426,58 @@ def test_http_trace_status(http_port):
     status, _, body = _get(port, "/v2/trace/setting")
     assert status == 200
     assert json.loads(body)["trace_level"] == ["OFF"]
+
+
+# ---------------------------------------------------------------------------
+# the Python client wrapper
+# ---------------------------------------------------------------------------
+
+
+def test_http_client_verbs(http_port):
+    from rs_face_detection_tpu.runtime.http import (
+        TritonHTTPClient,
+        TritonHTTPError,
+    )
+
+    port, _, reg = http_port
+    client = TritonHTTPClient(port=port)
+    assert client.server_live() and client.server_ready()
+    assert client.model_ready("face_quality") is True
+    assert client.model_ready("nope") is False
+    assert client.server_metadata()["name"] == "rs_face_detection_tpu"
+    assert client.model_metadata("face_quality")["platform"] == "jax_xla"
+    assert client.model_config("face_quality")["input"][0]["data_type"] == (
+        "TYPE_FP32"
+    )
+    with pytest.raises(TritonHTTPError) as e:
+        client.model_metadata("missing")
+    assert e.value.status == 404 and "missing" in e.value.detail
+    names = [m["name"] for m in client.repository_index()]
+    assert "face_quality" in names
+    assert client.log_settings()["log_info"] is True
+    assert client.trace_setting()["trace_level"] == ["OFF"]
+
+
+def test_http_client_infer_binary_json_parity(http_port):
+    from rs_face_detection_tpu.runtime.http import TritonHTTPClient
+
+    port, _, reg = http_port
+    client = TritonHTTPClient(port=port)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+    (bin_out,) = client.infer("face_identification", x)
+    (json_out,) = client.infer("face_identification", x, binary=False)
+    assert bin_out[0] == json_out[0] == "output"
+    np.testing.assert_allclose(bin_out[2], json_out[2], rtol=1e-6)
+    module, variables = reg.get("face_identification")
+    direct = np.asarray(
+        module.apply(variables, np.transpose(x, (0, 2, 3, 1)), train=False)
+    )
+    np.testing.assert_allclose(bin_out[2], direct, rtol=1e-4, atol=1e-5)
+    # requested-output subset on the detection model
+    outs = client.infer(
+        "face_detection_retina",
+        rng.normal(size=(1, 3, 64, 64)).astype(np.float32),
+        requested_outputs=["face_rpn_bbox_pred_stride8"],
+    )
+    assert [o[0] for o in outs] == ["face_rpn_bbox_pred_stride8"]
