@@ -47,6 +47,8 @@ __all__ = [
     "attach_repository_builders",
     "write_repository_entry",
     "RepositoryModel",
+    "EnsembleDefinition",
+    "EnsembleStep",
 ]
 
 
@@ -230,6 +232,194 @@ def as_list(value: Any) -> List[Any]:
 
 
 # ---------------------------------------------------------------------------
+# ensemble scheduling (model_config.proto: ModelEnsembling, :1548-1607; the
+# `ensemble_scheduling = 15` member of ModelConfig's scheduling_choice oneof,
+# :1936).  Triton's ensemble "platform" is a dataflow DAG over other models:
+# each step maps ensemble-scope tensor names onto one member model's input
+# and output tensors; a request against the ensemble runs the steps in
+# dependency order and returns the declared ensemble outputs.  TPU-first
+# note: production pipelines here fuse stages into ONE jit graph
+# (pipeline/face_pipeline.py) — the ensemble exists for Triton-workflow
+# parity, routing between the same jit-cached member executables the wire
+# serves individually.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EnsembleStep:
+    """One `ensemble_scheduling.step` entry.
+
+    input_map:  member-model input tensor name  -> ensemble tensor name
+    output_map: member-model output tensor name -> ensemble tensor name
+    (model_config.proto:1562-1589; model_version -1 = latest)
+    """
+
+    model_name: str
+    model_version: int
+    input_map: Tuple[Tuple[str, str], ...]
+    output_map: Tuple[Tuple[str, str], ...]
+
+
+@dataclass
+class EnsembleDefinition:
+    """A validated `platform: "ensemble"` model.
+
+    Stored in the registry as the entry's `module`; it has no weights and
+    cannot be applied directly — the wire/HTTP ModelInfer verb recognizes
+    it and runs the member dataflow instead (runtime/wire.py).
+    `steps` is already in dependency (topological) order.
+    """
+
+    name: str
+    inputs: List[Dict[str, Any]]  # declared config inputs (name/dims/...)
+    outputs: List[Dict[str, Any]]
+    steps: List[EnsembleStep]
+    max_batch_size: int = 0
+
+    def apply(self, *args: Any, **kwargs: Any) -> Any:
+        raise TypeError(
+            f"ensemble {self.name!r} has no weights to apply; serve it "
+            "through ModelInfer (wire/HTTP), which routes between its "
+            "member models"
+        )
+
+
+def _string_map(field_value: Any, where: str) -> Dict[str, str]:
+    """Normalize a parsed text-format map<string,string> (repeated
+    `{ key: ... value: ... }` entries) into a dict."""
+    out: Dict[str, str] = {}
+    for entry in as_list(field_value):
+        if (
+            not isinstance(entry, dict)
+            or "key" not in entry
+            or "value" not in entry
+        ):
+            raise ValueError(f"{where}: map entry must have key and value")
+        k, v = str(entry["key"]), str(entry["value"])
+        if k in out:
+            raise ValueError(f"{where}: duplicate map key {k!r}")
+        out[k] = v
+    return out
+
+
+def _tensor_names(specs: List[Dict[str, Any]], where: str) -> List[str]:
+    names = []
+    for spec in specs:
+        if not isinstance(spec, dict) or not spec.get("name"):
+            raise ValueError(f"{where}: tensor entries must carry a name")
+        names.append(str(spec["name"]))
+    if len(set(names)) != len(names):
+        raise ValueError(f"{where}: duplicate tensor names {names}")
+    return names
+
+
+def parse_ensemble(name: str, config: Dict[str, Any]) -> EnsembleDefinition:
+    """Validate an ensemble config and return its definition with steps in
+    dependency order.
+
+    Static checks mirror what Triton enforces at model load: every step
+    schedulable from the ensemble inputs (no cycles, no dangling tensor),
+    each ensemble-scope tensor produced at most once (and never shadowing
+    an ensemble input), and every declared ensemble output produced by some
+    step.
+    """
+    where = f"ensemble {name!r}"
+    sched = config.get("ensemble_scheduling")
+    if not isinstance(sched, dict):
+        raise ValueError(f"{where}: missing ensemble_scheduling block")
+    raw_steps = as_list(sched.get("step"))
+    if not raw_steps:
+        raise ValueError(f"{where}: ensemble_scheduling has no steps")
+    inputs = [s for s in as_list(config.get("input")) if isinstance(s, dict)]
+    outputs = [s for s in as_list(config.get("output")) if isinstance(s, dict)]
+    input_names = _tensor_names(inputs, f"{where} input")
+    output_names = _tensor_names(outputs, f"{where} output")
+    if not input_names or not output_names:
+        raise ValueError(f"{where}: must declare input and output tensors")
+
+    steps: List[EnsembleStep] = []
+    for i, raw in enumerate(raw_steps):
+        swhere = f"{where} step {i}"
+        if not isinstance(raw, dict) or not raw.get("model_name"):
+            raise ValueError(f"{swhere}: missing model_name")
+        imap = _string_map(raw.get("input_map"), f"{swhere} input_map")
+        omap = _string_map(raw.get("output_map"), f"{swhere} output_map")
+        if not imap or not omap:
+            raise ValueError(
+                f"{swhere}: input_map and output_map are required"
+            )
+        steps.append(
+            EnsembleStep(
+                model_name=str(raw["model_name"]),
+                model_version=int(raw.get("model_version", -1)),
+                input_map=tuple(sorted(imap.items())),
+                output_map=tuple(sorted(omap.items())),
+            )
+        )
+
+    # each ensemble tensor has exactly one producer
+    produced: Dict[str, int] = {}
+    for i, step in enumerate(steps):
+        for _, ens_name in step.output_map:
+            if ens_name in input_names:
+                raise ValueError(
+                    f"{where} step {i}: output tensor {ens_name!r} shadows "
+                    "an ensemble input"
+                )
+            if ens_name in produced:
+                raise ValueError(
+                    f"{where}: tensor {ens_name!r} produced by both step "
+                    f"{produced[ens_name]} and step {i}"
+                )
+            produced[ens_name] = i
+
+    # topological order by simulation from the ensemble inputs
+    available = set(input_names)
+    ordered: List[EnsembleStep] = []
+    pending = list(enumerate(steps))
+    while pending:
+        progressed = False
+        still = []
+        for i, step in pending:
+            needs = [v for _, v in step.input_map]
+            if all(n in available for n in needs):
+                ordered.append(step)
+                available.update(v for _, v in step.output_map)
+                progressed = True
+            else:
+                still.append((i, step))
+        if not progressed:
+            missing = sorted(
+                {
+                    v
+                    for _, step in still
+                    for _, v in step.input_map
+                    if v not in available
+                }
+            )
+            raise ValueError(
+                f"{where}: steps {[i for i, _ in still]} are not "
+                f"schedulable — tensor(s) {missing} are never produced "
+                "(cycle or missing producer)"
+            )
+        pending = still
+
+    unproduced = [n for n in output_names if n not in available]
+    if unproduced:
+        raise ValueError(
+            f"{where}: declared output(s) {unproduced} are not produced "
+            "by any step"
+        )
+    return EnsembleDefinition(
+        name=name,
+        inputs=inputs,
+        outputs=outputs,
+        steps=ordered,
+        max_batch_size=int(config.get("max_batch_size", 0)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # repository scan
 # ---------------------------------------------------------------------------
 
@@ -280,6 +470,17 @@ def _scan_one(root: str, entry: str) -> Optional[RepositoryModel]:
         )
     filename = config.get("default_model_filename", "model.npz")
     versions = _version_dirs(model_dir)
+    if config.get("platform") == "ensemble":
+        parse_ensemble(entry, config)  # surface malformed DAGs at scan time
+        # Ensembles have no weights; Triton still keeps a (possibly empty)
+        # numeric version dir, so the highest one names the served version.
+        return RepositoryModel(
+            name=entry,
+            path=model_dir,
+            version=versions[-1] if versions else 1,
+            weights_path="",
+            config=config,
+        )
     for v in reversed(versions):
         candidate = os.path.join(model_dir, str(v), filename)
         if os.path.exists(candidate):
@@ -440,6 +641,32 @@ def attach_repository_builders(registry, root: str) -> List[str]:
 
         return builder
 
+    def make_ensemble_builder(m: RepositoryModel):
+        def builder():
+            from ..models.registry import ModelSpec
+
+            defn = parse_ensemble(m.name, m.config)
+            # cosmetic spec shape: first declared input, NCHW like the wire
+            dims = [int(d) for d in as_list(defn.inputs[0].get("dims"))]
+            if len(dims) == 4:
+                dims = dims[1:]
+            if len(dims) == 3:
+                input_shape = (dims[1], dims[2], dims[0])  # CHW -> HWC
+            else:
+                input_shape = (-1, -1, -1)
+            members = [s.model_name for s in defn.steps]
+            spec = ModelSpec(
+                name=m.name,
+                input_shape=input_shape,
+                output_spec="ensemble: "
+                + ", ".join(str(o.get("name")) for o in defn.outputs),
+                max_batch_size=defn.max_batch_size or 1,
+                preprocessing=f"dataflow over {members}",
+            )
+            return spec, defn, {}
+
+        return builder
+
     def make_builder(m: RepositoryModel):
         def builder():
             from ..models.checkpoint_io import load_imported_model
@@ -467,7 +694,10 @@ def attach_repository_builders(registry, root: str) -> List[str]:
         return builder
 
     for m in models:
-        registry.register_builder(m.name, make_builder(m))
+        if m.config.get("platform") == "ensemble":
+            registry.register_builder(m.name, make_ensemble_builder(m))
+        else:
+            registry.register_builder(m.name, make_builder(m))
     for name, message in errors:
         registry.register_builder(name, make_failing_builder(name, message))
     return [m.name for m in models] + [name for name, _ in errors]

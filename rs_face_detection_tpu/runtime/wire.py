@@ -383,14 +383,31 @@ MODEL_OUTPUT = {
     "is_shape_tensor": Field(6, "bool"),
 }
 
+# model_config.proto: ModelEnsembling.Step (:1556-1597) — map<string,string>
+# input_map/output_map encode as repeated (key=1, value=2) entry messages
+_ENSEMBLE_MAP = (Field(1, "string"), Field(2, "string"))
+ENSEMBLE_STEP = {
+    "model_name": Field(1, "string"),
+    "model_version": Field(2, "int64"),
+    "input_map": Field(3, "message", map_entry=_ENSEMBLE_MAP),
+    "output_map": Field(4, "message", map_entry=_ENSEMBLE_MAP),
+}
+
+# model_config.proto: ModelEnsembling (:1548-1607)
+MODEL_ENSEMBLING = {
+    "step": Field(1, "message", repeated=True, schema=ENSEMBLE_STEP),
+}
+
 # model_config.proto: ModelConfig (subset: the reference reads name,
-# max_batch_size, input[], output[])
+# max_batch_size, input[], output[]; ensemble_scheduling is the
+# scheduling_choice member Triton ensembles carry, :1936)
 MODEL_CONFIG = {
     "name": Field(1, "string"),
     "platform": Field(2, "string"),
     "max_batch_size": Field(4, "int32"),
     "input": Field(5, "message", repeated=True, schema=MODEL_INPUT),
     "output": Field(6, "message", repeated=True, schema=MODEL_OUTPUT),
+    "ensemble_scheduling": Field(15, "message", schema=MODEL_ENSEMBLING),
     "backend": Field(17, "string"),
 }
 
@@ -583,7 +600,7 @@ class TritonWireServicer:
         return {
             "name": spec.name,
             "versions": ["1"],
-            "platform": "jax_xla",
+            "platform": config.get("platform", "jax_xla"),
             "inputs": [
                 {"name": i["name"], "datatype": "FP32", "shape": i["dims"]}
                 for i in config["input"]
@@ -894,17 +911,60 @@ class TritonWireServicer:
 
         return FaceDetectionConfig()
 
+    def _ensemble_definition(self, name: str):
+        """The EnsembleDefinition for `name`, or None if it is an ordinary
+        model (raises KeyError for unknown names, like registry access)."""
+        from .repository import EnsembleDefinition
+
+        module, _ = self.registry.get(name)
+        return module if isinstance(module, EnsembleDefinition) else None
+
+    @staticmethod
+    def _config_tensor(spec: Dict[str, Any]) -> Dict[str, Any]:
+        """A declared config.pbtxt input/output entry -> wire ModelConfig
+        tensor dict (data_type text enum -> proto number)."""
+        from .repository import as_list
+
+        dt = str(spec.get("data_type", "TYPE_FP32"))
+        return {
+            "name": str(spec.get("name", "")),
+            "data_type": DATA_TYPE.get(dt.replace("TYPE_", ""), 0),
+            "dims": [int(d) for d in as_list(spec.get("dims"))],
+        }
+
     def model_config(self, request, context):
         import grpc
 
         name = request["name"]
         try:
             spec = self.registry.spec(name)
+            defn = self._ensemble_definition(name)
         except KeyError:
             context.abort(
                 grpc.StatusCode.NOT_FOUND,
                 f"Request for unknown model: '{name}' is not found",
             )
+        if defn is not None:
+            return {
+                "config": {
+                    "name": name,
+                    "platform": "ensemble",
+                    "max_batch_size": defn.max_batch_size,
+                    "input": [self._config_tensor(i) for i in defn.inputs],
+                    "output": [self._config_tensor(o) for o in defn.outputs],
+                    "ensemble_scheduling": {
+                        "step": [
+                            {
+                                "model_name": s.model_name,
+                                "model_version": s.model_version,
+                                "input_map": dict(s.input_map),
+                                "output_map": dict(s.output_map),
+                            }
+                            for s in defn.steps
+                        ]
+                    },
+                }
+            }
         h, w, c = spec.input_shape
         fp32 = DATA_TYPE["FP32"]
         config: Dict[str, Any] = {
@@ -991,22 +1051,11 @@ class TritonWireServicer:
             return out
         return fn(variables, x_nhwc)
 
-    def model_infer(self, request, context):
+    def _parse_input_tensor(self, tensor, raw_blob, context) -> np.ndarray:
+        """One InferInputTensor -> fp32 host array of the declared shape
+        (wire NCHW convention; the caller decides the rank contract)."""
         import grpc
 
-        name = request["model_name"]
-        if not self.registry.model_ready(name):
-            context.abort(
-                grpc.StatusCode.NOT_FOUND,
-                f"Request for unknown model: '{name}' is not found",
-            )
-        inputs = request["inputs"]
-        if len(inputs) != 1:
-            context.abort(
-                grpc.StatusCode.INVALID_ARGUMENT,
-                f"expected 1 input tensor, got {len(inputs)}",
-            )
-        tensor = inputs[0]
         datatype = tensor["datatype"] or "FP32"
         np_dtype = NP_DTYPE.get(datatype)
         if np_dtype is None:
@@ -1015,16 +1064,10 @@ class TritonWireServicer:
                 f"unsupported datatype {datatype!r}",
             )
         shape = [int(d) for d in tensor["shape"]]
-        if len(shape) != 4:
-            context.abort(
-                grpc.StatusCode.INVALID_ARGUMENT,
-                f"expected NCHW input shape, got {shape}",
-            )
         params = tensor["parameters"] or {}
         shm_region = (params.get("shared_memory_region") or {}).get(
             "string_param", ""
         )
-        raw = request["raw_input_contents"]
         try:
             if shm_region:
                 # Triton's shm tensor reference: data lives in a registered
@@ -1039,8 +1082,10 @@ class TritonWireServicer:
                 x = region.read_array(
                     np.dtype(np_dtype).name, tuple(shape), offset
                 ).reshape(shape)
-            elif raw:
-                x = np.frombuffer(raw[0], dtype=np.dtype(np_dtype).newbyteorder("<"))
+            elif raw_blob is not None:
+                x = np.frombuffer(
+                    raw_blob, dtype=np.dtype(np_dtype).newbyteorder("<")
+                )
             elif tensor["contents"] is not None:
                 contents = tensor["contents"]
                 if datatype == "FP32":
@@ -1061,25 +1106,145 @@ class TritonWireServicer:
                     raise ValueError(f"no typed contents field for {datatype}")
             else:
                 raise ValueError("input tensor has neither contents nor raw bytes")
-            x = x.reshape(shape).astype(np.float32, copy=False)
+            return x.reshape(shape).astype(np.float32, copy=False)
         except (ValueError, KeyError) as e:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
 
-        x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
-        try:
-            out = self._forward(name, x_nhwc)
-        except Exception as e:  # surface as a typed gRPC error, never UNKNOWN
-            context.abort(
-                grpc.StatusCode.INTERNAL, f"{type(e).__name__}: {e}"
-            )
-
+    def _named_outputs(self, out) -> Tuple[List[str], List[np.ndarray]]:
+        """A member forward's result -> the wire's named NCHW output view."""
         if isinstance(out, dict):  # detection: per-stride head maps
             cfg = self._detection_cfg()
-            arrays = detection_triton_view(out, cfg.feat_strides)
-            names = _detection_output_names(cfg.feat_strides)
+            return (
+                _detection_output_names(cfg.feat_strides),
+                detection_triton_view(out, cfg.feat_strides),
+            )
+        return ["output"], [np.asarray(out, dtype=np.float32)]
+
+    def _ensemble_infer(self, defn, inputs, raw, context):
+        """Run an ensemble dataflow (model_config.proto ModelEnsembling):
+        seed the tensor pool from the request inputs, execute the steps in
+        dependency order through the same jit-cached member forwards the
+        wire serves individually, and return the declared ensemble outputs.
+        Pool arrays keep the wire's NCHW convention, so a member's
+        image-shaped output chains into the next member unchanged."""
+        import time
+
+        import grpc
+
+        if raw and len(raw) != len(inputs):
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"raw_input_contents carries {len(raw)} blobs for "
+                f"{len(inputs)} inputs",
+            )
+        pool: Dict[str, np.ndarray] = {}
+        for i, tensor in enumerate(inputs):
+            tname = tensor["name"]
+            if not tname:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    "ensemble request inputs must be named (they seed the "
+                    "ensemble tensor pool)",
+                )
+            pool[tname] = self._parse_input_tensor(
+                tensor, raw[i] if raw else None, context
+            )
+        declared = [str(t.get("name")) for t in defn.inputs]
+        missing = [n for n in declared if n not in pool]
+        if missing:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"ensemble {defn.name!r}: missing input tensor(s) {missing}",
+            )
+        first = pool[declared[0]]
+        batch = int(first.shape[0]) if first.ndim >= 1 else 1
+        start = time.perf_counter()
+        for step in defn.steps:
+            if len(step.input_map) != 1:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"ensemble step {step.model_name!r}: member models take "
+                    f"exactly one input tensor, input_map has "
+                    f"{len(step.input_map)}",
+                )
+            ((_, ens_name),) = step.input_map
+            x = pool[ens_name]
+            if x.ndim != 4:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"ensemble tensor {ens_name!r} feeding "
+                    f"{step.model_name!r} must be NCHW 4-d, got shape "
+                    f"{list(x.shape)}",
+                )
+            x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+            try:
+                out = self._forward(step.model_name, x_nhwc)
+            except KeyError:
+                context.abort(
+                    grpc.StatusCode.NOT_FOUND,
+                    f"ensemble {defn.name!r}: member model "
+                    f"'{step.model_name}' is not found",
+                )
+            except Exception as e:
+                context.abort(
+                    grpc.StatusCode.INTERNAL,
+                    f"ensemble member {step.model_name!r}: "
+                    f"{type(e).__name__}: {e}",
+                )
+            names, arrays = self._named_outputs(out)
+            by_name = dict(zip(names, arrays))
+            for member_out, ens_out in step.output_map:
+                if member_out not in by_name:
+                    context.abort(
+                        grpc.StatusCode.INVALID_ARGUMENT,
+                        f"ensemble step {step.model_name!r} maps output "
+                        f"{member_out!r}, but the member produces {names}",
+                    )
+                pool[ens_out] = by_name[member_out]
+        # ensemble-level statistics on top of the members' own (Triton
+        # accounts both the ensemble and its composing models)
+        self.registry.record(defn.name, batch, time.perf_counter() - start)
+        out_names = [str(t.get("name")) for t in defn.outputs]
+        return out_names, [
+            np.asarray(pool[n], dtype=np.float32) for n in out_names
+        ]
+
+    def model_infer(self, request, context):
+        import grpc
+
+        name = request["model_name"]
+        if not self.registry.model_ready(name):
+            context.abort(
+                grpc.StatusCode.NOT_FOUND,
+                f"Request for unknown model: '{name}' is not found",
+            )
+        inputs = request["inputs"]
+        raw = request["raw_input_contents"]
+        defn = self._ensemble_definition(name)
+        if defn is not None:
+            names, arrays = self._ensemble_infer(defn, inputs, raw, context)
         else:
-            arrays = [np.asarray(out, dtype=np.float32)]
-            names = ["output"]
+            if len(inputs) != 1:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"expected 1 input tensor, got {len(inputs)}",
+                )
+            x = self._parse_input_tensor(
+                inputs[0], raw[0] if raw else None, context
+            )
+            if x.ndim != 4:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"expected NCHW input shape, got {list(x.shape)}",
+                )
+            x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+            try:
+                out = self._forward(name, x_nhwc)
+            except Exception as e:  # typed gRPC error, never UNKNOWN
+                context.abort(
+                    grpc.StatusCode.INTERNAL, f"{type(e).__name__}: {e}"
+                )
+            names, arrays = self._named_outputs(out)
 
         shm_refs: Dict[str, Tuple[str, int]] = {}
         requested = [o["name"] for o in request["outputs"]]
