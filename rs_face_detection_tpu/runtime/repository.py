@@ -348,6 +348,14 @@ def parse_ensemble(name: str, config: Dict[str, Any]) -> EnsembleDefinition:
             raise ValueError(
                 f"{swhere}: input_map and output_map are required"
             )
+        if len(imap) != 1:
+            # Triton rejects unsatisfiable ensembles at model load, not per
+            # request; member models served here take exactly one input
+            # tensor, so a multi-entry input_map can never be scheduled.
+            raise ValueError(
+                f"{swhere}: member models take exactly one input tensor; "
+                f"input_map has {len(imap)} entries"
+            )
         steps.append(
             EnsembleStep(
                 model_name=str(raw["model_name"]),
@@ -646,6 +654,18 @@ def attach_repository_builders(registry, root: str) -> List[str]:
             from ..models.registry import ModelSpec
 
             defn = parse_ensemble(m.name, m.config)
+            # Triton verifies composing models at ensemble load: an
+            # ensemble naming an unknown member is UNAVAILABLE, not a
+            # per-request NOT_FOUND (model_repository_manager semantics).
+            known = {e["name"] for e in registry.index()}
+            unknown = sorted(
+                {s.model_name for s in defn.steps} - known
+            )
+            if unknown:
+                raise ValueError(
+                    f"ensemble {m.name!r}: member model(s) {unknown} "
+                    "are not registered"
+                )
             # cosmetic spec shape: first declared input, NCHW like the wire
             dims = [int(d) for d in as_list(defn.inputs[0].get("dims"))]
             if len(dims) == 4:

@@ -1131,14 +1131,28 @@ class TritonWireServicer:
 
         import grpc
 
-        if raw and len(raw) != len(inputs):
+        # Triton aligns raw_input_contents blobs with the inputs that have
+        # neither a shared-memory reference nor typed contents, in order —
+        # a request mixing shm and raw inputs contributes fewer blobs than
+        # inputs (grpc_service.proto raw_input_contents conventions).
+        def consumes_raw(tensor) -> bool:
+            params = tensor["parameters"] or {}
+            shm = (params.get("shared_memory_region") or {}).get(
+                "string_param", ""
+            )
+            return not shm and tensor["contents"] is None
+
+        raw_queue = list(raw or ())
+        need_raw = sum(consumes_raw(t) for t in inputs)
+        if raw_queue and len(raw_queue) != need_raw:
             context.abort(
                 grpc.StatusCode.INVALID_ARGUMENT,
-                f"raw_input_contents carries {len(raw)} blobs for "
-                f"{len(inputs)} inputs",
+                f"raw_input_contents carries {len(raw_queue)} blobs for "
+                f"{need_raw} raw-data input(s)",
             )
         pool: Dict[str, np.ndarray] = {}
-        for i, tensor in enumerate(inputs):
+        next_raw = 0
+        for tensor in inputs:
             tname = tensor["name"]
             if not tname:
                 context.abort(
@@ -1146,9 +1160,11 @@ class TritonWireServicer:
                     "ensemble request inputs must be named (they seed the "
                     "ensemble tensor pool)",
                 )
-            pool[tname] = self._parse_input_tensor(
-                tensor, raw[i] if raw else None, context
-            )
+            blob = None
+            if raw_queue and consumes_raw(tensor):
+                blob = raw_queue[next_raw]
+                next_raw += 1
+            pool[tname] = self._parse_input_tensor(tensor, blob, context)
         declared = [str(t.get("name")) for t in defn.inputs]
         missing = [n for n in declared if n not in pool]
         if missing:
@@ -1177,14 +1193,17 @@ class TritonWireServicer:
                     f"{list(x.shape)}",
                 )
             x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
-            try:
-                out = self._forward(step.model_name, x_nhwc)
-            except KeyError:
+            # resolve the member BEFORE running it: a KeyError raised inside
+            # the member's own forward must surface as INTERNAL, not be
+            # masked as a missing-model NOT_FOUND
+            if not self.registry.model_ready(step.model_name):
                 context.abort(
                     grpc.StatusCode.NOT_FOUND,
                     f"ensemble {defn.name!r}: member model "
                     f"'{step.model_name}' is not found",
                 )
+            try:
+                out = self._forward(step.model_name, x_nhwc)
             except Exception as e:
                 context.abort(
                     grpc.StatusCode.INTERNAL,
