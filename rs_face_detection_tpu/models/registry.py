@@ -44,6 +44,12 @@ class ModelSpec:
     output_spec: str  # human-readable output contract
     max_batch_size: int = 1
     preprocessing: str = ""
+    #: Triton scheduler config (model_config.proto:1104 dynamic_batching):
+    #: when True, the wire coalesces concurrent single-item ModelInfer
+    #: calls into device batches of up to max_batch_size, waiting at most
+    #: max_queue_delay_us after the first request of a batch.
+    dynamic_batching: bool = False
+    max_queue_delay_us: int = 0
 
 
 @dataclass

@@ -791,17 +791,22 @@ def serve(
     bound = server.add_insecure_port(f"[::]:{port}")
     server.start()
     server._rsfd_port = bound  # convenience for port=0 callers
+    http_server = None
     if http_port is not None:
         from .http import serve_http
 
         http_server = serve_http(wire_servicer=wire_servicer, port=http_port)
         server._rsfd_http = http_server
         server._rsfd_http_port = http_server._rsfd_port
+    if wire_servicer is not None or http_server is not None:
         _grpc_stop = server.stop
 
         def _stop(grace=None):
-            http_server.shutdown()
-            http_server.server_close()
+            if http_server is not None:
+                http_server.shutdown()
+                http_server.server_close()
+            if wire_servicer is not None:
+                wire_servicer.close()  # stop dynamic-batcher workers
             return _grpc_stop(grace)
 
         server.stop = _stop

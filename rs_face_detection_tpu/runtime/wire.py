@@ -518,6 +518,10 @@ class TritonWireServicer:
         self.facade = facade
         self._own_shm = None
         self._jit_cache: Dict[Tuple[str, Tuple[int, ...], str], Any] = {}
+        # per-(model, item shape) dynamic batchers for repository models
+        # whose config.pbtxt carries dynamic_batching{} (Triton scheduler
+        # semantics, model_config.proto:1104)
+        self._batchers: Dict[Tuple[str, Tuple[int, ...], str], Any] = {}
         self._lock = threading.Lock()
         # LogSettings state (Triton's defaults, grpc_service.proto:1686)
         self._log_settings: Dict[str, Any] = {
@@ -1020,6 +1024,71 @@ class TritonWireServicer:
         )
         return out
 
+    def close(self) -> None:
+        """Stop the dynamic-batcher workers (idempotent)."""
+        with self._lock:
+            batchers, self._batchers = list(self._batchers.values()), {}
+        for b in batchers:
+            b.close()
+
+    def _dynamic_forward(self, name: str, x_nhwc: np.ndarray):
+        """Route a single-item forward through the model's dynamic batcher
+        (created lazily per item shape).  Batches pad to max_batch_size so
+        every coalesced call compiles ONE static shape — short batches ride
+        the zero rows, Triton's preferred_batch_size made moot."""
+        import time
+
+        import jax
+
+        from .batcher import DynamicBatcher
+
+        key = (name, tuple(x_nhwc.shape[1:]), str(x_nhwc.dtype))
+        with self._lock:
+            batcher = self._batchers.get(key)
+        if batcher is None:
+            spec = self.registry.spec(name)
+            cap = max(1, int(spec.max_batch_size))
+
+            def batch_fn(items):
+                k = len(items)
+                x = np.concatenate(items, axis=0)
+                if k < cap:
+                    x = np.concatenate(
+                        [x, np.zeros((cap - k,) + x.shape[1:], x.dtype)]
+                    )
+                start = time.perf_counter()
+                out = jax.block_until_ready(self._forward_untimed(name, x))
+                self.registry.record(name, k, time.perf_counter() - start)
+                if isinstance(out, dict):  # detection: per-stride head maps
+                    return [
+                        {mk: np.asarray(v)[i : i + 1] for mk, v in out.items()}
+                        for i in range(k)
+                    ]
+                out = np.asarray(out)
+                return [out[i : i + 1] for i in range(k)]
+
+            batcher = DynamicBatcher(
+                batch_fn=batch_fn,
+                batch_size=cap,
+                max_delay_ms=self.registry.spec(name).max_queue_delay_us
+                / 1000.0,
+            )
+            dropped = []
+            with self._lock:
+                existing = self._batchers.get(key)
+                if existing is not None:
+                    dropped.append(batcher)  # lost the creation race
+                    batcher = existing
+                else:
+                    self._batchers[key] = batcher
+                    # bound like the jit cache: two live shapes per model
+                    keys = [k2 for k2 in self._batchers if k2[0] == name]
+                    for k2 in keys[:-2]:
+                        dropped.append(self._batchers.pop(k2))
+            for b in dropped:
+                b.close()
+        return batcher.submit(x_nhwc).result()
+
     def _forward_untimed(self, name: str, x_nhwc: np.ndarray):
         import jax
 
@@ -1257,8 +1326,17 @@ class TritonWireServicer:
                     f"expected NCHW input shape, got {list(x.shape)}",
                 )
             x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+            spec = self.registry.spec(name)
+            coalesce = (
+                getattr(spec, "dynamic_batching", False)
+                and x_nhwc.shape[0] == 1
+                and int(spec.max_batch_size) > 1
+            )
             try:
-                out = self._forward(name, x_nhwc)
+                if coalesce:
+                    out = self._dynamic_forward(name, x_nhwc)
+                else:
+                    out = self._forward(name, x_nhwc)
             except Exception as e:  # typed gRPC error, never UNKNOWN
                 context.abort(
                     grpc.StatusCode.INTERNAL, f"{type(e).__name__}: {e}"
