@@ -117,16 +117,41 @@ class TTADetection:
     detectors: one per scale, sharing weights (build them with the same
     model/variables at different cfg.image_size — e.g. via
     MultiScaleDetection.detectors.values(), or pass a single detector for
-    flip-only TTA).  merge: "vote" (bbox_vote, the published protocol) or
-    "nms" (plain cross-scale greedy NMS).
+    flip-only TTA).  The FIRST detector is the base scale: scale filtering
+    and relative-zoom bookkeeping are computed against its size.
+
+    merge: "nms" (cross-view greedy NMS, default) or "vote" (bbox_vote).
+    Measured on the real-pixel collage protocol (tests/test_real_collage,
+    20 scenes, 2 scales + flip): nms beats vote on every split
+    (easy/medium/hard 0.724/0.774/0.804 vs 0.700/0.752/0.753) — with only
+    2-4 views per face, vote's score-weighted coordinate averaging lets a
+    low-score misaligned member drag the merged box off target, while NMS
+    keeps the top-scoring box intact.  Voting is the RetinaFace paper's
+    protocol for ~10-view pyramids where averaging has votes to work with;
+    it stays available for that regime.
+
+    scale_filter (default True): the published multi-scale testing rule
+    (S3FD/RetinaFace eval code): an enlarged view exists to resolve SMALL
+    faces, so only its small detections are kept; a shrunk view only its
+    large ones.  Without it, every view contributes boxes for every face,
+    and the off-distribution duplicates from non-native scales outrank
+    native-scale true positives (measured: unfiltered 64+96 TTA lost 0.11
+    easy AP vs single-scale; filtered recovers to -0.03 while keeping the
+    +0.13 hard gain).  Cut semantics: a box whose max side, rescaled to
+    the BASE detector frame, is >= small_faces_cut * base_size is dropped
+    from zoomed-in views; <= large_faces_cut * base_size is dropped from
+    zoomed-out views.
     """
 
     def __init__(
         self,
         detectors: Sequence,
         flip: bool = True,
-        merge: str = "vote",
+        merge: str = "nms",
         merge_iou: float = 0.4,
+        scale_filter: bool = True,
+        small_faces_cut: float = 0.375,
+        large_faces_cut: float = 0.0625,
     ) -> None:
         if merge not in ("vote", "nms"):
             raise ValueError(f"merge={merge!r} not in ('vote', 'nms')")
@@ -136,6 +161,9 @@ class TTADetection:
         self.flip = flip
         self.merge = merge
         self.merge_iou = merge_iou
+        self.scale_filter = scale_filter
+        self.small_faces_cut = float(small_faces_cut)
+        self.large_faces_cut = float(large_faces_cut)
 
     def __call__(
         self, image_bgr: np.ndarray
@@ -153,10 +181,12 @@ class TTADetection:
         flipped = (
             np.ascontiguousarray(image_bgr[:, ::-1]) if self.flip else None
         )
+        base_w = detector_image_size(self.detectors[0])[0]
         all_d: List[np.ndarray] = []
         all_k: List[np.ndarray] = []
         for det in self.detectors:
             dw, dh = detector_image_size(det)
+            zoom = dw / base_w
             for src, is_flip in ((image_bgr, False), (flipped, True)):
                 if src is None:
                     continue
@@ -167,6 +197,16 @@ class TTADetection:
                 d[:, :4] /= scale
                 if is_flip:
                     d, k = flip_detections(d, k, width)
+                if self.scale_filter and d.shape[0] and zoom != 1.0:
+                    # box max-side as the BASE view letterboxes it
+                    side = np.maximum(
+                        d[:, 2] - d[:, 0], d[:, 3] - d[:, 1]
+                    ) * (scale / zoom)
+                    if zoom > 1.0:  # enlarged: small faces only
+                        keep = side < self.small_faces_cut * base_w
+                    else:  # shrunk: large faces only
+                        keep = side > self.large_faces_cut * base_w
+                    d, k = d[keep], k[keep]
                 all_d.append(d)
                 all_k.append(k)
         dets = np.concatenate(all_d, axis=0)

@@ -147,3 +147,70 @@ def test_tta_nms_merge_mode():
 
     with pytest.raises(ValueError):
         TTADetection([Fake()], merge="average")
+
+
+def test_tta_scale_filter_partitions_views_by_face_size():
+    """The published multi-scale test rule: an enlarged view contributes
+    only SMALL faces, a shrunk view only LARGE ones (S3FD/RetinaFace eval
+    protocol; measured motivation in test_real_collage's TTA test)."""
+
+    class Fake:
+        """Sees the same two faces at every scale: a 40px and a 10px face
+        (original-image pixels), reported in its own letterboxed frame —
+        what a real fully-convolutional detector does across the pyramid.
+        The 64px test image letterboxes to a SIZE view at scale SIZE/64,
+        so the faces appear at 40*z and 10*z px in the view frame."""
+
+        def __init__(self, size, score):
+            self.image_size = (size, size)
+            self.z = size / 64.0
+            self.score = score
+
+        def __call__(self, img):
+            large, small = 40.0 * self.z, 10.0 * self.z
+            dets = np.array(
+                [
+                    [0, 0, large, large, self.score],
+                    [20 * self.z, 20 * self.z, 20 * self.z + small,
+                     20 * self.z + small, self.score - 0.5],
+                ],
+                np.float32,
+            )
+            return dets, np.zeros((2, 5, 2), np.float32)
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    # Both views see the identical faces, so cross-view duplicates merge
+    # in NMS and the surviving SCORE reveals which view won: the non-base
+    # view scores higher, so an unfiltered merge keeps its score.
+    base, zoom_in = Fake(64, 0.9), Fake(128, 0.95)
+
+    def winner_scores(tta):
+        boxes, _ = tta(img)
+        return {round(float(s), 2) for s in boxes[:, 4]}
+
+    # base frame sides: 40px and 10px.  small_faces_cut 0.375*64 = 24:
+    # the 128 (zoom-in) view keeps only the 10px face.
+    filtered = winner_scores(
+        TTADetection([base, zoom_in], flip=False, merge="nms")
+    )
+    assert filtered == {0.9, 0.45}  # large from base, small from 128
+    unfiltered = winner_scores(
+        TTADetection(
+            [base, zoom_in], flip=False, merge="nms", scale_filter=False
+        )
+    )
+    assert unfiltered == {0.95, 0.45}  # 128's large contaminates
+
+    # a zoomed-out view drops faces that would be tiny at base scale
+    zoom_out = Fake(32, 0.95)
+    tiny = winner_scores(
+        TTADetection(
+            [base, zoom_out], flip=False, merge="nms",
+            large_faces_cut=0.25,  # 16px floor: the 10px face drops @32
+        )
+    )
+    assert tiny == {0.95, 0.4}  # 32's large kept; its small dropped
+
+    # single-view TTA is untouched by the filter (zoom == 1)
+    alone = TTADetection([base], flip=False, merge="nms")(img)[0]
+    assert alone.shape[0] == 2

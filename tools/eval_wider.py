@@ -156,7 +156,9 @@ def wrap_tta(det, args):
                     nms_mode=det.nms_mode,
                 )
             )
-    return TTADetection(detectors, flip=True, merge="vote")
+    return TTADetection(
+        detectors, flip=True, merge=getattr(args, "tta_merge", "nms")
+    )
 
 
 def make_detect_many(det, args):
@@ -279,14 +281,21 @@ def main() -> int:
     parser.add_argument(
         "--tta",
         action="store_true",
-        help="multi-scale + flip TTA with bbox voting (the published WIDER "
-        "protocol; implies per-image detection)",
+        help="multi-scale + flip TTA with scale-aware view filtering "
+        "(the published WIDER test protocol; implies per-image detection)",
     )
     parser.add_argument(
         "--tta-sizes",
         default="640,1280",
         help="comma list of square detector sizes for --tta (the base "
         "--size is always included)",
+    )
+    parser.add_argument(
+        "--tta-merge",
+        default="nms",
+        choices=("nms", "vote"),
+        help="cross-view merge: nms (default — measured best at 2-4 "
+        "views/face) or vote (bbox voting, the many-view protocol)",
     )
     args = parser.parse_args()
 
