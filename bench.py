@@ -110,7 +110,8 @@ def _throughput(fn, variables, make_batch, batch, n_batches=12):
     return batch / dt, dt
 
 
-def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
+def _throughput_device(fn, variables, make_batch, batch, n_batches=12,
+                       repeats=1):
     """Device-saturated throughput: one dispatch scans n distinct batches.
 
     The per-call pipelined path (`_throughput`) still pays the test
@@ -119,6 +120,12 @@ def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
     in HBM and a single jitted `lax.map` chains the full per-batch graph n
     times, so the wall time measures pure back-to-back device execution —
     the number a production serving loop with double buffering achieves.
+
+    repeats > 1 re-times the pipelined loop that many times over the same
+    staged inputs and returns (median_rate, median_dt, sorted_rates) so
+    callers can report error bars (VERDICT r4 #9: bench and ab_vit once
+    disagreed by 9% on one session — more than several shipped A/B
+    margins); repeats == 1 keeps the historical (rate, dt) contract.
     """
     import jax
     import jax.numpy as jnp
@@ -142,10 +149,11 @@ def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
         return out
 
     mega = jax.jit(mega_fn)
-    warm = stack(n_reps * n_batches, (n_reps + 1) * n_batches)
+    total_sets = max(1, repeats) * n_reps
+    warm = stack(total_sets * n_batches, (total_sets + 1) * n_batches)
     jax.block_until_ready(mega(variables, aux, *warm))  # compile
-    reps = [
-        stack(i * n_batches, (i + 1) * n_batches) for i in range(n_reps)
+    all_reps = [
+        stack(i * n_batches, (i + 1) * n_batches) for i in range(total_sets)
     ]
     # Stage inputs fully in HBM before timing: host->device transfer rides
     # the loader pipeline in production (and in _throughput it completes
@@ -153,12 +161,167 @@ def _throughput_device(fn, variables, make_batch, batch, n_batches=12):
     # rate would dominate the measurement.  Several pipelined mega-calls
     # amortize the tunneled relay's fixed ~29 ms round trip, which a locally
     # attached chip does not pay.
+    jax.block_until_ready(all_reps)
+    rates = []
+    for k in range(max(1, repeats)):
+        # DISTINCT staged inputs per timed pass — the relay serves repeated
+        # identical executions from a cache (CLAUDE.md), so re-timing the
+        # same buffers would measure the replay path, not the device.
+        reps = all_reps[k * n_reps : (k + 1) * n_reps]
+        t0 = time.perf_counter()
+        outs = [mega(variables, aux, xs, ss) for xs, ss in reps]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / (n_batches * len(reps))
+        rates.append(batch / dt)
+    rates.sort()
+    med = rates[len(rates) // 2]
+    if repeats <= 1:
+        return med, batch / med
+    return med, batch / med, [round(r, 2) for r in rates]
+
+
+def extract_device_chain(pipe, batch: int = 8, chain_b: int = 3,
+                         chain_reps: int = 3):
+    """Device-graph cost of FacePipeline.extract_batch's 2-dispatch chain
+    (batched detect + fused warp/quality/embed tail), tunnel excluded.
+
+    Same discipline as the detect *_graph_ms fields: distinct inputs
+    pre-staged in HBM, one jitted scan chains the pair back-to-back,
+    pipelined mega-calls amortize the relay's fixed round trip.  Returns
+    (ms_per_image, img_s).  (pipeline.rs:188-249 — extract() is the
+    reference's public API, so this is the headline product number.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rs_face_detection_tpu.ops.image import s4d_layout_host
+
+    detect_fn, tail_fn = pipe._batch_jits(batch)
+    layout = getattr(pipe, "_detect_layout", "none")
+    det_vars = pipe.face_detection.variables
+    q_vars = pipe.face_quality.variables
+    e_vars = pipe.face_extraction.variables
+    w_d, h_d = pipe.config.detection.image_size
+
+    def inputs(seed):
+        r = np.random.default_rng(seed)
+        cans = r.integers(
+            0, 255, (chain_b, batch, h_d, w_d, 3), dtype=np.uint8
+        )
+        det_in = (
+            np.stack([s4d_layout_host(c) for c in cans])
+            if layout == "s4d"
+            else cans
+        )
+        # plausible near-identity warps; values don't change the device
+        # cost, distinctness defeats the relay's exec cache
+        mats = np.tile(
+            np.array([[0.9, 0.02, 8.0], [-0.02, 0.9, 10.0]], np.float32),
+            (chain_b, batch, 1, 1),
+        )
+        mats[..., 2] += r.uniform(-4, 4, (chain_b, batch, 2)).astype(
+            np.float32
+        )
+        return (
+            jnp.asarray(det_in),
+            jnp.asarray(cans),
+            jnp.ones((chain_b, batch), jnp.float32),
+            jnp.asarray(mats),
+        )
+
+    def mega_fn(dv, qv, ev, det_ins, cans, scs, mats):
+        def body(c, t):
+            out = detect_fn(dv, t[0], t[2])
+            q_probs, emb = tail_fn(qv, ev, t[1], t[3])
+            return c, (out.count, q_probs[:, 0], emb[:, 0])
+
+        _, o = jax.lax.scan(body, 0, (det_ins, cans, scs, mats), unroll=1)
+        return o
+
+    mega = jax.jit(mega_fn)
+    jax.block_until_ready(mega(det_vars, q_vars, e_vars, *inputs(99)))
+    reps = [inputs(i) for i in range(chain_reps)]
     jax.block_until_ready(reps)
     t0 = time.perf_counter()
-    outs = [mega(variables, aux, xs, ss) for xs, ss in reps]
+    outs = [mega(det_vars, q_vars, e_vars, *r) for r in reps]
     jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / (n_batches * len(reps))
-    return batch / dt, dt
+    dt = (time.perf_counter() - t0) / (chain_b * chain_reps)
+    return round(dt * 1e3 / batch, 3), round(batch / dt, 2)
+
+
+def ekyc_device_chain(ek, vb: int = 2, v_reps: int = 3,
+                      det_hw: int = 720) -> float:
+    """Device-graph cost of one EKYCPipeline.verify(): detect card +
+    selfie, embed the aligned pair, and the four independent selfie heads
+    — the exact graph set verify_images dispatches (host align/decode
+    excluded).  Returns ms per verify."""
+    import jax
+    import jax.numpy as jnp
+
+    from rs_face_detection_tpu.configs import FaceAlignmentConfig
+
+    det_jit = ek.detection._jit_for_shape(det_hw, det_hw)
+    embed_jit = ek._embed_jit(2)
+    a_w, a_h = FaceAlignmentConfig().image_size
+    full = ek.fas_full_cfg.imsize
+    attr_jit = ek._head_jit("attribute", 1, a_h, a_w)
+    qual_jit = ek._head_jit("quality", 1, a_h, a_w)
+    fasc_jit = ek._head_jit("fas_crop", 1, a_h, a_w)
+    fasf_jit = ek._head_jit("fas_full", 1, full, full)
+
+    def inputs(seed):
+        r = np.random.default_rng(1000 + seed)
+        return (
+            jnp.asarray(r.integers(0, 255, (vb, det_hw, det_hw, 3), np.uint8)),
+            jnp.asarray(r.integers(0, 255, (vb, det_hw, det_hw, 3), np.uint8)),
+            jnp.asarray(r.integers(0, 255, (vb, 2, a_h, a_w, 3), np.uint8)),
+            jnp.asarray(
+                r.uniform(0, 255, (vb, 1, full, full, 3)).astype(np.float32)
+            ),
+        )
+
+    def mega_fn(vs, cards, selfies, faces, fulls):
+        # Weights ride as ARGUMENTS (vs), not closure captures, so jit
+        # doesn't bake ViT-L/14 into the executable as constants.
+        dv, iv, av, qv, fcv, ffv = vs
+
+        def body(c, t):
+            card, selfie, face2, ffull = t
+            d1 = det_jit(dv, card)
+            d2 = det_jit(dv, selfie)
+            emb = embed_jit(iv, face2)
+            a = attr_jit(av, face2[:1])
+            q = qual_jit(qv, face2[:1])
+            fc = fasc_jit(fcv, face2[:1])
+            ff = fasf_jit(ffv, ffull)
+            probe = sum(
+                jnp.sum(x) for x in jax.tree_util.tree_leaves((d1, d2))
+            )
+            return c, (
+                jnp.float32(probe),
+                emb[0, 0],
+                a[0, 0] + q[0, 0] + fc[0, 0] + ff[0, 0],
+            )
+
+        _, o = jax.lax.scan(body, 0, (cards, selfies, faces, fulls), unroll=1)
+        return o
+
+    mega = jax.jit(mega_fn)
+    vs = (
+        ek.detection.variables,
+        ek._face_id[1],
+        ek._attribute[1],
+        ek._quality[1],
+        ek._fas_crop[1],
+        ek._fas_full[1],
+    )
+    jax.block_until_ready(mega(vs, *inputs(99)))
+    reps = [inputs(i) for i in range(v_reps)]
+    jax.block_until_ready(reps)
+    t0 = time.perf_counter()
+    outs = [mega(vs, *r) for r in reps]
+    jax.block_until_ready(outs)
+    return round((time.perf_counter() - t0) / (vb * v_reps) * 1e3, 3)
 
 
 def _with_timeout(fn, timeout_s, tag):
@@ -280,6 +443,8 @@ _FIELD_BATCH = {
     # e2e extract includes host-side work, so its rate can only be LOWER
     # than the device floor allows — the gate still catches a replayed run.
     "extract_b8_img_s": 8,
+    # device-graph product chain (detect + fused tail): same floor logic
+    "extract_device_img_s": 8,
 }
 
 
@@ -879,10 +1044,15 @@ def main() -> int:
 
                 return make
 
-            vit_b8, _ = _throughput_device(
-                vit_fn, vit_vars, vit_batch(8), 8, max(3, n_batches // 2)
+            # Same n_batches as tools/ab_vit.py (VERDICT r4 #9: bench's
+            # half-length scan under-amortized the relay and read 9% low)
+            # and 3 timed passes over distinct staged sets for error bars.
+            vit_b8, _, vit_spread = _throughput_device(
+                vit_fn, vit_vars, vit_batch(8), 8,
+                max(3, n_batches), repeats=3,
             )
             result["vit_l14_b8_img_s"] = round(vit_b8, 2)
+            result["vit_l14_b8_img_s_spread"] = vit_spread
             vit_flops = _graph_flops(vit_fn, vit_vars, vit_batch(8)(99))
             if vit_flops:
                 result["vit_l14_mfu"] = round(
@@ -1051,6 +1221,42 @@ def main() -> int:
             )
         except Exception as e:
             result["ekyc_verify_error"] = str(e)[:200]
+
+        result["_phase"] = "product-device"
+        # Device-graph product metrics (VERDICT r4 #4): what the fused
+        # extract 2-dispatch chain and the eKYC verify graphs cost ON
+        # DEVICE — the numbers a deployment quotes — separated from the
+        # tunnel's ~29 ms/dispatch + ~0.1 GB/s uploads that dominate
+        # extract_p50_ms / ekyc_verify_p50_ms in this test env.  Same
+        # discipline as the detect *_graph_ms fields: distinct inputs
+        # pre-staged in HBM, one jitted scan chains the graphs
+        # back-to-back, pipelined mega-calls amortize the relay.
+        # (pipeline.rs:188-249: extract() is the reference's public API.)
+        try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
+            ms_img, img_s = extract_device_chain(
+                pipe,  # noqa: F821 — built in the extract phase
+                chain_b=2 if args.smoke else 3,
+            )
+            result["extract_device_ms"] = ms_img
+            result["extract_device_img_s"] = img_s
+        except Exception as e:
+            result["extract_device_error"] = str(e)[:200]
+
+        try:
+            if over_budget():
+                raise RuntimeError(
+                    "aux budget exhausted (RSFD_BENCH_BUDGET_S)"
+                )
+            result["ekyc_device_ms"] = ekyc_device_chain(
+                ek,  # noqa: F821 — built in the ekyc-verify phase
+                vb=1 if args.smoke else 2,
+            )
+        except Exception as e:
+            result["ekyc_device_error"] = str(e)[:200]
 
         result["_phase"] = "scrfd"
         # SCRFD fused detect @640 b8 — the eKYC pipeline's detector

@@ -8,6 +8,7 @@ flagged by _implausible_fields.  These tests cover the pure logic on the
 CPU backend (where _relay_sanity is a no-op by design).
 """
 
+import os
 import time
 
 import bench
@@ -77,3 +78,35 @@ def test_with_timeout_paths():
         lambda: time.sleep(3.0), 0.2, "probe"
     )
     assert status == "timeout" and "probe" in payload
+
+
+def test_product_device_chains_tiny():
+    """extract_device_chain / ekyc_device_chain (VERDICT r4 #4) produce
+    positive timings and run the real 2-dispatch / verify graph sets —
+    exercised at tiny shapes so the CPU suite stays fast; bench calls the
+    same helpers at production shapes on hardware."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ekyc import _tiny_registry
+
+    from rs_face_detection_tpu.configs import (
+        FaceDetectionConfig,
+        FacePipelineConfig,
+    )
+    from rs_face_detection_tpu.pipeline.ekyc_pipeline import EKYCPipeline
+    from rs_face_detection_tpu.pipeline.face_pipeline import FacePipeline
+
+    pipe = FacePipeline(
+        FacePipelineConfig(
+            detection=FaceDetectionConfig(
+                image_size=(64, 64), confidence_threshold=0.0
+            )
+        )
+    )
+    ms, img_s = bench.extract_device_chain(pipe, batch=2, chain_b=2,
+                                           chain_reps=2)
+    assert ms > 0 and img_s > 0
+
+    ek = EKYCPipeline(registry=_tiny_registry(), detector_image_size=(96, 96))
+    assert bench.ekyc_device_chain(ek, vb=1, v_reps=2, det_hw=96) > 0

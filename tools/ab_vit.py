@@ -61,7 +61,11 @@ def vit_batch(batch):
 def measure(name, m, vs, batch=8):
     fn = jax.jit(lambda v, x, _s: m.apply(v, x, train=False))
     t0 = time.time()
-    img_s, dt = _throughput_device(fn, vs, vit_batch(batch), batch)
+    # repeats=3 + spread: same discipline as bench's vit phase so the two
+    # harnesses agree within the printed error bars (VERDICT r4 #9)
+    img_s, dt, spread = _throughput_device(
+        fn, vs, vit_batch(batch), batch, repeats=3
+    )
     flops = _graph_flops(fn, vs, vit_batch(batch)(99))
     mfu = (
         (flops / batch) * img_s / (PEAK_TFLOPS_BF16 * 1e12) if flops else 0.0
@@ -69,7 +73,7 @@ def measure(name, m, vs, batch=8):
     flag = "  !! IMPLAUSIBLE (relay replaying?)" if mfu > 0.85 else ""
     print(
         f"{name:34} {img_s:8.1f} img/s  graph {dt*1e3:7.3f} ms  "
-        f"mfu {mfu:.3f} (wall {time.time()-t0:.0f}s){flag}",
+        f"mfu {mfu:.3f}  spread {spread} (wall {time.time()-t0:.0f}s){flag}",
         flush=True,
     )
     return img_s

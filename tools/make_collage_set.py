@@ -60,7 +60,7 @@ def load_face_and_background(fixtures_dir: str):
 
 
 def background_pool(rng, portrait, n=16, side=CANVAS):
-    """Random downscaled patches avoiding the face region (real textures:
+    """Random rescaled patches avoiding the face region (real textures:
     uniform, flag stripes, shoulders)."""
     import cv2
 
@@ -68,7 +68,11 @@ def background_pool(rng, portrait, n=16, side=CANVAS):
     x1, y1, x2, y2 = FACE_BOX
     pool = []
     while len(pool) < n:
-        s = int(rng.integers(side, min(ph, pw)))
+        # patch side: below the canvas we only downscale; a canvas larger
+        # than the portrait (the 640 production-shape set) upscales real
+        # texture instead of failing
+        hi = min(ph, pw)
+        s = int(rng.integers(min(side, hi // 2), hi))
         x = int(rng.integers(0, pw - s + 1))
         y = int(rng.integers(0, ph - s + 1))
         # overlap with the face region must be small
@@ -85,7 +89,8 @@ def background_pool(rng, portrait, n=16, side=CANVAS):
     return pool
 
 
-def make_collage(rng, face, bg_pool, n_faces: int):
+def make_collage(rng, face, bg_pool, n_faces: int, canvas: int = CANVAS,
+                 face_px=(FACE_MIN_PX, FACE_MAX_PX)):
     """One canvas: n_faces pasted into distinct half-canvas cells.
 
     Returns (image u8, boxes (N, 4) x1y1x2y2, occluded (N,) bool).
@@ -98,7 +103,7 @@ def make_collage(rng, face, bg_pool, n_faces: int):
 
     img = bg_pool[int(rng.integers(len(bg_pool)))].astype(np.float32)
     img = img * rng.uniform(0.75, 1.1)
-    half = CANVAS // 2
+    half = canvas // 2
     cells = [(0, 0), (half, 0), (0, half), (half, half)]
     rng.shuffle(cells)
     boxes, occluded = [], []
@@ -106,11 +111,11 @@ def make_collage(rng, face, bg_pool, n_faces: int):
     occl_face = int(rng.integers(n_faces)) if n_faces > 1 else -1
     for i in range(n_faces):
         cx, cy = cells[i]
-        s = int(rng.integers(FACE_MIN_PX, FACE_MAX_PX + 1))
+        s = int(rng.integers(face_px[0], face_px[1] + 1))
         s = min(s, half)  # cell-bounded so GT boxes cannot overlap
         if i == edge_face:
             # flush against the nearest canvas edge of this cell
-            x = 0 if cx == 0 else CANVAS - s
+            x = 0 if cx == 0 else canvas - s
             y = int(cy + rng.integers(0, half - s + 1))
         else:
             x = int(cx + rng.integers(0, half - s + 1))
@@ -142,14 +147,25 @@ def _cell(entries):
 
 
 def build_collage_set(out_dir: str, fixtures_dir: str, seed: int = 0,
-                      n_images: int = 20):
-    """Generate the tree; returns (images_root, gt_mat_path, split_dir)."""
+                      n_images: int = 20, canvas: int = CANVAS,
+                      face_px=(FACE_MIN_PX, FACE_MAX_PX),
+                      easy_min: int = EASY_MIN_PX,
+                      medium_min: int = MEDIUM_MIN_PX):
+    """Generate the tree; returns (images_root, gt_mat_path, split_dir).
+
+    canvas/face_px/easy_min/medium_min parameterize the geometry: the
+    default 96px canvas letterboxes to the 64px fixture detector; the
+    production-shape gate (VERDICT r4 #8) builds canvas=640 with faces at
+    the same ABSOLUTE pixel range the detector was trained on, so the
+    production 640 graph (real anchor pyramid: 80/40/20 grids) is what
+    the AP gate exercises — the weights are fully convolutional, so the
+    64-trained fixture serves the 640 graph unchanged."""
     import cv2
     from scipy.io import savemat
 
     rng = np.random.default_rng(seed)
     portrait, face = load_face_and_background(fixtures_dir)
-    bg_pool = background_pool(rng, portrait)
+    bg_pool = background_pool(rng, portrait, side=canvas)
 
     event = "0--Collage"
     img_dir = os.path.join(out_dir, "WIDER_val", "images", event)
@@ -160,7 +176,9 @@ def build_collage_set(out_dir: str, fixtures_dir: str, seed: int = 0,
     names, bbx, keeps = [], [], {"easy": [], "medium": [], "hard": []}
     for i in range(n_images):
         n_faces = 1 + i % 4
-        img, boxes, occl = make_collage(rng, face, bg_pool, n_faces)
+        img, boxes, occl = make_collage(
+            rng, face, bg_pool, n_faces, canvas=canvas, face_px=face_px
+        )
         name = f"collage_{i:02d}"
         assert cv2.imwrite(
             os.path.join(img_dir, name + ".jpg"), img,
@@ -179,8 +197,8 @@ def build_collage_set(out_dir: str, fixtures_dir: str, seed: int = 0,
         bbx.append(wh.astype(float))
         sizes = wh[:, 3]
         for split, min_px in (
-            ("easy", EASY_MIN_PX),
-            ("medium", MEDIUM_MIN_PX),
+            ("easy", easy_min),
+            ("medium", medium_min),
             ("hard", 0),
         ):
             keep = [
