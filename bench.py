@@ -27,6 +27,7 @@ import json
 import threading
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -542,6 +543,23 @@ def _build(backbone, image_size, nms_mode):
     return det, det.make_batched_fn(pre_s2d=pre_s2d), "s2d" if pre_s2d else "none"
 
 
+#: Stand-alone device probe run in a SUBPROCESS by main()'s wait-and-retry
+#: loop (VERDICT r4 #1).  Entropy input + numpy cross-check so the relay's
+#: execution cache / degraded-replay mode cannot fake a pass.
+_PROBE_SRC = (
+    "import numpy as np\n"
+    "import jax, jax.numpy as jnp\n"
+    "x = np.random.default_rng().normal(size=(128, 128))"
+    ".astype(np.float32)\n"
+    "got = np.asarray(jax.jit(lambda a: jnp.dot(a, a, "
+    "precision=jax.lax.Precision.HIGHEST))(jnp.asarray(x)))\n"
+    "rel = float(np.max(np.abs(got - x @ x)) / "
+    "(np.max(np.abs(x @ x)) + 1e-9))\n"
+    "assert np.isfinite(rel) and rel < 1e-3, rel\n"
+    "print('probe ok', jax.devices()[0].platform)\n"
+)
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -622,6 +640,62 @@ def main() -> int:
     # a daemon thread; on timeout/failure emit an explanatory JSON line and
     # exit, so the record says "device unreachable", not "bench crashed".
     probe_timeout = float(os.environ.get("RSFD_BENCH_PROBE_TIMEOUT_S", "300"))
+
+    # Wait-and-retry BEFORE the first in-process backend touch (VERDICT r4
+    # #1: round 4's official capture was a 0.0 failure record because the
+    # snapshot rode a dead relay without retrying).  The first jax call in
+    # THIS process can wedge forever in a C call if the relay is down, so
+    # the retry loop probes in SUBPROCESSES — each attempt is independently
+    # killable and leaves this process clean; only once a subprocess probe
+    # passes do we touch jax in-process.  A healthy relay passes on the
+    # first attempt (a few seconds), so the happy path is unchanged.
+    retry_budget_s = float(
+        os.environ.get("RSFD_BENCH_PROBE_RETRY_S", "900")
+    )
+    probe_src = _PROBE_SRC
+    t_probe0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            sub = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                capture_output=True,
+                timeout=probe_timeout,
+                text=True,
+            )
+            sub_ok = sub.returncode == 0 and "probe ok" in sub.stdout
+            sub_detail = (sub.stderr or sub.stdout).strip()[-200:]
+        except subprocess.TimeoutExpired:
+            sub_ok = False
+            sub_detail = f"no response within {probe_timeout:.0f}s"
+        if sub_ok:
+            break
+        waited = time.perf_counter() - t_probe0
+        if waited + 60.0 > retry_budget_s:
+            print(
+                _fail_line(
+                    {
+                        "metric": "images/sec/chip (device unreachable)",
+                        "value": 0.0,
+                        "unit": "images/sec",
+                        "vs_baseline": 0.0,
+                        "error": (
+                            f"device probe failed {attempt}x over "
+                            f"{waited:.0f}s (relay down?): {sub_detail}"
+                        ),
+                    }
+                )
+            )
+            sys.stdout.flush()
+            return 3
+        print(
+            f"probe attempt {attempt} failed ({sub_detail}); retrying "
+            f"({retry_budget_s - waited:.0f}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(60.0)
+
     probe_result: list = []
 
     def _probe():
@@ -1419,6 +1493,38 @@ def main() -> int:
                     f"stream returned {n_out}/{n_frames} frames"
                 )
             result["video_track_fps"] = round(n_frames / wall, 2)
+
+            # Device-bound estimate (VERDICT r4 #2): in the double-buffered
+            # loop the tracker association runs on HOST, overlapped with
+            # device compute, so a locally attached chip streams at the
+            # batched-detect device rate unless association becomes the
+            # bottleneck.  Time association alone on representative
+            # multi-face outputs (host-only, device-independent) and report
+            # whichever binds.  The headline mnet rate is the measured
+            # device-saturated detect throughput from this same run.
+            trk = IouTracker()
+            n_assoc = 400
+            jitter = rng.normal(0, 2.0, (n_assoc, 8, 1)).astype(np.float32)
+            base = np.concatenate(
+                [
+                    rng.uniform(0, width - 80, (8, 2)),
+                    np.full((8, 1), 64.0),
+                    np.full((8, 1), 64.0),
+                    rng.uniform(0.5, 1.0, (8, 1)),
+                ],
+                axis=1,
+            ).astype(np.float32)
+            base[:, 2:4] += base[:, 0:2]  # xywh -> x1y1x2y2
+            t0 = time.perf_counter()
+            for k in range(n_assoc):
+                trk.update(base + jitter[k])
+            track_ms = (time.perf_counter() - t0) / n_assoc * 1e3
+            detect_rate = result.get("mnet025_b8_img_s", 0.0)
+            if detect_rate > 0:
+                result["video_device_fps_est"] = round(
+                    min(detect_rate, 1e3 / max(track_ms, 1e-6)), 1
+                )
+                result["video_track_host_ms"] = round(track_ms, 3)
         except Exception as e:
             result["video_stream_error"] = str(e)[:200]
 

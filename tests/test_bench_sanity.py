@@ -80,6 +80,31 @@ def test_with_timeout_paths():
     assert status == "timeout" and "probe" in payload
 
 
+def test_probe_src_passes_on_cpu():
+    """The subprocess probe (_PROBE_SRC, the wait-and-retry loop's unit of
+    work) must pass standalone on the CPU backend — a broken probe string
+    would turn every healthy run into a 15-minute retry stall."""
+    import subprocess
+    import sys
+
+    # The sitecustomize overrides JAX_PLATFORMS at interpreter start
+    # (CLAUDE.md); force CPU in-process so the test never rides the relay.
+    src = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        + bench._PROBE_SRC
+    )
+    sub = subprocess.run(
+        [sys.executable, "-c", src],
+        capture_output=True,
+        timeout=120,
+        text=True,
+    )
+    assert sub.returncode == 0 and "probe ok" in sub.stdout, (
+        sub.stdout,
+        sub.stderr,
+    )
+
+
 def test_product_device_chains_tiny():
     """extract_device_chain / ekyc_device_chain (VERDICT r4 #4) produce
     positive timings and run the real 2-dispatch / verify graph sets —
