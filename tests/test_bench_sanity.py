@@ -135,3 +135,35 @@ def test_product_device_chains_tiny():
 
     ek = EKYCPipeline(registry=_tiny_registry(), detector_image_size=(96, 96))
     assert bench.ekyc_device_chain(ek, vb=1, v_reps=2, det_hw=96) > 0
+
+
+def test_probe_retry_fail_path_e2e():
+    """bench.py must emit the structured 0.0 failure record (rc 3) when
+    the device probe cannot pass within the retry budget — driven end to
+    end through the CLI with a sub-second probe timeout, so no real
+    backend can answer in time.  Guards the wait-and-retry loop's
+    fall-back contract (VERDICT r4 #1): the failure line still carries
+    last_good if present, and the error names the probe."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        RSFD_BENCH_PROBE_TIMEOUT_S="0.2",
+        RSFD_BENCH_PROBE_RETRY_S="5",
+    )
+    sub = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py"), "--smoke"],
+        capture_output=True,
+        timeout=300,
+        text=True,
+        env=env,
+        cwd=root,
+    )
+    assert sub.returncode == 3, (sub.returncode, sub.stderr[-300:])
+    line = sub.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["value"] == 0.0
+    assert "device probe failed" in payload["error"]
