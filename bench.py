@@ -200,6 +200,11 @@ def extract_device_chain(pipe, batch: int = 8, chain_b: int = 3,
     detect_fn, tail_fn = pipe._batch_jits(batch)
     layout = getattr(pipe, "_detect_layout", "none")
     det_vars = pipe.face_detection.variables
+    # Hoist the s4d fold OUT of the timed graph (the folding-fn protocol —
+    # production extract_batch pays it once per weights object; traced
+    # inline it would re-pack the kernels every scan iteration and inflate
+    # the product number).
+    detect_inner, detect_aux = _resolve_aux(detect_fn, det_vars)
     q_vars = pipe.face_quality.variables
     e_vars = pipe.face_extraction.variables
     w_d, h_d = pipe.config.detection.image_size
@@ -230,9 +235,9 @@ def extract_device_chain(pipe, batch: int = 8, chain_b: int = 3,
             jnp.asarray(mats),
         )
 
-    def mega_fn(dv, qv, ev, det_ins, cans, scs, mats):
+    def mega_fn(dv, da, qv, ev, det_ins, cans, scs, mats):
         def body(c, t):
-            out = detect_fn(dv, t[0], t[2])
+            out = detect_inner(dv, da, t[0], t[2])
             q_probs, emb = tail_fn(qv, ev, t[1], t[3])
             return c, (out.count, q_probs[:, 0], emb[:, 0])
 
@@ -240,11 +245,13 @@ def extract_device_chain(pipe, batch: int = 8, chain_b: int = 3,
         return o
 
     mega = jax.jit(mega_fn)
-    jax.block_until_ready(mega(det_vars, q_vars, e_vars, *inputs(99)))
+    jax.block_until_ready(
+        mega(det_vars, detect_aux, q_vars, e_vars, *inputs(99))
+    )
     reps = [inputs(i) for i in range(chain_reps)]
     jax.block_until_ready(reps)
     t0 = time.perf_counter()
-    outs = [mega(det_vars, q_vars, e_vars, *r) for r in reps]
+    outs = [mega(det_vars, detect_aux, q_vars, e_vars, *r) for r in reps]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / (chain_b * chain_reps)
     return round(dt * 1e3 / batch, 3), round(batch / dt, 2)
@@ -473,6 +480,13 @@ def _implausible_fields(result):
             for key, rate in sub.items():
                 if rate and 8 / rate * 1000.0 < MIN_GRAPH_MS_PER_BATCH:
                     bad.append(f"{field}.{key}")
+    # Direct device-graph latency fields (no rate form): the eKYC verify
+    # chain runs two 720px detects, an ArcFace pair embed, and four
+    # classifier heads — measured 10.5 ms; a replayed chain reports
+    # far below any possible execution of that graph set.
+    ekyc_ms = result.get("ekyc_device_ms")
+    if ekyc_ms is not None and ekyc_ms < 1.0:
+        bad.append("ekyc_device_ms")
     for mfu_field, rate_field in (
         ("r50_b8_mfu_raw_graph", "r50_b8_img_s"),
         ("vit_l14_mfu", "vit_l14_b8_img_s"),
@@ -543,20 +557,41 @@ def _build(backbone, image_size, nms_mode):
     return det, det.make_batched_fn(pre_s2d=pre_s2d), "s2d" if pre_s2d else "none"
 
 
-#: Stand-alone device probe run in a SUBPROCESS by main()'s wait-and-retry
-#: loop (VERDICT r4 #1).  Entropy input + numpy cross-check so the relay's
-#: execution cache / degraded-replay mode cannot fake a pass.
+def _probe_check() -> str:
+    """The device execute-vs-replay check both probe layers share.
+
+    Entropy input + numpy cross-check so the relay's execution cache /
+    degraded-replay mode cannot fake a pass.  Returns the backend platform
+    string; raises AssertionError when the device's answer is wrong.  Used
+    by the SUBPROCESS wait-and-retry probe (_PROBE_SRC — independently
+    killable, leaves the parent's backend untouched) and then re-run
+    in-process under a watchdog thread, because the relay can die between
+    the subprocess pass and this process's first backend touch.  One
+    definition keeps the two layers' tolerances in lockstep.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    xh = np.random.default_rng().normal(size=(128, 128)).astype(np.float32)
+    got = np.asarray(
+        jax.jit(
+            lambda a: jnp.dot(a, a, precision=jax.lax.Precision.HIGHEST)
+        )(jnp.asarray(xh))
+    )
+    want = xh @ xh
+    rel = float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9))
+    if not np.isfinite(rel) or rel > 1e-3:
+        raise AssertionError(f"probe matmul wrong vs numpy (rel {rel:.2e})")
+    return jax.devices()[0].platform
+
+
+#: Stand-alone probe source run in a SUBPROCESS by main()'s wait-and-retry
+#: loop (VERDICT r4 #1) — delegates to _probe_check above.
 _PROBE_SRC = (
-    "import numpy as np\n"
-    "import jax, jax.numpy as jnp\n"
-    "x = np.random.default_rng().normal(size=(128, 128))"
-    ".astype(np.float32)\n"
-    "got = np.asarray(jax.jit(lambda a: jnp.dot(a, a, "
-    "precision=jax.lax.Precision.HIGHEST))(jnp.asarray(x)))\n"
-    "rel = float(np.max(np.abs(got - x @ x)) / "
-    "(np.max(np.abs(x @ x)) + 1e-9))\n"
-    "assert np.isfinite(rel) and rel < 1e-3, rel\n"
-    "print('probe ok', jax.devices()[0].platform)\n"
+    "import sys\n"
+    f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+    "import bench\n"
+    "print('probe ok', bench._probe_check())\n"
 )
 
 
@@ -696,37 +731,21 @@ def main() -> int:
         )
         time.sleep(60.0)
 
+    # Restart the aux budget clock now that the device answers: time spent
+    # waiting out a relay outage above must not be billed to the
+    # measurement budget, or the retried run would skip the aux phases the
+    # retry exists to capture (the watchdog uses its own progress clock).
+    t_start = time.perf_counter()
+
     probe_result: list = []
 
     def _probe():
+        # Same check as the subprocess probe (see _probe_check): the relay
+        # can die between the subprocess pass and this process's first
+        # backend touch, and the first touch can wedge forever — hence the
+        # watchdog thread around it.
         try:
-            import jax
-            import jax.numpy as _jnp
-
-            # Entropy input + numpy cross-check: a fixed input (or ones)
-            # would be served from the relay's cross-process execution
-            # cache even in degraded-replay mode, making a wedged relay
-            # look alive.
-            xh = np.random.default_rng().normal(size=(128, 128)).astype(
-                np.float32
-            )
-            got = np.asarray(
-                jax.jit(
-                    lambda a: _jnp.dot(
-                        a, a, precision=jax.lax.Precision.HIGHEST
-                    )
-                )(_jnp.asarray(xh))
-            )
-            want = xh @ xh
-            rel = float(
-                np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
-            )
-            if not np.isfinite(rel) or rel > 1e-3:
-                probe_result.append(
-                    ("error", f"probe matmul wrong vs numpy (rel {rel:.2e})")
-                )
-            else:
-                probe_result.append(("ok", jax.devices()[0].platform))
+            probe_result.append(("ok", _probe_check()))
         except Exception as e:  # noqa: BLE001 — report, don't crash
             probe_result.append(("error", f"{type(e).__name__}: {e}"))
 

@@ -177,20 +177,25 @@ class TTADetection:
         from ..pipeline.detection import detector_image_size
         from ..parallel.serving import letterbox_host
 
-        width = image_bgr.shape[1]
+        height, width = image_bgr.shape[:2]
         flipped = (
             np.ascontiguousarray(image_bgr[:, ::-1]) if self.flip else None
         )
-        base_w = detector_image_size(self.detectors[0])[0]
+        base_w, base_h = detector_image_size(self.detectors[0])
+        # The base view's own letterbox scale for THIS image: view zoom is
+        # defined as scale ratios (not canvas-width ratios), so non-square
+        # detector sets and aspect-mismatched images classify correctly —
+        # for same-aspect sets scale/base_scale == dw/base_w exactly.
+        base_scale = min(base_w / width, base_h / height)
         all_d: List[np.ndarray] = []
         all_k: List[np.ndarray] = []
         for det in self.detectors:
             dw, dh = detector_image_size(det)
-            zoom = dw / base_w
             for src, is_flip in ((image_bgr, False), (flipped, True)):
                 if src is None:
                     continue
                 padded, scale = letterbox_host(src, dw, dh)
+                zoom = scale / base_scale
                 d, k = det(padded)  # det_scale 1: already detector-sized
                 d = np.asarray(d, np.float32).reshape(-1, 5).copy()
                 k = np.asarray(k, np.float32).reshape(-1, 5, 2) / scale
@@ -201,7 +206,7 @@ class TTADetection:
                     # box max-side as the BASE view letterboxes it
                     side = np.maximum(
                         d[:, 2] - d[:, 0], d[:, 3] - d[:, 1]
-                    ) * (scale / zoom)
+                    ) * base_scale
                     if zoom > 1.0:  # enlarged: small faces only
                         keep = side < self.small_faces_cut * base_w
                     else:  # shrunk: large faces only

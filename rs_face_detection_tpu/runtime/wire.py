@@ -682,6 +682,14 @@ class TritonWireServicer:
 
         try:
             self.registry.load(request["model_name"])
+            # Triton semantics: loading an ensemble loads its composing
+            # models too (they must be servable before the ensemble is
+            # READY).  A member missing from the registry entirely is a
+            # broken ensemble -> NOT_FOUND, same as loading it directly.
+            defn = self._ensemble_definition(request["model_name"])
+            if defn is not None:
+                for step in defn.steps:
+                    self.registry.load(step.model_name)
         except KeyError:
             context.abort(
                 grpc.StatusCode.NOT_FOUND,
@@ -1036,13 +1044,32 @@ class TritonWireServicer:
         (created lazily per item shape).  Batches pad to max_batch_size so
         every coalesced call compiles ONE static shape — short batches ride
         the zero rows, Triton's preferred_batch_size made moot."""
+        key = (name, tuple(x_nhwc.shape[1:]), str(x_nhwc.dtype))
+        while True:
+            batcher = self._get_or_create_batcher(name, key, x_nhwc)
+            try:
+                fut = batcher.submit(x_nhwc)
+            except RuntimeError:
+                # Evicted-and-closed by a concurrent request for a third
+                # shape of this model (the two-live-shapes bound in
+                # _get_or_create_batcher) between the dict fetch and the
+                # submit; drop the dead entry and
+                # retry with a fresh batcher.  submit() raises ONLY for the
+                # closed case, so this cannot mask a model error (those
+                # surface via the future's result()).
+                with self._lock:
+                    if self._batchers.get(key) is batcher:
+                        self._batchers.pop(key)
+                continue
+            return fut.result()
+
+    def _get_or_create_batcher(self, name: str, key, x_nhwc: np.ndarray):
         import time
 
         import jax
 
         from .batcher import DynamicBatcher
 
-        key = (name, tuple(x_nhwc.shape[1:]), str(x_nhwc.dtype))
         with self._lock:
             batcher = self._batchers.get(key)
         if batcher is None:
@@ -1087,7 +1114,7 @@ class TritonWireServicer:
                         dropped.append(self._batchers.pop(k2))
             for b in dropped:
                 b.close()
-        return batcher.submit(x_nhwc).result()
+        return batcher
 
     def _forward_untimed(self, name: str, x_nhwc: np.ndarray):
         import jax
@@ -1262,10 +1289,15 @@ class TritonWireServicer:
                     f"{list(x.shape)}",
                 )
             x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
-            # resolve the member BEFORE running it: a KeyError raised inside
-            # the member's own forward must surface as INTERNAL, not be
-            # masked as a missing-model NOT_FOUND
-            if not self.registry.model_ready(step.model_name):
+            # resolve the member BEFORE running it (lazily building a
+            # repository member on first use, exactly as a direct lookup
+            # would — members need not be explicitly loaded, matching
+            # Triton, where loading an ensemble loads its composing
+            # models): a KeyError raised inside the member's own forward
+            # must surface as INTERNAL, not be masked as NOT_FOUND
+            try:
+                self.registry.get(step.model_name)
+            except KeyError:
                 context.abort(
                     grpc.StatusCode.NOT_FOUND,
                     f"ensemble {defn.name!r}: member model "

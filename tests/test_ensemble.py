@@ -515,3 +515,64 @@ def test_http_ensemble_infer_and_config(ensemble_server):
         "scale2",
         "scale3",
     ]
+
+
+# ---------------------------------------------------------------------------
+# 7. lazy (repository-builder) members
+# ---------------------------------------------------------------------------
+
+
+def test_wire_ensemble_lazy_builder_members():
+    """Members registered as lazy builders need no explicit load: ModelInfer
+    on a READY ensemble resolves each member on first use (the same lazy
+    path a direct lookup takes), and RepositoryModelLoad of the ensemble
+    loads its composing models — Triton loads ensemble dependencies with
+    the ensemble.  Regression (round-5 review): a model_ready precheck
+    briefly made every not-yet-loaded member NOT_FOUND at infer."""
+    pytest.importorskip("grpc")
+    from rs_face_detection_tpu.runtime.server import serve
+    from rs_face_detection_tpu.runtime.wire import TritonWireClient
+
+    def make_builder(name, k):
+        def builder():
+            return ModelSpec(name, (8, 8, 3), "image"), _ScaleNCHW(k), {}
+
+        return builder
+
+    reg = ModelRegistry()
+    reg.register_builder("scale2", make_builder("scale2", 2.0))
+    reg.register_builder("scale3", make_builder("scale3", 3.0))
+    defn = parse_ensemble(
+        "ens6",
+        _config(
+            [
+                _step("scale2", {"data": "IMAGE"}, {"output": "MID"}),
+                _step("scale3", {"data": "MID"}, {"output": "OUT"}),
+            ]
+        ),
+    )
+    reg.register(ModelSpec("ens6", (8, 8, 3), "ensemble"), defn, {})
+    assert not reg.model_ready("scale2") and not reg.model_ready("scale3")
+
+    server = serve(None, reg, port=0)
+    try:
+        client = TritonWireClient(f"localhost:{server._rsfd_port}")
+        try:
+            x = np.random.default_rng(5).random((1, 3, 8, 8), np.float32)
+            ((oname, _shape, arr),) = client.model_infer(
+                "ens6", x, input_name="IMAGE"
+            )
+            assert oname == "OUT"
+            np.testing.assert_allclose(arr, 6.0 * x, rtol=1e-6)
+            # first use loaded them
+            assert reg.model_ready("scale2") and reg.model_ready("scale3")
+
+            # RepositoryModelLoad of the ensemble re-loads unloaded members
+            reg.unload("scale2")
+            reg.unload("scale3")
+            client.repository_model_load("ens6")
+            assert reg.model_ready("scale2") and reg.model_ready("scale3")
+        finally:
+            client.close()
+    finally:
+        server.stop(0)

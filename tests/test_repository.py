@@ -463,3 +463,49 @@ def test_scan_warns_on_unhonored_scheduling(tmp_path, caplog):
     assert "sequence_batching is not honored" in text
     assert "instance_group count=3" in text
     assert "preserve_ordering" in text
+
+
+def test_dynamic_forward_retries_after_eviction_close():
+    """_dynamic_forward must survive fetching a batcher that a concurrent
+    request (for a third live shape of the same model) evicted and closed
+    between the dict lookup and submit(): the closed instance is dropped
+    and the request retries on a fresh batcher instead of surfacing
+    RuntimeError('DynamicBatcher is closed') as INTERNAL (round-5
+    review).  Simulated deterministically by pre-seeding the servicer's
+    batcher map with an already-closed instance for the request's key."""
+    from rs_face_detection_tpu.models.registry import ModelRegistry, ModelSpec
+    from rs_face_detection_tpu.runtime.batcher import DynamicBatcher
+    from rs_face_detection_tpu.runtime.wire import TritonWireServicer
+
+    class _Double:
+        def apply(self, variables, x):
+            import jax.numpy as jnp
+
+            return jnp.transpose(x * 2.0, (0, 3, 1, 2))
+
+    reg = ModelRegistry()
+    reg.register(
+        ModelSpec(
+            "m",
+            (4, 4, 3),
+            "image",
+            max_batch_size=2,
+            dynamic_batching=True,
+            max_queue_delay_us=500,
+        ),
+        _Double(),
+        {},
+    )
+    servicer = TritonWireServicer(reg)
+    x = np.random.default_rng(9).random((1, 4, 4, 3), np.float32)
+    key = ("m", tuple(x.shape[1:]), str(x.dtype))
+    dead = DynamicBatcher(batch_fn=lambda items: items, batch_size=2)
+    dead.close()
+    servicer._batchers[key] = dead
+
+    out = np.asarray(servicer._dynamic_forward("m", x))
+    np.testing.assert_allclose(
+        out, np.transpose(2.0 * x, (0, 3, 1, 2)), rtol=1e-6
+    )
+    # the dead instance was dropped and replaced by the retry's fresh one
+    assert servicer._batchers[key] is not dead
