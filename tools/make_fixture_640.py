@@ -55,6 +55,28 @@ COLLAGE_EASY_MIN = 160
 COLLAGE_MEDIUM_MIN = 90
 
 
+def _save(state, out_dir, suffix=""):
+    """fp16-compressed snapshot of the trainer variables, atomic rename."""
+    import jax
+
+    from rs_face_detection_tpu.models.registry import _flatten
+
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    flat = {
+        k: v.astype(np.float16) if v.dtype == np.float32 else v
+        for k, v in _flatten(variables).items()
+    }
+    path = os.path.join(out_dir, "trained_real640.npz" + suffix)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, path)
+    return path
+
+
 def collage_scene(rng, face_crop, bg_pool):
     """1-4 real faces in distinct half-canvas cells on a real background."""
     import cv2
@@ -96,6 +118,10 @@ def main() -> int:
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--skip-eval", action="store_true")
     parser.add_argument(
+        "--snapshot-every", type=int, default=250,
+        help="write trained_real640.npz.partial every N steps (0 = off)",
+    )
+    parser.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(__file__), "..", "tests", "fixtures"
@@ -112,7 +138,6 @@ def main() -> int:
     print("devices:", jax.devices(), flush=True)
 
     from rs_face_detection_tpu.configs import FaceDetectionConfig
-    from rs_face_detection_tpu.models.registry import _flatten
     from rs_face_detection_tpu.parallel.mesh import data_sharding, make_mesh
     from rs_face_detection_tpu.parallel.train import TrainBatch, Trainer
 
@@ -207,18 +232,13 @@ def main() -> int:
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
+        # Periodic partial snapshot (atomic rename): a CPU run takes hours
+        # on this 1-core host, and a killed run must not lose everything —
+        # a late-step partial can still pass the collage gates.
+        if args.snapshot_every and i and i % args.snapshot_every == 0:
+            _save(state, args.out, suffix=".partial")
 
-    variables = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-    }
-    os.makedirs(args.out, exist_ok=True)
-    flat = {
-        k: v.astype(np.float16) if v.dtype == np.float32 else v
-        for k, v in _flatten(variables).items()
-    }
-    ckpt_path = os.path.join(args.out, "trained_real640.npz")
-    np.savez_compressed(ckpt_path, **flat)
+    ckpt_path = _save(state, args.out)
     print(f"wrote {ckpt_path} ({os.path.getsize(ckpt_path) / 1e6:.2f} MB)")
 
     if args.skip_eval:
