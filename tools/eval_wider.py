@@ -157,7 +157,9 @@ def wrap_tta(det, args):
                 )
             )
     return TTADetection(
-        detectors, flip=True, merge=getattr(args, "tta_merge", "nms")
+        detectors,
+        flip=not getattr(args, "tta_no_flip", False),
+        merge=getattr(args, "tta_merge", "nms"),
     )
 
 
@@ -296,6 +298,13 @@ def main() -> int:
         choices=("nms", "vote"),
         help="cross-view merge: nms (default — measured best at 2-4 "
         "views/face) or vote (bbox voting, the many-view protocol)",
+    )
+    parser.add_argument(
+        "--tta-no-flip",
+        action="store_true",
+        help="multi-scale views only, no mirrored views — for detectors "
+        "without flip-augmented training (flip views are then "
+        "off-distribution and emit sloppy duplicate boxes)",
     )
     args = parser.parse_args()
 

@@ -31,6 +31,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# the sibling-tool import below must resolve when this module is loaded
+# via importlib (tests/test_real_collage._load_tool), not just as a script
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -157,7 +160,13 @@ def main() -> int:
         ix1, iy1 = max(px, x1), max(py, y1)
         ix2, iy2 = min(px + s, x2), min(py + s, y2)
         inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
-        if inter > 0.2 * (x2 - x1) * (y2 - y1):
+        # Strict face-overlap bound, matching make_collage_set's eval
+        # pool: the old 20%-of-face rule put large clear face fragments
+        # into TRAINING backgrounds (labeled negative), teaching the
+        # model contradictory supervision — and the matching eval-side
+        # flaw planted whole unlabeled faces in the collage backgrounds
+        # (round-5 diagnosis).  5% of face area is texture, not a face.
+        if inter > 0.05 * (x2 - x1) * (y2 - y1):
             continue
         patch = portrait[py : py + s, px : px + s]
         bg_pool.append(
@@ -211,6 +220,26 @@ def main() -> int:
                 continue
             imgs[b] = np.clip(im, 0, 255).astype(np.uint8)
             boxes[b], lms[b], valid[b] = bx, lm, vl
+        # Random horizontal flip with label mirror (box x-reflect, landmark
+        # x-reflect + left/right identity swap — pipeline/tta.py
+        # _FLIP_LANDMARK_ORDER).  Without it the one-face fixture detector
+        # is NOT mirror-invariant and TTA's flip view emits sloppy
+        # duplicate boxes (round-5 measurement: 64-fixture flip-TTA easy
+        # AP 0.99 -> 0.69 on the purified collage tree); production
+        # RetinaFace checkpoints are flip-trained, so the fixture should
+        # be too.
+        for b in range(batch):
+            if rng.uniform() >= 0.5:
+                continue
+            imgs[b] = imgs[b][:, ::-1]
+            v = valid[b]
+            bx = boxes[b].copy()
+            boxes[b][:, 0] = np.where(v, SIZE - 1.0 - bx[:, 2], bx[:, 0])
+            boxes[b][:, 2] = np.where(v, SIZE - 1.0 - bx[:, 0], bx[:, 2])
+            lms[b][..., 0] = np.where(
+                v[:, None], SIZE - 1.0 - lms[b][..., 0], lms[b][..., 0]
+            )
+            lms[b] = lms[b][:, (1, 0, 2, 4, 3), :]
         return imgs, boxes, lms, valid
 
     t0 = time.time()
