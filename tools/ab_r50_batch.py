@@ -31,6 +31,29 @@ Usage (TPU, healthy relay):
 CPU smoke (correctness of the harness, not perf):
     python tools/ab_r50_batch.py --cpu --image-size 128 --batches 1,2 \
         --n-batches 2
+
+CLOSED (2026-08-21): the jax.profiler trace capture succeeded on the
+healthy window before this grid could run, and answers the question
+directly.  HLO-attributed device-time component split, R50 @640
+(profile_detect, b8 2026-08-20 vs b16 2026-08-21; ideal scale 2.00):
+
+    component      b8 ms   b16 ms   scale
+    body/s0        1.375    3.418    2.49   <- HBM-bound stage-0
+    decode/nms     1.101    2.974    2.70   <- vmapped top-k/decode tail
+    body/s1        1.043    2.152    2.06
+    body/s2        1.017    2.136    2.10
+    fpn            0.592    1.380    2.33
+    body/s3        0.525    1.038    1.98
+    ssh0           0.499    0.985    1.97
+
+The b8->b16 throughput inversion (1,072 -> 942 img/s) is concentrated in
+(a) stage-0, whose 100-200 MB bf16 activations move at reduced HBM
+bandwidth as the working set grows (the round-1 b32 observation, now
+profile-confirmed at b16), and (b) the decode/NMS tail, whose batched
+top-k/sort lowers disproportionately worse at larger batch.  Both are
+per-image-independent, so serving R50 at b8 (DEPLOY.md) sidesteps them
+entirely — a b16 request IS two b8 graphs back-to-back at b8's rate.
+No code change beats that; experiment closed.
 """
 
 import argparse
