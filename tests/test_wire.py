@@ -1086,3 +1086,82 @@ raw_input_contents: "{esc}"
     module, variables = reg.get("face_quality")
     want = np.asarray(module.apply(variables, np.transpose(x, (0, 2, 3, 1))))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 7. third-party protobuf RUNTIME as the client (round 5): the encoding
+# stack a stock `tritonclient.grpc` uses — protoc-GENERATED Python classes
+# serialized by google.protobuf — drives the live server through grpcio's
+# generic stub.  Neither proto3.py nor protoc-the-binary touches the
+# request or response bytes; this is real third-party interop, one step
+# beyond protoc-as-encoder above.
+# ---------------------------------------------------------------------------
+
+
+@needs_protoc
+def test_google_protobuf_runtime_is_the_client(wire_port, tmp_path):
+    pb = pytest.importorskip("google.protobuf")
+    del pb
+    import subprocess
+    import sys as _sys
+
+    import grpc
+
+    out = str(tmp_path / "pb2")
+    os.makedirs(out, exist_ok=True)
+    subprocess.run(
+        [
+            _PROTOC,
+            f"--proto_path={FIXTURES}",
+            f"--python_out={out}",
+            "triton_subset.proto",
+        ],
+        check=True,
+    )
+    _sys.path.insert(0, out)
+    try:
+        import triton_subset_pb2 as pb2
+    finally:
+        _sys.path.remove(out)
+
+    port, reg = wire_port
+    rng = np.random.default_rng(11)
+    x = rng.random((1, 3, 32, 32), np.float32).astype("<f4")
+
+    req = pb2.ModelInferRequest()
+    req.model_name = "face_quality"
+    t = req.inputs.add()
+    t.name = "data"
+    t.datatype = "FP32"
+    t.shape.extend([1, 3, 32, 32])
+    req.raw_input_contents.append(x.tobytes())
+
+    channel = grpc.insecure_channel(f"localhost:{port}")
+    try:
+        # ServerLiveRequest is empty (and not in the test-fixture subset
+        # schema): an empty proto3 message is zero bytes on the wire
+        live = channel.unary_unary(
+            "/inference.GRPCInferenceService/ServerLive",
+            request_serializer=lambda b: b,
+            response_deserializer=pb2.ServerLiveResponse.FromString,
+        )
+        assert live(b"", timeout=30).live is True
+
+        infer = channel.unary_unary(
+            "/inference.GRPCInferenceService/ModelInfer",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=pb2.ModelInferResponse.FromString,
+        )
+        resp = infer(req, timeout=60)
+    finally:
+        channel.close()
+
+    assert resp.model_name == "face_quality"
+    (out_t,) = resp.outputs
+    assert out_t.name == "output" and out_t.datatype == "FP32"
+    got = np.frombuffer(resp.raw_output_contents[0], dtype="<f4").reshape(
+        list(out_t.shape)
+    )
+    module, variables = reg.get("face_quality")
+    want = np.asarray(module.apply(variables, np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
