@@ -265,13 +265,26 @@ def test_official_eval_production_shape(tmp_path_factory, capsys):
     )
     assert set(res) == {"easy", "medium", "hard"}
     # Measured 1.0/1.0/1.0 with the committed fixture (TPU-trained
-    # 2026-08-21, 1500 steps) on the purified-background tree; the
-    # pre-purification tree scored 0.546/0.630/0.725 because upscaled
-    # background patches contained whole unlabeled faces the detector
-    # correctly found (make_collage_set.background_pool docstring).
+    # 2026-08-21, 1500 steps, purified backgrounds + label-mirrored flip
+    # augmentation) on the purified-background tree; the pre-purification
+    # tree scored 0.546/0.630/0.725 because upscaled background patches
+    # contained whole unlabeled faces the detector correctly found
+    # (make_collage_set.background_pool docstring).
     assert res["easy"]["ap"] >= 0.90, res
     assert res["medium"]["ap"] >= 0.90, res
     assert res["hard"]["ap"] >= 0.85, res
     total_faces = sum(1 + i % 4 for i in range(12))
     assert res["hard"]["num_kept_faces"] == total_faces
     assert 0 < res["easy"]["num_kept_faces"] < total_faces
+
+    # Flip-TTA at the production shape: the fixture is flip-augmented, so
+    # the mirrored view must NOT cost AP (measured 1.0/1.0/1.0 — the
+    # production-checkpoint story the 64-fixture can't tell, since that
+    # one is frozen without flip training and loses 0.3 easy AP to its
+    # flip view; see test_official_eval_real_collages_tta).
+    flip = _run_eval_wider(
+        out, "--tta", "--tta-sizes", "640",
+        capsys=capsys, ckpt=CKPT640, size=640,
+    )
+    for split in ("easy", "medium", "hard"):
+        assert flip[split]["ap"] >= res[split]["ap"] - 0.03, (flip, res)
