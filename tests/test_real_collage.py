@@ -138,7 +138,7 @@ def test_official_eval_real_collages_tta(collage_tree, capsys):
     separately as:
 
     - multi-scale (64+96, no flip): 0.917/0.962/0.940 — the 96 view
-      genuinely adds hard recall (+0.022 over single) at a small easy
+      genuinely adds hard recall (+0.013 over single) at a small easy
       cost from off-distribution duplicates.
     - mirrored views: easy 0.986 -> 0.688 with flip alone.  The fixture
       detector is trained on ONE unmirrored face with no flip
@@ -159,7 +159,7 @@ def test_official_eval_real_collages_tta(collage_tree, capsys):
     )
     assert set(ms) == {"easy", "medium", "hard"}
     # multi-scale recall must not lose hard AP vs single-scale (jitter
-    # margin only; measured +0.022)
+    # margin only; measured +0.013)
     assert ms["hard"]["ap"] >= single["hard"]["ap"] - 0.02, (ms, single)
     assert ms["easy"]["ap"] >= 0.85, (ms, single)
     assert ms["medium"]["ap"] >= 0.90, (ms, single)

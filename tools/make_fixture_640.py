@@ -148,30 +148,15 @@ def main() -> int:
     x1, y1, x2, y2 = FACE_BOX
     face_crop = portrait[int(y1) : int(y2) + 1, int(x1) : int(x2) + 1]
 
-    # Background pool: face-free portrait patches upscaled to the canvas
-    # (same real-texture recipe as tools/make_collage_set.background_pool).
+    # Background pool: face-free portrait patches upscaled to the canvas —
+    # the ONE implementation of the GT-purity rule (<=5% of face area;
+    # make_collage_set.background_pool docstring has the round-5 story:
+    # the old 20% rules put whole unlabeled faces into backgrounds, which
+    # poisoned training labels here and eval ground truth there).
+    from make_collage_set import background_pool
+
     rng = np.random.default_rng(args.seed)
-    ph, pw = portrait.shape[:2]
-    bg_pool = []
-    while len(bg_pool) < 24:
-        s = int(rng.integers(128, min(ph, pw)))
-        px = int(rng.integers(0, pw - s + 1))
-        py = int(rng.integers(0, ph - s + 1))
-        ix1, iy1 = max(px, x1), max(py, y1)
-        ix2, iy2 = min(px + s, x2), min(py + s, y2)
-        inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
-        # Strict face-overlap bound, matching make_collage_set's eval
-        # pool: the old 20%-of-face rule put large clear face fragments
-        # into TRAINING backgrounds (labeled negative), teaching the
-        # model contradictory supervision — and the matching eval-side
-        # flaw planted whole unlabeled faces in the collage backgrounds
-        # (round-5 diagnosis).  5% of face area is texture, not a face.
-        if inter > 0.05 * (x2 - x1) * (y2 - y1):
-            continue
-        patch = portrait[py : py + s, px : px + s]
-        bg_pool.append(
-            cv2.resize(patch, (SIZE, SIZE), interpolation=cv2.INTER_LINEAR)
-        )
+    bg_pool = background_pool(rng, portrait, n=24, side=SIZE)
 
     mesh = make_mesh(1)
     # PRODUCTION detector geometry (image_size, strides, anchors all
@@ -269,6 +254,10 @@ def main() -> int:
 
     ckpt_path = _save(state, args.out)
     print(f"wrote {ckpt_path} ({os.path.getsize(ckpt_path) / 1e6:.2f} MB)")
+    try:  # the mid-run snapshot is superseded; don't leave a stale orphan
+        os.remove(ckpt_path + ".partial")
+    except OSError:
+        pass
 
     if args.skip_eval:
         return 0
