@@ -18,12 +18,24 @@ import orbax.checkpoint as ocp
 
 from .train import TrainState
 
+#: One shared checkpointer: StandardCheckpointer is an AsyncCheckpointer
+#: with its own worker thread — constructing one per save/restore leaked a
+#: thread per checkpoint on long training runs (round-5 review).
+_CHECKPOINTER: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        _CHECKPOINTER = ocp.StandardCheckpointer()
+    return _CHECKPOINTER
+
 
 def save_train_state(directory: str, state: TrainState, step: Optional[int] = None) -> str:
     """Save a TrainState under directory/<step>; returns the path."""
     step = int(state.step) if step is None else step
     path = os.path.join(os.path.abspath(directory), str(step))
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _checkpointer()
     ckpt.save(path, jax.device_get(state._asdict()), force=True)
     ckpt.wait_until_finished()
     return path
@@ -46,7 +58,7 @@ def restore_train_state(
             raise FileNotFoundError(f"no checkpoints under {directory}")
         step = max(steps)
     path = os.path.join(directory, str(step))
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _checkpointer()
     target = jax.device_get(template._asdict())
     restored = ckpt.restore(path, target)
     state = TrainState(**restored)

@@ -113,11 +113,13 @@ def parse_retinaface_label(path: str) -> List[FaceExample]:
                 continue
             boxes.append((x, y, x + w - 1.0, y + h - 1.0))
             if len(vals) >= 19:
-                pts = np.asarray(vals[4:19], np.float32).reshape(5, 3)[:, :2]
-                # The public label.txt marks un-annotated landmarks with a
-                # -1 SENTINEL in the first value; a legitimately negative
-                # coordinate (edge face, occluded point) is still annotated.
-                ok = bool(vals[4] >= 0)
+                tri = np.asarray(vals[4:19], np.float32)
+                pts = tri.reshape(5, 3)[:, :2]
+                # The public label.txt marks un-annotated landmarks with an
+                # ALL -1 row; a legitimately negative first coordinate
+                # (edge face partially off the left border) is still
+                # annotated, so test the whole row, not vals[4] alone.
+                ok = not bool(np.all(tri == -1.0))
             else:
                 pts, ok = np.zeros((5, 2), np.float32), False
             lms.append(pts)

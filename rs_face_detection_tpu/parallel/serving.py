@@ -134,6 +134,13 @@ class DetectionServer:
             self._fold = fold
             self._repl_sharding = repl
             self._aux = jax.device_put(fold(self.detector.variables), repl)
+            # Place the weights under the replicated sharding ONCE too:
+            # registry variables are committed to the default device, and
+            # passing them raw would make every dispatch re-broadcast the
+            # full tree (jit reshards mismatched inputs per call — ~100 MB
+            # for R50, tunnel-dominated in this env); same one-time
+            # placement tp.py does for the sharded ViT.
+            self._vars_repl = jax.device_put(self.detector.variables, repl)
             self._aux_src = self.detector.variables
             self._fn = jax.jit(
                 lambda variables, aux, imgs, scales: inner(
@@ -202,6 +209,23 @@ class DetectionServer:
 
         return s2d_layout_host(imgs)
 
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self) -> None:
+        """Release the decode thread pool (idempotent).
+
+        Same contract as DetectionDataLoader.close: the server stays
+        constructed but can no longer serve (submitting to a shut-down
+        pool raises).  Long-lived services never need this; tests and
+        tools that build many servers do."""
+        self._pool.shutdown(wait=False)
+
+    def __enter__(self) -> "DetectionServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- serving -----------------------------------------------------------
 
     def detect_batch(self, payloads: Sequence) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -265,28 +289,40 @@ class DetectionServer:
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
 
+        def emit(out, n_prev, t_disp):
+            results = self._unpack(out, n_prev)
+            # Statistics parity with detect_batch: streamed batches feed
+            # the registry counters too (DetectStream / eval / video would
+            # otherwise be invisible to ModelStatistics).  Duration is
+            # dispatch->fetch wall for THIS batch; overlapped batches each
+            # record their own.
+            self.detector.record_traffic(
+                n_prev, time.perf_counter() - t_disp
+            )
+            return results
+
         try:
-            pending: List[Tuple[PaddedDetections, int]] = []
+            pending: List[Tuple[PaddedDetections, int, float]] = []
             while True:
                 item = batches.get()
                 if item is sentinel:
                     break
                 if isinstance(item, BaseException):
                     # Drain pending device work, then surface the producer error.
-                    for out, n_prev in pending:
-                        yield self._unpack(out, n_prev)
+                    for out, n_prev, t_disp in pending:
+                        yield emit(out, n_prev, t_disp)
                     thread.join()
                     raise item
                 imgs, scales, n = item
                 # Async dispatch: _run returns device futures immediately, so
                 # the producer thread prepares the next batch while this one
                 # computes.
-                pending.append((self._run(imgs, scales), n))
+                pending.append((self._run(imgs, scales), n, time.perf_counter()))
                 if len(pending) > 1:
-                    out, n_prev = pending.pop(0)
-                    yield self._unpack(out, n_prev)
-            for out, n_prev in pending:
-                yield self._unpack(out, n_prev)
+                    out, n_prev, t_disp = pending.pop(0)
+                    yield emit(out, n_prev, t_disp)
+            for out, n_prev, t_disp in pending:
+                yield emit(out, n_prev, t_disp)
             thread.join()
         finally:
             # Runs on normal exhaustion AND on generator close (client
@@ -320,14 +356,16 @@ class DetectionServer:
             if self.detector.variables is not self._aux_src:
                 # Weights were swapped (e.g. a checkpoint reload): re-fold
                 # the dense-front constants, like the unsharded path's
-                # identity-keyed fold cache does.
+                # identity-keyed fold cache does — and re-place the new
+                # weights under the replicated sharding.
                 self._aux = jax.device_put(
                     self._fold(self.detector.variables), self._repl_sharding
                 )
+                self._vars_repl = jax.device_put(
+                    self.detector.variables, self._repl_sharding
+                )
                 self._aux_src = self.detector.variables
-            return self._fn(
-                self.detector.variables, self._aux, imgs_d, scales_d
-            )
+            return self._fn(self._vars_repl, self._aux, imgs_d, scales_d)
         return self._fn(
             self.detector.variables, jnp.asarray(imgs), jnp.asarray(scales)
         )

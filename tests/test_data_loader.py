@@ -373,3 +373,20 @@ def test_trainer_cli_rejects_undersized_dataset(tmp_path):
             runpy.run_path(tool, run_name="__main__")
     finally:
         sys.argv = old_argv
+
+
+def test_negative_edge_landmark_is_still_annotated(tmp_path):
+    """A face partially off the left border can have a legitimately
+    NEGATIVE first landmark x in the public label.txt; only an ALL -1 row
+    is the un-annotated sentinel (round-5 review: vals[4] >= 0 silently
+    dropped edge faces from the landmark loss)."""
+    p = tmp_path / "label.txt"
+    p.write_text(
+        "# scene_c/img2.jpg\n"
+        "0 20 40 50 -3.0 30.0 0.0 20.0 30.0 0.0 8.0 45.0 0.0 "
+        "2.0 58.0 0.0 18.0 58.0 0.0 0.9\n"
+        "50 50 20 20 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 0.8\n"
+    )
+    (ex,) = parse_retinaface_label(str(p))
+    assert ex.lm_valid.tolist() == [True, False]
+    np.testing.assert_allclose(ex.lms[0, 0], [-3.0, 30.0])
