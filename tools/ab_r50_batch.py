@@ -54,6 +54,19 @@ top-k/sort lowers disproportionately worse at larger batch.  Both are
 per-image-independent, so serving R50 at b8 (DEPLOY.md) sidesteps them
 entirely — a b16 request IS two b8 graphs back-to-back at b8's rate.
 No code change beats that; experiment closed.
+
+METHOD LIMITATION (hardware run 2026-08-21 03:0xZ): this grid at the
+memory-safe --n-batches 4 measured SUB-linear per-image ratios at every
+cut (full 0.98, stem 0.79) — it cannot resolve the inversion, because
+the relay's fixed per-mega-call cost amortizes to ~1-2 ms/batch at 4
+scan iterations (vs ~0.6 at bench's 12) and shrinks per-image twice as
+fast at b16 as at b8, swamping the ~10% effect under study (full-graph
+b8 8.60 ms here vs bench's 7.46 with the same code).  Stage DELTAS
+cancel only the per-batch constant, not the per-image dilution, so they
+are noisy too (s3-s2 delta 0.012 ms).  For this question, trust the
+trace's pure device events; exec-only cuts would need n_batches >= 12,
+which the stage-0 cut's stacked activations (2.5 GB/mega at b16 x 4
+in-flight megas) cannot afford on one v5e.
 """
 
 import argparse
